@@ -1,0 +1,95 @@
+"""Static-shape mesh-graph pytree — the core data structure of the framework.
+
+The reference passes PyG ``Data`` objects with dynamic node/edge counts
+(graphphysics/utils/torch_graph.py:138-220). On TPU every jitted program is
+compiled for one static shape, so ``MeshGraph`` carries arrays padded to a
+shape *bucket* (see :mod:`graph_physics_tpu.core.padding`) together with
+validity masks. Conventions:
+
+  * Padded node rows are zero and carry ``node_type = PAD_NODE_TYPE`` (an
+    id outside :class:`NodeType`), so type-based masks exclude them for free.
+  * Padded edges have ``senders == receivers == 0`` and ``edge_mask``
+    False. Messages on padded edges are zeroed before any scatter, so the
+    stray writes to node 0 contribute nothing.
+  * Batching stacks graphs of the same bucket on a leading axis and vmaps
+    the model; edge MLPs then run as [B, E, F] batched GEMMs on the MXU.
+
+All arrays are JAX arrays (or numpy on host before device put); the class
+is a ``flax.struct`` dataclass and therefore a registered pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+#: node_type value assigned to padding rows; outside every NodeType code.
+PAD_NODE_TYPE = -1
+
+
+@struct.dataclass
+class MeshGraph:
+    """One (possibly padded) mesh frame as a graph.
+
+    Shapes use N = padded node count, E = padded edge count, F/T/D for
+    feature/target/space dims. A leading batch axis may be present on every
+    array when graphs are stacked (models vmap over it).
+    """
+
+    # --- node data ---
+    x: jnp.ndarray  # [N, F] node features (incl. node-type column, time col)
+    pos: jnp.ndarray  # [N, D] mesh positions
+    node_type: jnp.ndarray  # [N] int32 (PAD_NODE_TYPE on padding)
+    node_mask: jnp.ndarray  # [N] bool, True on valid nodes
+
+    # --- connectivity ---
+    senders: jnp.ndarray  # [E] int32 source node ids (0 on padding)
+    receivers: jnp.ndarray  # [E] int32 target node ids (0 on padding)
+    edge_mask: jnp.ndarray  # [E] bool, True on valid edges
+    edge_attr: Optional[jnp.ndarray] = None  # [E, Fe]
+
+    # --- supervision / rollout state ---
+    y: Optional[jnp.ndarray] = None  # [N, T] next-step target fields
+    prev: Optional[jnp.ndarray] = None  # [N, P] previous-step feature block
+    next_data: Optional[jnp.ndarray] = None  # [N, Q] dynamic non-target fields at t+1
+
+    # --- static mesh structure (host-side use: export, gradients) ---
+    faces: Optional[jnp.ndarray] = None  # [C, 3] or [C, 4] int32 cells
+    face_mask: Optional[jnp.ndarray] = None  # [C] bool
+
+    # --- metadata ---
+    n_node: Optional[jnp.ndarray] = None  # [] int32 true node count
+    n_edge: Optional[jnp.ndarray] = None  # [] int32 true edge count
+    traj_index: Optional[jnp.ndarray] = None  # [] int32
+    time: Optional[jnp.ndarray] = None  # [] f32 physical time of the frame
+
+    # ------------------------------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        """Padded (static) node count."""
+        return self.x.shape[-2]
+
+    @property
+    def num_edges(self) -> int:
+        """Padded (static) edge count."""
+        return self.senders.shape[-1]
+
+    @property
+    def space_dim(self) -> int:
+        return self.pos.shape[-1]
+
+
+def valid_node_count(graph: MeshGraph) -> jnp.ndarray:
+    """Number of valid (non-padding) nodes, as a traced scalar."""
+    return jnp.sum(graph.node_mask.astype(jnp.int32), axis=-1)
+
+
+def summarize(graph: MeshGraph) -> Dict[str, Any]:
+    """Host-side debug summary (shapes only, no device sync)."""
+    out = {}
+    for name in ("x", "pos", "node_type", "senders", "edge_attr", "y"):
+        v = getattr(graph, name)
+        out[name] = None if v is None else tuple(v.shape)
+    return out

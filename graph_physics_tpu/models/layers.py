@@ -1,0 +1,516 @@
+"""NN building blocks (flax.linen) — the TPU re-design of the reference zoo.
+
+Behavioral specs come from graphphysics/models/layers.py (file:line cited
+per class). Differences by design:
+
+  * modules are shape-polymorphic over a single padded graph [N, F]; the
+    train step vmaps whole models over the batch axis, so edge/node MLPs
+    become [B, E, F] batched GEMMs on the MXU;
+  * sparse attention is the edge-list kernel in
+    :mod:`graph_physics_tpu.ops.edge_attention` instead of DGL bsddmm/bspmm;
+  * a ``dtype`` knob selects the compute dtype (bf16 by default on TPU)
+    while parameters and softmax/norm statistics stay fp32;
+  * activation checkpointing maps to ``jax.checkpoint`` (policy applied at
+    the processor level rather than per-block torch.checkpoint).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graph_physics_tpu.ops import edge_attention as ea
+from graph_physics_tpu.ops import segment
+
+Dtype = Any
+
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "gelu": nn.gelu,
+    "silu": nn.silu,
+}
+
+
+def resolve_activation(name: Optional[str], use_silu: bool = False) -> Callable:
+    """Activation registry (reference layers.py:150-161)."""
+    if name is None:
+        name = "silu" if use_silu else "relu"
+    if name not in ACTIVATIONS:
+        raise NotImplementedError(
+            f"Activation '{name}' not supported. Available: {list(ACTIVATIONS)}."
+        )
+    return ACTIVATIONS[name]
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square norm with optional partial-RMS and bias.
+
+    Spec: reference layers.py:73-129 — note the reference normalizes by
+    (rms + eps), not sqrt(ms + eps); matched exactly. Statistics in fp32.
+    """
+
+    dim: int
+    p: float = -1.0
+    eps: float = 1e-8
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if self.p < 0.0 or self.p > 1.0:
+            d_x = self.dim
+            norm_x = jnp.linalg.norm(xf, axis=-1, keepdims=True)
+        else:
+            partial = int(self.dim * self.p)
+            d_x = partial
+            norm_x = jnp.linalg.norm(xf[..., :partial], axis=-1, keepdims=True)
+        rms = norm_x / math.sqrt(max(d_x, 1))
+        out = xf / (rms + self.eps) * scale
+        if self.use_bias:
+            offset = self.param("offset", nn.initializers.zeros, (self.dim,), jnp.float32)
+            out = out + offset
+        return out.astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """Standard MLP: ``nb_of_layers`` Dense layers + optional RMSNorm tail.
+
+    Spec: reference build_mlp (layers.py:163-210) — Linear/act pairs, final
+    Linear, optional RMSNorm on the output.
+    """
+
+    hidden_size: int
+    out_size: int
+    nb_of_layers: int = 4
+    layer_norm: bool = True
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = resolve_activation(self.activation)
+        h = x.astype(self.dtype)
+        for _ in range(self.nb_of_layers - 1):
+            h = act(nn.Dense(self.hidden_size, dtype=self.dtype)(h))
+        h = nn.Dense(self.out_size, dtype=self.dtype)(h)
+        if self.layer_norm:
+            h = RMSNorm(self.out_size, dtype=self.dtype)(h)
+        return h
+
+
+class GatedMLP(nn.Module):
+    """Gated expansion: act(W1 x) * (W2 x), width = expansion * hidden.
+
+    Spec: reference layers.py:213-249.
+    """
+
+    hidden_size: int
+    expansion_factor: int = 3
+    use_silu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        width = self.expansion_factor * self.hidden_size
+        act = nn.silu if self.use_silu else nn.gelu
+        left = act(nn.Dense(width, dtype=self.dtype)(x))
+        right = nn.Dense(width, dtype=self.dtype)(x)
+        return left * right
+
+
+class GatedMLPBlock(nn.Module):
+    """RMSNorm → GatedMLP → Linear(out) (reference build_gated_mlp :252-278)."""
+
+    in_size: int
+    hidden_size: int
+    out_size: int
+    expansion_factor: int = 3
+    use_silu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = RMSNorm(self.in_size, dtype=self.dtype)(x)
+        h = GatedMLP(
+            hidden_size=self.hidden_size,
+            expansion_factor=self.expansion_factor,
+            use_silu=self.use_silu,
+            dtype=self.dtype,
+        )(h)
+        return nn.Dense(self.out_size, dtype=self.dtype)(h)
+
+
+# ----------------------------------------------------------------------
+# RoPE
+# ----------------------------------------------------------------------
+
+def make_inv_freq(m: int, base: float) -> jnp.ndarray:
+    """Inverse frequencies for spatial RoPE (reference layers.py:411-418)."""
+    if m <= 0:
+        return jnp.zeros((0,), jnp.float32)
+    step = math.log(base) / max(m, 1)
+    return jnp.exp(-jnp.arange(m, dtype=jnp.float32) * step)
+
+
+def apply_spatial_rope(
+    x: jnp.ndarray,  # [N, H, Dh]
+    pos: jnp.ndarray,  # [N, P] spatial positions
+    inv_freq: jnp.ndarray,  # [m]
+) -> jnp.ndarray:
+    """Multi-axis spatial RoPE over the head dim.
+
+    Spec: reference _apply_rope_with_inv (layers.py:421-490): the first
+    ``P * 2m`` channels of each head are rotated, axis-by-axis, by angles
+    pos[:, axis] * inv_freq; the remainder passes through. Layout here is
+    [N, H, Dh] (heads-second) rather than the reference's (N, Dh, H); math
+    is identical.
+    """
+    n, h, dh = x.shape
+    p = pos.shape[-1]
+    m = inv_freq.shape[0]
+    d_rope = p * 2 * m
+    if m == 0 or d_rope == 0:
+        return x
+    angles = pos[:, :, None].astype(jnp.float32) * inv_freq[None, None, :]  # [N,P,m]
+    cos = jnp.cos(angles)[:, None, :, :]  # [N,1,P,m]
+    sin = jnp.sin(angles)[:, None, :, :]
+    part = x[..., :d_rope].reshape(n, h, p, m, 2)
+    even = part[..., 0].astype(jnp.float32)
+    odd = part[..., 1].astype(jnp.float32)
+    rot_even = even * cos - odd * sin
+    rot_odd = even * sin + odd * cos
+    rot = jnp.stack([rot_even, rot_odd], axis=-1).reshape(n, h, d_rope)
+    return jnp.concatenate([rot.astype(x.dtype), x[..., d_rope:]], axis=-1)
+
+
+def apply_relative_rope(
+    x_src: jnp.ndarray,  # [E, C] flat features
+    delta_pos: jnp.ndarray,  # [E, P]
+    inv_freq: jnp.ndarray,  # [m]
+    rope_axes: int,
+) -> jnp.ndarray:
+    """Relative RoPE on flat source features (GraphNetBlock variant).
+
+    Spec: reference GraphNetBlock._apply_rope_rel (layers.py:1104-1149):
+    channels are grouped per axis as [2m]*rope_axes, rotated by the edge's
+    Δpos along that axis.
+    """
+    m = inv_freq.shape[0]
+    if m == 0:
+        return x_src
+    e, c = x_src.shape
+    d_rope = rope_axes * 2 * m
+    parts = []
+    for axis in range(rope_axes):
+        seg = x_src[:, axis * 2 * m : (axis + 1) * 2 * m].reshape(e, m, 2)
+        theta = delta_pos[:, axis : axis + 1].astype(jnp.float32) * inv_freq[None, :]
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        even = seg[..., 0].astype(jnp.float32)
+        odd = seg[..., 1].astype(jnp.float32)
+        rot = jnp.stack([even * cos - odd * sin, even * sin + odd * cos], axis=-1)
+        parts.append(rot.reshape(e, 2 * m).astype(x_src.dtype))
+    return jnp.concatenate(parts + [x_src[:, d_rope:]], axis=-1)
+
+
+# ----------------------------------------------------------------------
+# attention / transformer
+# ----------------------------------------------------------------------
+
+class Attention(nn.Module):
+    """Edge-masked multi-head self-attention over graph nodes.
+
+    Spec: reference Attention (layers.py:564-698): separate or shared
+    Q/K/V projections, optional spatial RoPE, optional sigmoid output
+    gate, output projection. The DGL sparse path is replaced by
+    :func:`graph_physics_tpu.ops.edge_attention.edge_attention`; when
+    ``senders is None`` attention is dense over all valid nodes (the
+    reference's no-adjacency fallback).
+    """
+
+    hidden_size: int
+    num_heads: int = 4
+    pos_dimension: int = 3
+    use_proj_bias: bool = True
+    use_separate_proj_weight: bool = True
+    use_rope_embeddings: bool = False
+    use_gated_attention: bool = False
+    rope_base: float = 10000.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [N, C]
+        senders: Optional[jnp.ndarray] = None,
+        receivers: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+        node_mask: Optional[jnp.ndarray] = None,
+        pos: Optional[jnp.ndarray] = None,
+        kv: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if self.use_rope_embeddings and pos is None:
+            raise ValueError("RoPE embeddings require positional information.")
+        n = x.shape[0]
+        h, dh = self.num_heads, self.hidden_size // self.num_heads
+        assert self.hidden_size % self.num_heads == 0
+
+        q_proj = nn.Dense(self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="q_proj")
+        if self.use_separate_proj_weight:
+            k_proj = nn.Dense(self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="k_proj")
+            v_proj = nn.Dense(self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="v_proj")
+        else:
+            k_proj = v_proj = q_proj
+
+        src = x if kv is None else kv
+        q = q_proj(x).reshape(n, h, dh)
+        k = k_proj(src).reshape(n, h, dh)
+        v = v_proj(src).reshape(n, h, dh)
+
+        if self.use_rope_embeddings:
+            m = dh // max(self.pos_dimension * 2, 1)
+            inv = make_inv_freq(m, self.rope_base)
+            q = apply_spatial_rope(q, pos[:, : self.pos_dimension], inv)
+            k = apply_spatial_rope(k, pos[:, : self.pos_dimension], inv)
+
+        if senders is not None:
+            y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
+        else:
+            # dense attention over valid nodes
+            logits = jnp.einsum("nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32)
+            logits = logits / math.sqrt(dh)
+            if node_mask is not None:
+                logits = jnp.where(node_mask[None, None, :], logits, -jnp.inf)
+            alpha = jax.nn.softmax(logits, axis=-1)
+            y = jnp.einsum("hnm,mhd->nhd", alpha.astype(v.dtype), v)
+
+        if self.use_gated_attention:
+            gate_proj = nn.Dense(
+                self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="gate_proj"
+            )
+            gate = jax.nn.sigmoid(gate_proj(x)).reshape(n, h, dh)
+            y = y * gate.astype(y.dtype)
+
+        out = nn.Dense(self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="proj")(
+            y.reshape(n, self.hidden_size)
+        )
+        return out
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block with gated-MLP FFN.
+
+    Spec: reference Transformer (layers.py:700-819): x += attn(norm1(x));
+    x += gated_mlp(norm2(x)). (The jraphphysics port is post-norm — a known
+    divergence we deliberately do NOT reproduce; SURVEY.md §2.2.)
+    """
+
+    hidden_size: int
+    num_heads: int = 4
+    use_proj_bias: bool = True
+    use_separate_proj_weight: bool = True
+    use_rope_embeddings: bool = False
+    use_gated_attention: bool = False
+    pos_dimension: int = 3
+    rope_base: float = 10000.0
+    use_silu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        senders: Optional[jnp.ndarray] = None,
+        receivers: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+        node_mask: Optional[jnp.ndarray] = None,
+        pos: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        attn_out = Attention(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            pos_dimension=self.pos_dimension,
+            use_proj_bias=self.use_proj_bias,
+            use_separate_proj_weight=self.use_separate_proj_weight,
+            use_rope_embeddings=self.use_rope_embeddings,
+            use_gated_attention=self.use_gated_attention,
+            rope_base=self.rope_base,
+            dtype=self.dtype,
+            name="attention",
+        )(
+            RMSNorm(self.hidden_size, dtype=self.dtype, name="norm1")(x),
+            senders,
+            receivers,
+            edge_mask,
+            node_mask,
+            pos,
+        )
+        x = x + attn_out
+        ff = GatedMLPBlock(
+            in_size=self.hidden_size,
+            hidden_size=self.hidden_size,
+            out_size=self.hidden_size,
+            use_silu=self.use_silu,
+            dtype=self.dtype,
+            name="gated_mlp",
+        )(RMSNorm(self.hidden_size, dtype=self.dtype, name="norm2")(x))
+        return x + ff
+
+
+class TemporalAttention(nn.Module):
+    """Temporal corrector: cross-attention Q/V=predicted, K=previous.
+
+    Spec: reference TemporalAttention (layers.py:822-887), including the
+    sigmoid gate on the attention output and the final mixer MLP.
+    """
+
+    hidden_size: int
+    num_heads: int = 4
+    use_gate: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        h_prev: jnp.ndarray,  # [N, C]
+        h_pred: jnp.ndarray,  # [N, C]
+        senders: Optional[jnp.ndarray] = None,
+        receivers: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        n = h_prev.shape[0]
+        h, dh = self.num_heads, self.hidden_size // self.num_heads
+        q = nn.Dense(self.hidden_size, dtype=self.dtype, name="q_proj")(h_pred).reshape(n, h, dh)
+        k = nn.Dense(self.hidden_size, dtype=self.dtype, name="k_proj")(h_prev).reshape(n, h, dh)
+        v = nn.Dense(self.hidden_size, dtype=self.dtype, name="v_proj")(h_pred).reshape(n, h, dh)
+
+        if senders is not None:
+            y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
+        else:
+            logits = jnp.einsum("nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32)
+            alpha = jax.nn.softmax(logits / math.sqrt(dh), axis=-1)
+            y = jnp.einsum("hnm,mhd->nhd", alpha.astype(v.dtype), v)
+
+        out = nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(
+            y.reshape(n, self.hidden_size)
+        )
+        if self.use_gate:
+            g_in = jnp.concatenate([h_pred, h_prev], axis=-1)
+            g = nn.Dense(self.hidden_size, dtype=self.dtype, name="gate_0")(g_in)
+            g = nn.Dense(self.hidden_size, dtype=self.dtype, name="gate_1")(nn.silu(g))
+            out = jax.nn.sigmoid(g) * out
+        h_corr = h_prev + out
+        mix_in = jnp.concatenate([h_corr, h_prev], axis=-1)
+        mix = nn.Dense(self.hidden_size, dtype=self.dtype, name="mixer_0")(mix_in)
+        mix = nn.Dense(self.hidden_size, dtype=self.dtype, name="mixer_1")(nn.silu(mix))
+        return h_corr + mix
+
+
+class GraphNetBlock(nn.Module):
+    """Message-passing block with edge+node MLP updates and residuals.
+
+    Spec: reference GraphNetBlock (layers.py:890-1149):
+      edge' = MLP([e, x_recv, x_send]); agg = Σ_incoming edge';
+      node' = MLP([x, agg]); residuals on both. Options: relative RoPE on
+      source features (:1104-1149), φ-conditioned sigmoid gate on the
+      aggregate (:1091-1098), gated-MLP variants.
+    """
+
+    hidden_size: int
+    nb_of_layers: int = 4
+    layer_norm: bool = True
+    use_rope: bool = False
+    rope_axes: int = 3
+    rope_base: float = 10000.0
+    use_gated_mlp: bool = False
+    use_gate: bool = False
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [N, C]
+        edge_attr: jnp.ndarray,  # [E, C]
+        senders: jnp.ndarray,
+        receivers: jnp.ndarray,
+        edge_mask: Optional[jnp.ndarray] = None,
+        pos: Optional[jnp.ndarray] = None,
+        phi: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        n = x.shape[0]
+        if self.use_gated_mlp:
+            edge_block = GatedMLPBlock(
+                in_size=3 * self.hidden_size,
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                dtype=self.dtype,
+                name="edge_block",
+            )
+            node_block = GatedMLPBlock(
+                in_size=2 * self.hidden_size,
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                dtype=self.dtype,
+                name="node_block",
+            )
+        else:
+            edge_block = MLP(
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                nb_of_layers=self.nb_of_layers,
+                layer_norm=self.layer_norm,
+                activation=self.activation,
+                dtype=self.dtype,
+                name="edge_block",
+            )
+            node_block = MLP(
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                nb_of_layers=self.nb_of_layers,
+                layer_norm=self.layer_norm,
+                activation=self.activation,
+                dtype=self.dtype,
+                name="node_block",
+            )
+
+        x_send = jnp.take(x, senders, axis=0)
+        x_recv = jnp.take(x, receivers, axis=0)
+
+        if self.use_rope:
+            if pos is None:
+                raise ValueError("Node positions `pos` required when use_rope=True.")
+            m = self.hidden_size // (2 * self.rope_axes)
+            if m == 0:
+                raise ValueError(
+                    f"hidden_size={self.hidden_size} too small for rope_axes={self.rope_axes}"
+                )
+            inv = make_inv_freq(m, self.rope_base)
+            delta = (
+                jnp.take(pos[:, : self.rope_axes], senders, axis=0)
+                - jnp.take(pos[:, : self.rope_axes], receivers, axis=0)
+            )
+            x_send = apply_relative_rope(x_send, delta, inv, self.rope_axes)
+
+        edge_in = jnp.concatenate([edge_attr, x_recv, x_send], axis=-1)
+        edge_upd = edge_block(edge_in)
+
+        agg = segment.segment_sum(edge_upd, receivers, n, mask=edge_mask)
+
+        if self.use_gate:
+            gate_logits = nn.Dense(self.hidden_size, dtype=self.dtype, name="gate_proj")(x)
+            if phi is not None:
+                gate_pos = self.param(
+                    "gate_pos", nn.initializers.zeros, (self.hidden_size,), jnp.float32
+                )
+                gate_logits = gate_logits + phi[:, None].astype(self.dtype) * gate_pos.astype(self.dtype)
+            agg = agg * jax.nn.sigmoid(gate_logits).astype(agg.dtype)
+
+        node_in = jnp.concatenate([x, agg], axis=-1)
+        node_upd = node_block(node_in)
+        return x + node_upd, edge_attr + edge_upd

@@ -1,0 +1,236 @@
+"""Model architectures behind one ``model(graph) -> node outputs`` API.
+
+Specs from graphphysics/models/processors.py:
+  * :class:`EncodeProcessDecode` (:57-216) — MeshGraphNet: node+edge MLP
+    encoders, M GraphNetBlocks, MLP decoder without final norm,
+    ``only_processor`` mode, optional temporal corrector fed with the
+    second-to-last and last hidden states (:204-209).
+  * :class:`EncodeTransformDecode` (:218-385) — node encoder, M pre-norm
+    transformer blocks with edge-masked sparse attention, decoder. The
+    reference's no-DGL ``TransformerConv`` fallback is unnecessary here:
+    the edge-attention kernel is always available.
+  * :class:`TransolverProcessor` (:387-461) — adapter around the
+    Transolver++ physics-attention model (models/transolver.py).
+
+All processors consume a single padded :class:`MeshGraph` whose ``x`` /
+``edge_attr`` are already normalized by the Simulator; batching is done by
+vmapping the whole processor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graph_physics_tpu.core.graph import MeshGraph
+from graph_physics_tpu.models.layers import (
+    MLP,
+    GraphNetBlock,
+    TemporalAttention,
+    TransformerBlock,
+)
+
+Dtype = Any
+
+
+class EncodeProcessDecode(nn.Module):
+    message_passing_num: int
+    node_input_size: int
+    edge_input_size: int
+    output_size: int
+    hidden_size: int = 128
+    only_processor: bool = False
+    use_rope_embeddings: bool = False
+    use_gated_attention: bool = False
+    use_gated_mlp: bool = False
+    rope_pos_dimension: int = 3
+    rope_base: float = 10000.0
+    use_temporal_block: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, graph: MeshGraph) -> jnp.ndarray:
+        if self.use_rope_embeddings and self.rope_pos_dimension not in (2, 3):
+            raise ValueError("rope_pos_dimension must be 2 or 3 when use_rope_embeddings=True.")
+        x = graph.x.astype(self.dtype)
+        edge_attr = graph.edge_attr.astype(self.dtype)
+        if not self.only_processor:
+            x = MLP(
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                dtype=self.dtype,
+                name="nodes_encoder",
+            )(x)
+            edge_attr = MLP(
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                dtype=self.dtype,
+                name="edges_encoder",
+            )(edge_attr)
+
+        pos = graph.pos if self.use_rope_embeddings else None
+        phi = None  # hook for φ-conditioned gating (reference graph.phi)
+
+        block_cls = GraphNetBlock
+        if self.remat:
+            block_cls = nn.remat(GraphNetBlock, static_argnums=())
+
+        prev_x = x
+        for i in range(self.message_passing_num):
+            prev_x = x
+            x, edge_attr = block_cls(
+                hidden_size=self.hidden_size,
+                use_gated_mlp=self.use_gated_mlp,
+                use_rope=self.use_rope_embeddings,
+                rope_axes=self.rope_pos_dimension,
+                rope_base=self.rope_base,
+                use_gate=self.use_gated_attention,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, edge_attr, graph.senders, graph.receivers, graph.edge_mask, pos, phi)
+
+        if self.use_temporal_block:
+            x = TemporalAttention(
+                hidden_size=self.hidden_size, dtype=self.dtype, name="temporal_block"
+            )(prev_x, x, graph.senders, graph.receivers, graph.edge_mask)
+
+        if self.only_processor:
+            return x
+        return MLP(
+            hidden_size=self.hidden_size,
+            out_size=self.output_size,
+            layer_norm=False,
+            dtype=self.dtype,
+            name="decode_module",
+        )(x).astype(jnp.float32)
+
+
+class EncodeTransformDecode(nn.Module):
+    message_passing_num: int
+    node_input_size: int
+    output_size: int
+    hidden_size: int = 128
+    num_heads: int = 4
+    only_processor: bool = False
+    use_rope_embeddings: bool = False
+    use_gated_attention: bool = False
+    rope_pos_dimension: int = 3
+    rope_base: float = 10000.0
+    use_temporal_block: bool = False
+    use_silu: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, graph: MeshGraph) -> jnp.ndarray:
+        x = graph.x.astype(self.dtype)
+        if not self.only_processor:
+            x = MLP(
+                hidden_size=self.hidden_size,
+                out_size=self.hidden_size,
+                dtype=self.dtype,
+                name="nodes_encoder",
+            )(x)
+
+        pos = graph.pos
+        if self.use_rope_embeddings and pos is None:
+            raise ValueError("use_rope_embeddings=True requires node positions.")
+
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=())
+
+        prev_x = x
+        for i in range(self.message_passing_num):
+            prev_x = x
+            x = block_cls(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                use_rope_embeddings=self.use_rope_embeddings,
+                use_gated_attention=self.use_gated_attention,
+                pos_dimension=self.rope_pos_dimension,
+                rope_base=self.rope_base,
+                use_silu=self.use_silu,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(
+                x,
+                graph.senders,
+                graph.receivers,
+                graph.edge_mask,
+                graph.node_mask,
+                pos,
+            )
+
+        if self.use_temporal_block:
+            x = TemporalAttention(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name="temporal_block",
+            )(prev_x, x, graph.senders, graph.receivers, graph.edge_mask)
+
+        if self.only_processor:
+            return x
+        return MLP(
+            hidden_size=self.hidden_size,
+            out_size=self.output_size,
+            layer_norm=False,
+            dtype=self.dtype,
+            name="decode_module",
+        )(x).astype(jnp.float32)
+
+
+class TransolverProcessor(nn.Module):
+    """Adapter around Transolver++ matching the processor API.
+
+    Spec: graphphysics/models/processors.py:387-461. The underlying model
+    lives in :mod:`graph_physics_tpu.models.transolver`.
+    """
+
+    message_passing_num: int
+    node_input_size: int
+    output_size: int
+    hidden_size: int = 64
+    num_heads: int = 2
+    dropout: float = 0.0
+    mlp_ratio: int = 1
+    slice_num: int = 32
+    ref: int = 8
+    unified_pos: bool = False
+    use_rope_embeddings: bool = False
+    use_gated_attention: bool = False
+    rope_pos_dimension: int = 3
+    rope_base: float = 10000.0
+    use_temporal_block: bool = False
+    dp_axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, graph: MeshGraph) -> jnp.ndarray:
+        from graph_physics_tpu.models.transolver import TransolverModel
+
+        out = TransolverModel(
+            n_layers=self.message_passing_num,
+            n_hidden=self.hidden_size,
+            n_head=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            fun_dim=self.node_input_size,
+            out_dim=self.output_size,
+            slice_num=self.slice_num,
+            ref=self.ref,
+            unified_pos=self.unified_pos,
+            use_temporal_block=self.use_temporal_block,
+            dp_axis_name=self.dp_axis_name,
+            dtype=self.dtype,
+            name="model",
+        )(
+            graph.x.astype(self.dtype),
+            graph.pos,
+            graph.node_mask,
+        )
+        return out.astype(jnp.float32)

@@ -1,0 +1,204 @@
+"""Simulator: normalization + Δ-target contract around any processor.
+
+Spec: graphphysics/models/simulator.py:13-275 —
+  * input features  = x[:, fis:fie] ⧺ one_hot(node_type, 9), normalized by
+    a running-stat node normalizer (accumulating in training);
+  * edge features normalized likewise (when the model consumes them);
+  * training target = normalize(y − x[:, ois:oie]) with accumulation;
+  * eval output     = inverse-normalize(net_out) + x[:, ois:oie].
+
+Functional re-design: normalizer statistics live in an explicit
+:class:`SimulatorState` threaded through the train step and checkpointed
+(the reference persists them inside its model checkpoint,
+simulator.py:226-275). Normalization happens *outside* the per-graph vmap
+so one global statistics state serves the whole batch; with a DP mesh the
+partial sums psum over ``axis_name`` (see models/normalizer.py).
+
+Padding: one_hot of PAD_NODE_TYPE (-1) is all-zero, and masks keep padded
+rows out of every statistic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax import linen as nn
+
+from graph_physics_tpu.core.graph import MeshGraph
+from graph_physics_tpu.core.nodetype import NodeType
+from graph_physics_tpu.models.normalizer import (
+    NormalizerState,
+    normalize,
+    normalizer_init,
+    normalizer_inverse,
+)
+
+
+@struct.dataclass
+class SimulatorState:
+    output_norm: NormalizerState
+    node_norm: NormalizerState
+    edge_norm: Optional[NormalizerState] = None
+
+
+@struct.dataclass
+class SimulatorOutput:
+    net_out: jnp.ndarray  # [.., N, out] raw (normalized-space) prediction
+    target_norm: Optional[jnp.ndarray]  # [.., N, out] normalized Δ target
+    outputs: Optional[jnp.ndarray]  # [.., N, out] physical-space prediction
+    state: SimulatorState
+
+
+class Simulator:
+    """Configuration holder + pure functions. Not a pytree itself."""
+
+    def __init__(
+        self,
+        node_input_size: int,
+        edge_input_size: int,
+        output_size: int,
+        feature_index_start: int,
+        feature_index_end: int,
+        output_index_start: int,
+        output_index_end: int,
+        node_type_index: int,
+        model: nn.Module,
+        axis_name: Optional[str] = None,
+    ):
+        self.node_input_size = node_input_size
+        self.edge_input_size = edge_input_size if edge_input_size > 0 else None
+        self.output_size = output_size
+        self.feature_index_start = feature_index_start
+        self.feature_index_end = feature_index_end
+        self.output_index_start = output_index_start
+        self.output_index_end = output_index_end
+        self.node_type_index = node_type_index
+        self.model = model
+        self.axis_name = axis_name
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> SimulatorState:
+        return SimulatorState(
+            output_norm=normalizer_init(self.output_size),
+            node_norm=normalizer_init(self.node_input_size),
+            edge_norm=(
+                normalizer_init(self.edge_input_size)
+                if self.edge_input_size is not None
+                else None
+            ),
+        )
+
+    def init_params(self, rng: jax.Array, example: MeshGraph):
+        """Initialize processor parameters from an example (batched or not)."""
+        g = example
+        if g.x.ndim == 3:  # strip batch dim for init
+            g = jax.tree.map(lambda a: a[0], g)
+        g_in, _, _, _ = self.prepare(self.init_state(), g, is_training=False)
+        return self.model.init(rng, g_in)
+
+    # ------------------------------------------------------------------
+    def pre_target(self, graph: MeshGraph) -> jnp.ndarray:
+        """x[:, ois:oie] — the current value of the predicted fields."""
+        return graph.x[..., self.output_index_start : self.output_index_end]
+
+    def one_hot_type(self, graph: MeshGraph) -> jnp.ndarray:
+        """one_hot(node_type, NodeType.SIZE); PAD (-1) rows are all-zero."""
+        return jax.nn.one_hot(graph.node_type, int(NodeType.SIZE), dtype=jnp.float32)
+
+    def prepare(
+        self,
+        state: SimulatorState,
+        graph: MeshGraph,
+        is_training: bool,
+    ) -> Tuple[MeshGraph, Optional[jnp.ndarray], jnp.ndarray, SimulatorState]:
+        """Build the normalized input graph + normalized Δ target.
+
+        Returns (input_graph, target_norm, pre_target, new_state).
+        ``target_norm`` is None when the graph carries no ``y``.
+        """
+        node_mask = graph.node_mask
+        edge_mask = graph.edge_mask
+
+        pre_t = self.pre_target(graph)
+        target_norm = None
+        out_state = state.output_norm
+        if graph.y is not None:
+            delta = graph.y - pre_t
+            target_norm, out_state = normalize(
+                state.output_norm,
+                delta,
+                mask=node_mask,
+                accumulate=is_training,
+                axis_name=self.axis_name if is_training else None,
+            )
+
+        feats = graph.x[..., self.feature_index_start : self.feature_index_end]
+        feats = jnp.concatenate([feats, self.one_hot_type(graph)], axis=-1)
+        feats_n, node_state = normalize(
+            state.node_norm,
+            feats,
+            mask=node_mask,
+            accumulate=is_training,
+            axis_name=self.axis_name if is_training else None,
+        )
+
+        edge_attr = graph.edge_attr
+        edge_state = state.edge_norm
+        if self.edge_input_size is not None and edge_attr is not None:
+            edge_attr, edge_state = normalize(
+                state.edge_norm,
+                edge_attr[..., : self.edge_input_size],
+                mask=edge_mask,
+                accumulate=is_training,
+                axis_name=self.axis_name if is_training else None,
+            )
+
+        g_in = graph.replace(x=feats_n, edge_attr=edge_attr, y=target_norm)
+        new_state = SimulatorState(
+            output_norm=out_state, node_norm=node_state, edge_norm=edge_state
+        )
+        return g_in, target_norm, pre_t, new_state
+
+    # ------------------------------------------------------------------
+    def apply_model(self, params, g_in: MeshGraph) -> jnp.ndarray:
+        """Run the processor; vmap over a leading batch axis if present."""
+        if g_in.x.ndim == 3:
+            return jax.vmap(lambda g: self.model.apply(params, g))(g_in)
+        return self.model.apply(params, g_in)
+
+    def forward(
+        self,
+        params,
+        state: SimulatorState,
+        graph: MeshGraph,
+        is_training: bool,
+    ) -> SimulatorOutput:
+        """Training: (net_out, target_norm, None). Eval: physical outputs too.
+
+        Mirrors reference simulator.py:193-217 keyed on module train mode.
+        """
+        g_in, target_norm, pre_t, new_state = self.prepare(state, graph, is_training)
+        net_out = self.apply_model(params, g_in)
+        outputs = None
+        if not is_training:
+            outputs = self.build_outputs_from_pre(new_state, net_out, pre_t)
+        return SimulatorOutput(
+            net_out=net_out, target_norm=target_norm, outputs=outputs, state=new_state
+        )
+
+    def build_outputs_from_pre(
+        self, state: SimulatorState, net_out: jnp.ndarray, pre_t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Inverse-normalize the predicted Δ and add the current value.
+
+        Spec: reference simulator.py:178-191.
+        """
+        return normalizer_inverse(state.output_norm, net_out) + pre_t
+
+    def build_outputs(
+        self, state: SimulatorState, graph: MeshGraph, net_out: jnp.ndarray
+    ) -> jnp.ndarray:
+        return self.build_outputs_from_pre(state, net_out, self.pre_target(graph))

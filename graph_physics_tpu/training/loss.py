@@ -1,0 +1,264 @@
+"""Maskable data + physics losses (jit-safe re-design of utils/loss.py).
+
+Every loss is a pure function over a :class:`LossInputs` bundle. Masking
+semantics match the reference (_prepare_mask_for_loss, loss.py:19-34):
+
+  * include only nodes whose type is in ``mask_types`` (default
+    {NORMAL, OUTFLOW}: lightning_module.py:48);
+  * exclude explicitly deselected nodes (node-masking augmentation);
+  * additionally (TPU-only) exclude padding rows via ``node_mask``.
+
+``mean over errors[mask]`` in torch averages over the masked *elements*
+(rows x feature columns); reproduced with a weighted sum / (rows*cols).
+
+MultiLoss precomputes the two physical gradients once and reuses them
+across terms (loss.py:429-482).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from graph_physics_tpu.core.graph import MeshGraph
+from graph_physics_tpu.core.nodetype import NodeType
+from graph_physics_tpu.ops import voperators
+
+DEFAULT_MASK_TYPES: Tuple[int, ...] = (int(NodeType.NORMAL), int(NodeType.OUTFLOW))
+
+
+@struct.dataclass
+class LossInputs:
+    graph: MeshGraph
+    target: Optional[jnp.ndarray] = None  # normalized Δ target [N, F]
+    network_output: Optional[jnp.ndarray] = None  # normalized prediction [N, F]
+    network_output_physical: Optional[jnp.ndarray] = None
+    target_physical: Optional[jnp.ndarray] = None
+    network_output_gradient: Optional[jnp.ndarray] = None  # [N, F, D]
+    target_gradient: Optional[jnp.ndarray] = None
+    deselected: Optional[jnp.ndarray] = None  # [N] bool, True = excluded
+
+
+def node_loss_mask(
+    graph: MeshGraph,
+    mask_types: Sequence[int] = DEFAULT_MASK_TYPES,
+    deselected: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """[N] bool — nodes included in the loss."""
+    t = graph.node_type
+    m = jnp.zeros_like(t, dtype=bool)
+    for mt in mask_types:
+        m = m | (t == mt)
+    m = m & graph.node_mask
+    if deselected is not None:
+        m = m & ~deselected
+    return m
+
+
+def _masked_mean(errors: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """mean(errors[mask]) for [..., N, C...] errors and [..., N] row mask.
+
+    Shape-polymorphic: works for single graphs ([N, C]), stacked batches
+    ([B, N, C] — averages over the whole batch like the reference does on
+    PyG mega-batches) and gradient tensors ([N, C, D]).
+    """
+    mf = mask.astype(jnp.float32)
+    extra = errors.shape[mask.ndim :]
+    cols = 1
+    for s in extra:
+        cols *= int(s)
+    m = mf.reshape(mf.shape + (1,) * len(extra))
+    num = jnp.sum(errors.astype(jnp.float32) * m)
+    den = jnp.maximum(jnp.sum(mf) * cols, 1.0)
+    return num / den
+
+
+def _smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * x * x / beta, ax - 0.5 * beta)
+
+
+# ----------------------------------------------------------------------
+# data-space losses (normalized Δ)
+# ----------------------------------------------------------------------
+
+def l2_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndarray:
+    """Masked MSE on normalized targets (loss.py:37-75)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    return _masked_mean((inp.network_output - inp.target) ** 2, m)
+
+
+def cosine_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndarray:
+    """Masked cosine-embedding loss, 1 − cos(out, target) (loss.py:78-122)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    a = inp.network_output.astype(jnp.float32)
+    b = inp.target.astype(jnp.float32)
+    eps = 1e-8
+    cos = jnp.sum(a * b, -1) / (
+        jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
+        * jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
+    )
+    return _masked_mean(1.0 - cos, m)
+
+
+def l1_smooth_loss(
+    inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, beta: float = 1.0, **_
+) -> jnp.ndarray:
+    """Masked smooth-L1 (loss.py:123-164)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    return _masked_mean(_smooth_l1(inp.network_output - inp.target, beta), m)
+
+
+# ----------------------------------------------------------------------
+# physics losses (physical space, need gradients)
+# ----------------------------------------------------------------------
+
+def _ensure_gradients(
+    inp: LossInputs, gradient_method: str, need_target: bool
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    g = inp.graph
+    kw = dict(
+        senders=g.senders,
+        receivers=g.receivers,
+        edge_mask=g.edge_mask,
+        faces=g.faces,
+        face_mask=g.face_mask,
+        method=gradient_method,
+    )
+    out_grad = inp.network_output_gradient
+    if out_grad is None:
+        out_grad = voperators.gradient(g.pos, inp.network_output_physical, **kw)
+    tgt_grad = inp.target_gradient
+    if need_target and tgt_grad is None:
+        tgt_grad = voperators.gradient(g.pos, inp.target_physical, **kw)
+    return out_grad, tgt_grad
+
+
+def gradient_l2_loss(
+    inp: LossInputs,
+    mask_types=DEFAULT_MASK_TYPES,
+    gradient_method: str = "finite_diff",
+    **_,
+) -> jnp.ndarray:
+    """L2 between spatial gradients of prediction and target (loss.py:167-218)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    out_grad, tgt_grad = _ensure_gradients(inp, gradient_method, need_target=True)
+    return _masked_mean((out_grad - tgt_grad) ** 2, m)
+
+
+def convection_l2_loss(
+    inp: LossInputs,
+    mask_types=DEFAULT_MASK_TYPES,
+    gradient_method: str = "finite_diff",
+    **_,
+) -> jnp.ndarray:
+    """L2 between (u·∇)u terms of prediction and target (loss.py:221-277)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    out_grad, tgt_grad = _ensure_gradients(inp, gradient_method, need_target=True)
+    out_conv = voperators.convection(inp.network_output_physical, out_grad)
+    tgt_conv = voperators.convection(inp.target_physical, tgt_grad)
+    return _masked_mean((out_conv - tgt_conv) ** 2, m)
+
+
+def divergence_l2_loss(
+    inp: LossInputs,
+    mask_types=DEFAULT_MASK_TYPES,
+    gradient_method: str = "finite_diff",
+    **_,
+) -> jnp.ndarray:
+    """L2 norm of ∇·u of the prediction (loss.py:280-324)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    out_grad, _ = _ensure_gradients(inp, gradient_method, need_target=False)
+    div = voperators.divergence(out_grad)
+    return _masked_mean(div**2, m)
+
+
+def divergence_l1_loss(
+    inp: LossInputs,
+    mask_types=DEFAULT_MASK_TYPES,
+    gradient_method: str = "finite_diff",
+    **_,
+) -> jnp.ndarray:
+    """L1 norm of ∇·u of the prediction (loss.py:327-371)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    out_grad, _ = _ensure_gradients(inp, gradient_method, need_target=False)
+    return _masked_mean(jnp.abs(voperators.divergence(out_grad)), m)
+
+
+def divergence_l1_smooth_loss(
+    inp: LossInputs,
+    mask_types=DEFAULT_MASK_TYPES,
+    gradient_method: str = "finite_diff",
+    beta: float = 1.0,
+    **_,
+) -> jnp.ndarray:
+    """Smooth-L1 of ∇·u against zero (loss.py:374-426)."""
+    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+    out_grad, _ = _ensure_gradients(inp, gradient_method, need_target=False)
+    return _masked_mean(_smooth_l1(voperators.divergence(out_grad), beta), m)
+
+
+class LossType(enum.Enum):
+    """Registry mirroring loss.py:485-493 (names match config strings)."""
+
+    L2LOSS = ("MSE", l2_loss, False)
+    COSINEL2LOSS = ("Cosine", cosine_loss, False)
+    L1SMOOTHLOSS = ("L1Smooth", l1_smooth_loss, False)
+    GRADIENTL2LOSS = ("GradientL2Loss", gradient_l2_loss, True)
+    CONVECTIONL2LOSS = ("ConvectionL2Loss", convection_l2_loss, True)
+    DIVERGENCEL2LOSS = ("DivergenceL2Loss", divergence_l2_loss, True)
+    DIVERGENCEL1LOSS = ("DivergenceL1Loss", divergence_l1_loss, True)
+    DIVERGENCEL1SMOOTHLOSS = ("DivergenceL1Smooth", divergence_l1_smooth_loss, True)
+
+    @property
+    def display_name(self) -> str:
+        return self.value[0]
+
+    @property
+    def fn(self) -> Callable:
+        return self.value[1]
+
+    @property
+    def needs_physical(self) -> bool:
+        return self.value[2]
+
+
+class MultiLoss:
+    """Fixed-weight combination; shares the two gradient computations.
+
+    Spec: loss.py:429-482. Callable like a single loss; returns
+    (total, per-term list) when ``return_all_losses``.
+    """
+
+    def __init__(self, losses: List[LossType], weights: List[float]):
+        assert len(losses) == len(weights)
+        self.losses = losses
+        self.weights = weights
+        self.needs_physical = any(l.needs_physical for l in self.losses)
+
+    def __call__(
+        self,
+        inp: LossInputs,
+        mask_types=DEFAULT_MASK_TYPES,
+        gradient_method: Optional[str] = "finite_diff",
+        return_all_losses: bool = False,
+    ):
+        if gradient_method is not None and self.needs_physical:
+            out_grad, tgt_grad = _ensure_gradients(
+                inp, gradient_method, need_target=True
+            )
+            inp = inp.replace(
+                network_output_gradient=out_grad, target_gradient=tgt_grad
+            )
+        terms = [
+            w * l.fn(inp, mask_types=mask_types, gradient_method=gradient_method)
+            for w, l in zip(self.weights, self.losses)
+        ]
+        total = sum(terms)
+        if return_all_losses:
+            return total, terms
+        return total

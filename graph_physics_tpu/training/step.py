@@ -1,0 +1,158 @@
+"""The single jitted train step — noise → forward → masked loss → AdamW.
+
+Replaces the reference's Lightning training loop body
+(lightning_module.py:270-372 + configure_optimizers:494-511) with one XLA
+program. Scaling model (SURVEY.md §2.4): data parallelism is GSPMD-style —
+the step is written global-view and jitted with the batch axis of the
+input graph sharded over the device mesh ('dp'); XLA inserts the ICI
+all-reduces for gradients and for the normalizer's global statistics
+automatically. No NCCL translation, no per-rank code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from graph_physics_tpu.core.graph import MeshGraph
+from graph_physics_tpu.models.simulator import Simulator, SimulatorState
+from graph_physics_tpu.training import noise as noise_lib
+from graph_physics_tpu.training import loss as loss_lib
+from graph_physics_tpu.training.loss import LossInputs, LossType, MultiLoss
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: optax.OptState
+    sim_state: SimulatorState
+    step: jnp.ndarray  # [] int32
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    starts: Tuple[int, ...]
+    ends: Tuple[int, ...]
+    scales: Tuple[float, ...]
+    curriculum: bool = False  # cosine curriculum over training progress
+
+    @property
+    def enabled(self) -> bool:
+        return len(self.starts) > 0 and any(s > 0 for s in self.scales)
+
+
+def init_train_state(
+    simulator: Simulator,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+    example: MeshGraph,
+) -> TrainState:
+    params = simulator.init_params(rng, example)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        sim_state=simulator.init_state(),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    simulator: Simulator,
+    optimizer: optax.GradientTransformation,
+    loss_fn,  # LossType or MultiLoss
+    noise_cfg: Optional[NoiseConfig] = None,
+    mask_types: Sequence[int] = loss_lib.DEFAULT_MASK_TYPES,
+    gradient_method: Optional[str] = None,
+    num_steps: int = 1,
+    donate: bool = True,
+) -> Callable[[TrainState, MeshGraph, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
+
+    ``batch`` is a MeshGraph with a leading batch axis (possibly sharded
+    over the 'dp' mesh axis). ``loss_fn`` is a LossType member or a
+    MultiLoss (spec: lightning_module.py:278-312).
+    """
+    is_multi = isinstance(loss_fn, MultiLoss)
+    mask_types = tuple(int(m) for m in mask_types)
+
+    def compute_loss(params, sim_state: SimulatorState, graph: MeshGraph):
+        g_in, target_norm, pre_t, new_state = simulator.prepare(
+            sim_state, graph, is_training=True
+        )
+        net_out = simulator.apply_model(params, g_in)
+
+        inp = LossInputs(
+            graph=graph,
+            target=target_norm,
+            network_output=net_out,
+        )
+        if is_multi:
+            out_phys = simulator.build_outputs_from_pre(new_state, net_out, pre_t)
+            tgt_phys = simulator.build_outputs_from_pre(new_state, target_norm, pre_t)
+            inp = inp.replace(
+                network_output_physical=out_phys, target_physical=tgt_phys
+            )
+            # vmap physics losses over the batch axis (they use per-graph
+            # connectivity); data losses are shape-polymorphic.
+            def per_graph(i):
+                total, terms = loss_fn(
+                    i,
+                    mask_types=mask_types,
+                    gradient_method=gradient_method,
+                    return_all_losses=True,
+                )
+                return total, terms
+
+            if graph.x.ndim == 3:
+                totals, terms = jax.vmap(per_graph)(inp)
+                total = jnp.mean(totals)
+                terms = [jnp.mean(t) for t in terms]
+            else:
+                total, terms = per_graph(inp)
+            return total, (new_state, terms)
+        else:
+            total = loss_fn.fn(inp, mask_types=mask_types)
+            return total, (new_state, [total])
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch: MeshGraph, rng: jax.Array):
+        graph = batch
+        if noise_cfg is not None and noise_cfg.enabled:
+            t = None
+            if noise_cfg.curriculum:
+                t = state.step.astype(jnp.float32) / max(num_steps, 1)
+            graph = noise_lib.add_noise(
+                graph,
+                rng,
+                list(noise_cfg.starts),
+                list(noise_cfg.ends),
+                list(noise_cfg.scales),
+                t=t,
+            )
+        (loss_val, (new_sim_state, terms)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params, state.sim_state, graph)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss_val, "grad_norm": gnorm}
+        for i, t_ in enumerate(terms):
+            metrics[f"loss_term_{i}"] = t_
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            sim_state=new_sim_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from graph_physics_tpu.core import mesh, padding
+from graph_physics_tpu.core.graph import PAD_NODE_TYPE
+from graph_physics_tpu.core.nodetype import NodeType
+
+
+class TestPadding:
+    def test_round_up(self):
+        assert padding.round_up(1) == 128
+        assert padding.round_up(128) == 128
+        assert padding.round_up(129) == 256
+
+    def test_bucket_monotone(self):
+        prev = 0
+        for n in [1, 50, 128, 200, 1000, 5000, 100000]:
+            b = padding.bucket_size(n)
+            assert b >= n
+            assert b % padding.ALIGN == 0
+            assert b >= prev
+            prev = b
+
+    def test_bucket_overhead_bounded(self):
+        for n in [300, 1234, 9999, 123456]:
+            b = padding.bucket_size(n)
+            assert b / n < 1.6
+
+    def test_pad_axis(self):
+        a = np.ones((3, 2))
+        p = padding.pad_axis(a, 5)
+        assert p.shape == (5, 2)
+        assert p[3:].sum() == 0
+        with pytest.raises(ValueError):
+            padding.pad_axis(a, 2)
+
+    def test_choose_and_fit(self):
+        buckets = padding.choose_buckets([100, 200, 5000])
+        assert padding.fit_bucket(150, buckets) in buckets
+        assert padding.fit_bucket(10**6, buckets) >= 10**6
+
+
+class TestMesh:
+    def test_faces_to_edges_triangle(self):
+        faces = np.array([[0, 1, 2], [1, 2, 3]])
+        ei = mesh.faces_to_edges(faces, 4)
+        # undirected edges: 01 02 12 13 23 -> 10 directed
+        assert ei.shape == (2, 10)
+        # symmetric
+        fwd = set(zip(ei[0].tolist(), ei[1].tolist()))
+        assert all((b, a) in fwd for a, b in fwd)
+        assert all(a != b for a, b in fwd)
+
+    def test_tetra_expansion(self):
+        tets = np.array([[0, 1, 2, 3]])
+        ei = mesh.faces_to_edges(tets, 4)
+        # complete graph on 4 nodes: 6 undirected = 12 directed
+        assert ei.shape == (2, 12)
+
+    def test_k_hop(self):
+        # path graph 0-1-2-3
+        faces = np.array([[0, 1, 2], [1, 2, 3]])
+        ei = mesh.faces_to_edges(faces, 4)
+        e2 = mesh.k_hop_edges(ei, 4, 2)
+        pairs = set(zip(e2[0].tolist(), e2[1].tolist()))
+        assert (0, 3) in pairs  # 2 hops away via 1 or 2
+        assert all(a != b for a, b in pairs)
+        # k=1 passthrough
+        assert np.array_equal(mesh.k_hop_edges(ei, 4, 1), ei)
+
+    def test_edge_features(self):
+        pos = np.array([[0.0, 0.0], [1.0, 0.0]])
+        ef = mesh.edge_features(pos, np.array([0]), np.array([1]))
+        np.testing.assert_allclose(ef, [[-1.0, 0.0, 1.0]])
+
+    def test_radius_world_edges(self):
+        pos = np.array([[0.0, 0.0], [0.05, 0.0], [2.0, 0.0]])
+        nt = np.array([int(NodeType.OBSTACLE), int(NodeType.NORMAL), int(NodeType.NORMAL)])
+        we = mesh.radius_world_edges(pos, nt, radius=0.1)
+        pairs = set(zip(we[0].tolist(), we[1].tolist()))
+        assert (0, 1) in pairs and (1, 0) in pairs
+        assert len(pairs) == 2
+        # NORMAL-NORMAL pairs excluded even within radius
+        nt2 = np.array([int(NodeType.NORMAL)] * 3)
+        assert mesh.radius_world_edges(pos, nt2, radius=0.1).shape[1] == 0
+
+    def test_build_mesh_graph_padding(self):
+        pos, cells = __import__(
+            "graph_physics_tpu.dataset.synthetic", fromlist=["grid_mesh"]
+        ).grid_mesh(5, 4)
+        ei = mesh.faces_to_edges(cells, len(pos))
+        nt = np.zeros(len(pos), dtype=np.int32)
+        x = np.ones((len(pos), 3), dtype=np.float32)
+        g = mesh.build_mesh_graph(x, pos, nt, ei, faces=cells)
+        assert g.x.shape[0] % 128 == 0
+        assert g.node_mask.sum() == len(pos)
+        assert g.edge_mask.sum() == ei.shape[1]
+        assert (g.node_type[len(pos):] == PAD_NODE_TYPE).all()
+        assert g.senders[ei.shape[1]:].sum() == 0
+        assert int(g.n_node) == len(pos)

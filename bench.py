@@ -1,0 +1,62 @@
+"""Benchmark: jitted train-step throughput on CylinderFlow-sized graphs.
+
+Metric: graph-steps/sec/chip on the headline workload shape (cylinder:
+~1.9k nodes, ~11k directed edges, EPD hidden 32, 5 MP steps, bf16 compute).
+Baseline target (BASELINE.md): >= 5000 graph-steps/sec/chip on TPU v5e.
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _cylinder_setup
+    from graph_physics_tpu.training.step import init_train_state, make_multi_step
+
+    batch = 16
+    inner = 20
+    sim, opt, step_fn, batch_graph = _cylinder_setup(
+        nx=48, ny=40, hidden=32, mp_steps=5, batch=batch
+    )
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
+    rng = jax.random.PRNGKey(1)
+
+    # multi-step: `inner` optimizer steps fused into one XLA program —
+    # one host dispatch per `inner` steps (amortizes link latency).
+    multi = make_multi_step(step_fn, unroll=inner)
+
+    # warmup / compile (force a real host fetch — block_until_ready alone
+    # is unreliable over the axon tunnel)
+    state, metrics = multi(state, batch_graph, rng)
+    _ = float(np.asarray(metrics["loss"])[-1])
+
+    trials = 3
+    best = float("inf")
+    for i in range(trials):
+        rng, k = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, metrics = multi(state, batch_graph, k)
+        _ = float(np.asarray(metrics["loss"])[-1])
+        best = min(best, time.perf_counter() - t0)
+
+    graph_steps_per_sec = inner * batch / best
+    baseline = 5000.0
+    print(
+        json.dumps(
+            {
+                "metric": "train_graph_steps_per_sec_per_chip",
+                "value": round(graph_steps_per_sec, 2),
+                "unit": "graphs/s",
+                "vs_baseline": round(graph_steps_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Training CLI (spec: graphphysics/train.py:32-317).
+
+Same two-JSON contract as the reference: a training config (dataset/model/
+index/transformations/loss/training blocks) + dataset meta.json, with
+run-level knobs as flags. Example:
+
+  gpt-train --training_parameters_path training_config/cylinder.json \
+            --epochs 25 --learning_rate 1e-3 --batch_size 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import jax
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a TPU-native mesh simulator")
+    p.add_argument("--training_parameters_path", required=True)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out_dir", default="runs")
+    p.add_argument("--run_name", default=None)
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--masking_ratio", type=float, default=None)
+    p.add_argument("--use_previous_data", action="store_true")
+    p.add_argument("--previous_data_start", type=int, default=4)
+    p.add_argument("--previous_data_end", type=int, default=7)
+    p.add_argument("--max_val_trajectories", type=int, default=None)
+    p.add_argument("--save_val_xdmf", action="store_true")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--num_dp_devices", type=int, default=None,
+                   help="shard the batch axis over this many devices")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--external", default=None,
+                   help="use-case feature builder name (external registry)")
+    return p
+
+
+def _honor_platform_env():
+    """This image's jax build ignores the JAX_PLATFORMS env var (the axon
+    TPU plugin registers regardless); jax.config.update works. Restore the
+    documented env-var behavior so CPU runs are actually on CPU."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    _honor_platform_env()
+
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.training import config as config_lib
+    from graph_physics_tpu.training.trainer import Trainer, TrainerConfig
+    from graph_physics_tpu.training.transforms import (
+        make_device_preprocess,
+        make_eval_transform,
+    )
+
+    param = config_lib.load_params(args.training_parameters_path)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    extra_node_features = None
+    if args.external:
+        from graph_physics_tpu.external import get_feature_builder
+
+        extra_node_features = get_feature_builder(args.external)
+
+    model = config_lib.get_model(param, dtype=dtype)
+    simulator = config_lib.get_simulator(param, model)
+    loss_fn, loss_name = config_lib.get_loss(param)
+    gradient_method = config_lib.get_gradient_method(param)
+    noise_cfg = config_lib.get_noise_config(param)
+    world_host, world_dev = config_lib.get_world_configs(param)
+
+    use_prev = args.use_previous_data or bool(extra_node_features)
+    frame_cfg = config_lib.get_frame_config(
+        param,
+        masking_ratio=args.masking_ratio,
+        use_previous_data=use_prev,
+        extra_node_features=extra_node_features,
+    )
+    train_ds = config_lib.get_dataset(param, frame_cfg, switch_to_val=False, seed=args.seed)
+    val_cfg = config_lib.get_frame_config(
+        param, masking_ratio=0.0, use_previous_data=use_prev,
+        extra_node_features=extra_node_features,
+    )
+    val_ds = config_lib.get_dataset(param, val_cfg, switch_to_val=True, seed=args.seed)
+
+    mesh = None
+    if args.num_dp_devices:
+        devices = jax.devices()[: args.num_dp_devices]
+        mesh = jax.sharding.Mesh(devices, ("dp",))
+
+    run_name = args.run_name or os.path.splitext(
+        os.path.basename(args.training_parameters_path)
+    )[0]
+
+    tcfg = TrainerConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        warmup=args.warmup,
+        seed=args.seed,
+        out_dir=args.out_dir,
+        run_name=run_name,
+        max_val_trajectories=args.max_val_trajectories,
+        previous_data_slice=(
+            (args.previous_data_start, args.previous_data_end) if args.use_previous_data else None
+        ),
+        save_val_xdmf=args.save_val_xdmf,
+        use_wandb=args.use_wandb,
+    )
+
+    num_steps = max(
+        (len(train_ds) + args.batch_size - 1) // args.batch_size, 1
+    ) * args.epochs
+    device_pre = make_device_preprocess(noise_cfg, world_dev, num_steps)
+    eval_tf = make_eval_transform(world_dev)
+
+    trainer = Trainer(
+        simulator,
+        train_ds,
+        val_ds,
+        loss_fn,
+        tcfg,
+        gradient_method=gradient_method,
+        device_preprocess=device_pre,
+        eval_transform=eval_tf,
+        mesh=mesh,
+        run_metadata={"config": param, "loss": loss_name},
+    )
+    state = trainer.fit(resume=args.resume_training)
+    print(f"training done at step {int(state.step)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

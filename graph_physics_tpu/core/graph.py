@@ -55,6 +55,9 @@ class MeshGraph:
     prev: Optional[jnp.ndarray] = None  # [N, P] previous-step feature block
     next_data: Optional[jnp.ndarray] = None  # [N, Q] dynamic non-target fields at t+1
 
+    # --- augmentation ---
+    deselected: Optional[jnp.ndarray] = None  # [N] bool, True = node masked out of loss
+
     # --- static mesh structure (host-side use: export, gradients) ---
     faces: Optional[jnp.ndarray] = None  # [C, 3] or [C, 4] int32 cells
     face_mask: Optional[jnp.ndarray] = None  # [C] bool

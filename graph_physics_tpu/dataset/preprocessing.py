@@ -1,0 +1,304 @@
+"""Host-side frame → padded MeshGraph pipeline (numpy; runs in the loader).
+
+Covers the structural parts of the reference preprocessing pipeline
+(graphphysics/dataset/preprocessing.py:369-443 + dataset.py augmentation):
+
+  frame fields → node features x = [dynamic fields..., node_type, time]
+  (meshdata_to_graph contract, torch_graph.py:138-220)
+  → extra_node_features hook (use-case builders, external/*)
+  → [world path] insert obstacle-displacement columns
+     (add_obstacles_next_pos, preprocessing.py:49-89)
+  → faces → edges (+ k-hop, cached per trajectory)
+  → [world path] radius world edges (preprocessing.py:92-140)
+  → mesh edge features [Δpos, ‖Δpos‖]
+  → random-edge augmentation (dataset.py:171-203)
+  → node masking → ``deselected`` (torch_graph.py:310-327)
+  → pad to shape buckets.
+
+Per-step *value* transforms (noise, world-pos edge features) run on device:
+graph_physics_tpu/training/transforms.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from graph_physics_tpu.core import mesh as mesh_lib
+from graph_physics_tpu.core import padding
+from graph_physics_tpu.core.graph import MeshGraph
+from graph_physics_tpu.core.nodetype import NodeType
+
+# Fields that never become node features.
+STRUCTURAL_FIELDS = ("cells", "mesh_pos", "node_type")
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """World-edge parameters (plate-style Lagrangian datasets)."""
+
+    world_pos_index_start: int
+    world_pos_index_end: int
+    node_type_index: int  # index AFTER displacement-column insertion
+    radius: float = 0.03
+    #: static padding budget for per-frame world edges
+    edge_budget: int = 1024
+
+
+@dataclass(frozen=True)
+class FrameConfig:
+    targets: Tuple[str, ...]
+    khop: int = 1
+    world: Optional[WorldConfig] = None
+    new_edges_ratio: float = 0.0
+    masking_ratio: float = 0.0
+    use_previous_data: bool = False
+    add_edge_features: bool = True
+    extra_node_features: Optional[Callable] = None
+    extra_edge_features: Optional[Callable] = None
+    noise_shift_ratio: float = 0.0  # reserved
+
+
+@dataclass
+class FrameContext:
+    """Everything a use-case feature builder may need (external/*)."""
+
+    pos: np.ndarray
+    cells: np.ndarray
+    point_data: Dict[str, np.ndarray]  # current frame fields (order preserved)
+    node_type: np.ndarray
+    time: float
+    target: Optional[Dict[str, np.ndarray]]  # target fields at t+1
+    next_data: Optional[Dict[str, np.ndarray]]  # dynamic non-target fields at t+1
+    previous_data: Optional[Dict[str, np.ndarray]]  # dynamic fields at t-1
+    x: Optional[np.ndarray] = None  # assembled features (builder may replace)
+
+
+def extract_frame(
+    traj: Dict[str, np.ndarray],
+    frame: int,
+    meta: Dict[str, Any],
+    targets: Tuple[str, ...],
+    with_target: bool = True,
+    with_previous: bool = False,
+) -> FrameContext:
+    """Split a trajectory dict into one frame's arrays.
+
+    Field semantics follow hierarchical.py:81-133: static fields indexed at
+    0 conceptually (stored replicated), node_type always from frame 0,
+    time = frame * dt.
+    """
+    dynamic_keys = [k for k in traj.keys() if k not in STRUCTURAL_FIELDS]
+    point_data = {k: traj[k][frame] for k in dynamic_keys}
+    node_type = np.asarray(traj["node_type"][0]).reshape(-1)
+    pos = traj["mesh_pos"][frame] if traj["mesh_pos"].ndim > 2 else traj["mesh_pos"]
+    cells = traj["cells"][frame] if traj["cells"].ndim > 2 else traj["cells"]
+
+    target = None
+    next_data = None
+    if with_target and frame + 1 < len(traj[dynamic_keys[0]]):
+        target = {k: traj[k][frame + 1] for k in targets}
+        next_data = {
+            k: traj[k][frame + 1] for k in dynamic_keys if k not in targets
+        }
+    previous = None
+    if with_previous and frame > 0:
+        previous = {k: traj[k][frame - 1] for k in dynamic_keys}
+
+    dt = float(meta.get("dt", 1.0)) or 1.0
+    return FrameContext(
+        pos=np.asarray(pos, np.float32),
+        cells=np.asarray(cells, np.int32),
+        point_data=point_data,
+        node_type=node_type.astype(np.int32),
+        time=frame * dt,
+        target=target,
+        next_data=next_data,
+        previous_data=previous,
+    )
+
+
+def assemble_x(ctx: FrameContext) -> np.ndarray:
+    """x = [dynamic fields (dict order), node_type, time] — the reference
+    column contract (meshdata_to_graph + get_frame_as_mesh ordering)."""
+    n = len(ctx.pos)
+    cols = [np.asarray(v, np.float32).reshape(n, -1) for v in ctx.point_data.values()]
+    cols.append(ctx.node_type.astype(np.float32).reshape(n, 1))
+    cols.append(np.full((n, 1), ctx.time, np.float32))
+    return np.concatenate(cols, axis=-1)
+
+
+def _stack_fields(d: Dict[str, np.ndarray], n: int) -> np.ndarray:
+    return np.concatenate(
+        [np.asarray(v, np.float32).reshape(n, -1) for v in d.values()], axis=-1
+    )
+
+
+def insert_obstacle_displacement(
+    x: np.ndarray, y: np.ndarray, node_type: np.ndarray, world: WorldConfig
+) -> np.ndarray:
+    """Insert [target_world_pos − world_pos] columns after the world-pos
+    block; non-OBSTACLE rows get the mean obstacle displacement.
+
+    Spec: add_obstacles_next_pos (preprocessing.py:49-89).
+    """
+    ws, we = world.world_pos_index_start, world.world_pos_index_end
+    wp = x[:, ws:we]
+    disp = y[:, ws:we] - wp
+    is_obs = node_type == NodeType.OBSTACLE
+    if is_obs.any():
+        mean_disp = disp[is_obs].mean(axis=0)
+    else:
+        mean_disp = np.zeros(we - ws, np.float32)
+    disp = np.where(is_obs[:, None], disp, mean_disp[None, :])
+    return np.concatenate([x[:, :we], disp, x[:, we:]], axis=-1).astype(np.float32)
+
+
+def random_extra_edges(
+    edge_index: np.ndarray, num_nodes: int, ratio: float, rng: np.random.Generator
+) -> np.ndarray:
+    """Random-edge augmentation: add ``ratio * E`` uniformly random directed
+    edges (spec: PyG add_random_edge usage, dataset.py:171-203)."""
+    e = edge_index.shape[1]
+    k = int(round(e * ratio))
+    if k <= 0:
+        return edge_index
+    src = rng.integers(0, num_nodes, size=k)
+    dst = rng.integers(0, num_nodes, size=k)
+    keep = src != dst
+    extra = np.stack([src[keep], dst[keep]])
+    return np.concatenate([edge_index, extra], axis=1).astype(np.int32)
+
+
+def masked_node_selection(
+    num_nodes: int, ratio: float, rng: np.random.Generator
+) -> Optional[np.ndarray]:
+    """Choose ``ratio * N`` node ids to exclude from the loss
+    (spec: get_masked_indexes, torch_graph.py:310-327)."""
+    if ratio <= 0:
+        return None
+    k = int(num_nodes * ratio)
+    perm = rng.permutation(num_nodes)
+    sel = np.zeros(num_nodes, dtype=bool)
+    sel[perm[:k]] = True
+    return sel
+
+
+class FrameBuilder:
+    """Stateful builder: caches k-hop edges per trajectory, pins buckets."""
+
+    def __init__(self, cfg: FrameConfig, meta: Dict[str, Any]):
+        self.cfg = cfg
+        self.meta = meta
+        self._khop_cache: Dict[Any, np.ndarray] = {}
+
+    def mesh_edges(self, cache_key, cells: np.ndarray, num_nodes: int) -> np.ndarray:
+        """faces→edges (+k-hop), cached per trajectory (dataset.py:217-241)."""
+        if cache_key in self._khop_cache:
+            return self._khop_cache[cache_key]
+        ei = mesh_lib.faces_to_edges(cells, num_nodes)
+        if self.cfg.khop > 1:
+            ei = mesh_lib.k_hop_edges(ei, num_nodes, self.cfg.khop)
+        self._khop_cache[cache_key] = ei
+        return ei
+
+    def build(
+        self,
+        traj: Dict[str, np.ndarray],
+        frame: int,
+        traj_index: int = 0,
+        rng: Optional[np.random.Generator] = None,
+        n_pad: Optional[int] = None,
+        e_pad: Optional[int] = None,
+        c_pad: Optional[int] = None,
+        train: bool = True,
+        cache_key: Optional[Any] = None,
+    ) -> MeshGraph:
+        cfg = self.cfg
+        ctx = extract_frame(
+            traj,
+            frame,
+            self.meta,
+            cfg.targets,
+            with_target=True,
+            with_previous=cfg.use_previous_data,
+        )
+        n = len(ctx.pos)
+
+        if cfg.extra_node_features is not None:
+            ctx = cfg.extra_node_features(ctx)
+        if ctx.x is None:
+            ctx.x = assemble_x(ctx)
+        x = ctx.x
+
+        y = None
+        if ctx.target is not None:
+            y = _stack_fields(ctx.target, n)
+        next_data = (
+            _stack_fields(ctx.next_data, n)
+            if ctx.next_data
+            else None
+        )
+        prev = (
+            _stack_fields(ctx.previous_data, n)
+            if ctx.previous_data
+            else None
+        )
+
+        if cfg.world is not None and y is not None:
+            x = insert_obstacle_displacement(x, y, ctx.node_type, cfg.world)
+
+        key = cache_key if cache_key is not None else traj_index
+        ei = self.mesh_edges(key, ctx.cells, n)
+
+        if cfg.world is not None:
+            ws, we = cfg.world.world_pos_index_start, cfg.world.world_pos_index_end
+            wedges = mesh_lib.radius_world_edges(
+                x[:, ws:we], ctx.node_type, cfg.world.radius, exclude_edges=ei
+            )
+            budget = cfg.world.edge_budget
+            if wedges.shape[1] > budget:
+                wedges = wedges[:, :budget]
+            ei = np.concatenate([ei, wedges], axis=1)
+
+        if train and cfg.new_edges_ratio > 0 and rng is not None:
+            ei = random_extra_edges(ei, n, cfg.new_edges_ratio, rng)
+
+        deselected = None
+        if train and cfg.masking_ratio > 0 and rng is not None:
+            deselected = masked_node_selection(n, cfg.masking_ratio, rng)
+
+        g = mesh_lib.build_mesh_graph(
+            x,
+            ctx.pos,
+            ctx.node_type,
+            ei,
+            y=y,
+            prev=prev,
+            next_data=next_data,
+            faces=ctx.cells,
+            n_pad=n_pad,
+            e_pad=e_pad,
+            c_pad=c_pad,
+            with_edge_features=cfg.add_edge_features,
+            traj_index=traj_index,
+            time=ctx.time,
+        )
+        if cfg.extra_edge_features is not None:
+            g = cfg.extra_edge_features(g)
+        if deselected is not None:
+            d = padding.pad_axis(deselected, g.num_nodes, fill=False)
+            g = g.replace(deselected=d)
+        return g
+
+    def edge_budget_for(self, mesh_edge_count: int) -> int:
+        """Static edge bucket: mesh edges (+k-hop growth already counted)
+        + world budget + random-edge headroom."""
+        extra = 0
+        if self.cfg.world is not None:
+            extra += self.cfg.world.edge_budget
+        if self.cfg.new_edges_ratio > 0:
+            extra += int(mesh_edge_count * self.cfg.new_edges_ratio) + 1
+        return padding.bucket_size(mesh_edge_count + extra)

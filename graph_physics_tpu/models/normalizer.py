@@ -47,10 +47,10 @@ def normalizer_init(
     max_accumulations: float = MAX_ACCUMULATIONS,
     std_epsilon: float = STD_EPSILON,
 ) -> NormalizerState:
-    z = jnp.zeros((size,), dtype=jnp.float32)
+    # distinct arrays: aliased buffers break jit donation (donate-twice)
     return NormalizerState(
-        acc_sum=z,
-        acc_sum_sq=z,
+        acc_sum=jnp.zeros((size,), dtype=jnp.float32),
+        acc_sum_sq=jnp.zeros((size,), dtype=jnp.float32),
         acc_count=jnp.zeros((), jnp.float32),
         num_accumulations=jnp.zeros((), jnp.float32),
         max_accumulations=float(max_accumulations),

@@ -1,0 +1,206 @@
+"""JSON config → framework objects (parity with parse_parameters.py).
+
+The two-file contract is preserved so reference configs port unchanged
+(SURVEY.md §5: training config blocks dataset/model/index/transformations/
+loss/training + dataset meta.json). Spec: graphphysics/training/
+parse_parameters.py:24-340.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from graph_physics_tpu.core.nodetype import NodeType
+from graph_physics_tpu.dataset.preprocessing import FrameConfig, WorldConfig
+from graph_physics_tpu.models.processors import (
+    EncodeProcessDecode,
+    EncodeTransformDecode,
+    TransolverProcessor,
+)
+from graph_physics_tpu.models.simulator import Simulator
+from graph_physics_tpu.training.loss import LossType, MultiLoss
+from graph_physics_tpu.training.step import NoiseConfig
+from graph_physics_tpu.training.transforms import WorldPosConfig
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def get_model(
+    param: Dict[str, Any],
+    only_processor: bool = False,
+    dtype=jnp.float32,
+    dp_axis_name: Optional[str] = None,
+):
+    """Spec: parse_parameters.py:81-162 (node_input_size += NodeType.SIZE;
+    the torch globals for silu/mem-opt become per-module knobs)."""
+    m = param.get("model", {})
+    model_type = m.get("type", "")
+    node_input_size = param["model"]["node_input_size"] + int(NodeType.SIZE)
+    training_params = param.get("training", {})
+    common = dict(
+        message_passing_num=m["message_passing_num"],
+        node_input_size=node_input_size,
+        output_size=m["output_size"],
+        hidden_size=m["hidden_size"],
+        use_rope_embeddings=m.get("use_rope_embeddings", False),
+        use_gated_attention=m.get("use_gated_attention", False),
+        rope_pos_dimension=m.get("rope_pos_dimension", 3),
+        rope_base=m.get("rope_base", 10000.0),
+        use_temporal_block=training_params.get("use_temporal_block", False),
+        remat=training_params.get("enable_vram_optimizations", False),
+        dtype=dtype,
+    )
+    if model_type == "epd":
+        return EncodeProcessDecode(
+            edge_input_size=m["edge_input_size"],
+            only_processor=only_processor,
+            use_gated_mlp=m.get("use_gated_mlp", False),
+            **common,
+        )
+    if model_type == "transformer":
+        return EncodeTransformDecode(
+            num_heads=m["num_heads"],
+            only_processor=only_processor,
+            use_silu=m.get("use_silu_activation", False),
+            **common,
+        )
+    if model_type == "transolver":
+        common.pop("remat")
+        return TransolverProcessor(
+            num_heads=m["num_heads"],
+            dropout=m.get("dropout", 0.0),
+            mlp_ratio=m.get("mlp_ratio", 1),
+            slice_num=m.get("slice_num", 32),
+            ref=m.get("ref", 8),
+            unified_pos=m.get("unified_pos", False),
+            dp_axis_name=dp_axis_name,
+            **common,
+        )
+    raise ValueError(f"Model type '{model_type}' not supported.")
+
+
+def get_simulator(param: Dict[str, Any], model, axis_name=None) -> Simulator:
+    """Spec: parse_parameters.py:165-190."""
+    return Simulator(
+        node_input_size=param["model"]["node_input_size"] + int(NodeType.SIZE),
+        edge_input_size=param["model"]["edge_input_size"],
+        output_size=param["model"]["output_size"],
+        feature_index_start=param["index"]["feature_index_start"],
+        feature_index_end=param["index"]["feature_index_end"],
+        output_index_start=param["index"]["output_index_start"],
+        output_index_end=param["index"]["output_index_end"],
+        node_type_index=param["index"]["node_type_index"],
+        model=model,
+        axis_name=axis_name,
+    )
+
+
+def get_noise_config(param: Dict[str, Any], remove_noise: bool = False) -> Optional[NoiseConfig]:
+    """Spec: get_preprocessing noise block (parse_parameters.py:51-60)."""
+    pp = param.get("transformations", {}).get("preprocessing", {})
+    scale = pp.get("noise", 0)
+    if not scale or remove_noise:
+        return None
+    starts = pp.get("noise_index_start")
+    ends = pp.get("noise_index_end")
+    starts = [starts] if isinstance(starts, int) else list(starts)
+    ends = [ends] if isinstance(ends, int) else list(ends)
+    scales = [scale] * len(starts) if isinstance(scale, (int, float)) else list(scale)
+    return NoiseConfig(
+        starts=tuple(starts),
+        ends=tuple(ends),
+        scales=tuple(scales),
+        curriculum=bool(pp.get("noise_curriculum", False)),
+    )
+
+
+def get_world_configs(
+    param: Dict[str, Any]
+) -> Tuple[Optional[WorldConfig], Optional[WorldPosConfig]]:
+    """World-edge params for (host builder, device transform)."""
+    wp = param.get("transformations", {}).get("world_pos_parameters", {})
+    if not wp.get("use", False):
+        return None, None
+    host = WorldConfig(
+        world_pos_index_start=wp["world_pos_index_start"],
+        world_pos_index_end=wp["world_pos_index_end"],
+        node_type_index=param["index"]["node_type_index"],
+        radius=wp.get("radius", 0.03),
+        edge_budget=wp.get("edge_budget", 1024),
+    )
+    dev = WorldPosConfig(start=wp["world_pos_index_start"], end=wp["world_pos_index_end"])
+    return host, dev
+
+
+def get_frame_config(
+    param: Dict[str, Any],
+    masking_ratio: Optional[float] = None,
+    use_previous_data: bool = False,
+    use_edge_feature: bool = True,
+    extra_node_features: Optional[Callable] = None,
+    extra_edge_features: Optional[Callable] = None,
+) -> FrameConfig:
+    """Spec: get_dataset (parse_parameters.py:193-277)."""
+    ds = param["dataset"]
+    world, _ = get_world_configs(param)
+    pp = param.get("transformations", {}).get("preprocessing", {})
+    return FrameConfig(
+        targets=tuple(ds["targets"]),
+        khop=ds.get("khop", 1),
+        world=world,
+        new_edges_ratio=ds.get("new_edges_ratio", 0.0) or 0.0,
+        masking_ratio=(
+            masking_ratio if masking_ratio is not None else pp.get("masking", 0) or 0.0
+        ),
+        use_previous_data=use_previous_data,
+        add_edge_features=use_edge_feature,
+        extra_node_features=extra_node_features,
+        extra_edge_features=extra_edge_features,
+    )
+
+
+def get_dataset(
+    param: Dict[str, Any],
+    frame_config: FrameConfig,
+    switch_to_val: bool = False,
+    seed: int = 0,
+):
+    """Spec: parse_parameters.py:193-277 (h5/xdmf switch)."""
+    ds = param["dataset"]
+    ext = ds["extension"]
+    path = ds["test_path"] if switch_to_val else ds["train_path"]
+    if ext == "h5":
+        from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+
+        return H5Dataset(path, ds["meta_path"], frame_config, seed=seed)
+    if ext == "xdmf":
+        from graph_physics_tpu.dataset.xdmf_dataset import XDMFDataset
+
+        return XDMFDataset(path, ds["meta_path"], frame_config, seed=seed)
+    raise ValueError(f"Dataset extension '{ext}' not supported.")
+
+
+def get_loss(param: Dict[str, Any]):
+    """Spec: parse_parameters.py:300-323. Returns (loss, name-or-names)."""
+    loss_block = param.get("loss")
+    if loss_block is None:
+        return LossType.L2LOSS, LossType.L2LOSS.name
+    types = loss_block["type"]
+    if len(types) > 1:
+        losses = [LossType[t.upper()] for t in types]
+        names = [l.name for l in losses]
+        return MultiLoss(losses, loss_block["weights"]), names
+    l = LossType[types[0].upper()]
+    return l, l.name
+
+
+def get_gradient_method(param: Dict[str, Any]) -> Optional[str]:
+    """Spec: parse_parameters.py:326-340."""
+    return param.get("loss", {}).get("gradient_method")

@@ -71,12 +71,15 @@ def make_train_step(
     gradient_method: Optional[str] = None,
     num_steps: int = 1,
     donate: bool = True,
+    device_preprocess: Optional[Callable] = None,
 ) -> Callable[[TrainState, MeshGraph, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
     ``batch`` is a MeshGraph with a leading batch axis (possibly sharded
     over the 'dp' mesh axis). ``loss_fn`` is a LossType member or a
-    MultiLoss (spec: lightning_module.py:278-312).
+    MultiLoss (spec: lightning_module.py:278-312). ``device_preprocess``
+    (graph, rng, step) -> graph supersedes ``noise_cfg`` when given (use
+    transforms.make_device_preprocess to compose noise + world features).
     """
     is_multi = isinstance(loss_fn, MultiLoss)
     mask_types = tuple(int(m) for m in mask_types)
@@ -91,6 +94,7 @@ def make_train_step(
             graph=graph,
             target=target_norm,
             network_output=net_out,
+            deselected=graph.deselected,
         )
         if is_multi:
             out_phys = simulator.build_outputs_from_pre(new_state, net_out, pre_t)
@@ -120,10 +124,11 @@ def make_train_step(
             total = loss_fn.fn(inp, mask_types=mask_types)
             return total, (new_state, [total])
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, batch: MeshGraph, rng: jax.Array):
+    def step_body(state: TrainState, batch: MeshGraph, rng: jax.Array):
         graph = batch
-        if noise_cfg is not None and noise_cfg.enabled:
+        if device_preprocess is not None:
+            graph = device_preprocess(graph, rng, state.step)
+        elif noise_cfg is not None and noise_cfg.enabled:
             t = None
             if noise_cfg.curriculum:
                 t = state.step.astype(jnp.float32) / max(num_steps, 1)
@@ -155,4 +160,41 @@ def make_train_step(
         )
         return new_state, metrics
 
+    train_step = jax.jit(step_body, donate_argnums=(0,) if donate else ())
+    train_step._step_body = step_body  # exposed for the multi-step scan
     return train_step
+
+
+def make_multi_step(
+    train_step,
+    unroll: int = 1,
+) -> Callable[[TrainState, MeshGraph, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Fuse K optimizer steps into ONE XLA program via ``lax.scan``.
+
+    ``(state, batch, rng) -> (state, stacked metrics[K])`` — the batch is
+    reused each inner step with a fresh PRNG key (fresh noise draw). One
+    host dispatch per K steps: amortizes host→device latency (essential
+    when the device sits behind a high-latency link) and lets XLA overlap
+    step boundaries. Pass ``batch`` with a leading [K] axis to consume K
+    distinct device-resident batches instead.
+    """
+    body = getattr(train_step, "_step_body", train_step)
+
+    @partial(jax.jit, static_argnames=("num_inner",), donate_argnums=(0,))
+    def multi_step(state: TrainState, batch: MeshGraph, rng: jax.Array, num_inner: int = unroll):
+        keys = jax.random.split(rng, num_inner)
+        batched_time = jax.tree.leaves(batch)[0].ndim >= 1 and hasattr(batch, "x") and batch.x.ndim == 4
+
+        def scan_body(carry, xs):
+            if batched_time:
+                key, b = xs
+            else:
+                key, b = xs, batch
+            new_state, metrics = body(carry, b, key)
+            return new_state, metrics
+
+        xs = (keys, batch) if batched_time else keys
+        state, metrics = jax.lax.scan(scan_body, state, xs)
+        return state, metrics
+
+    return multi_step

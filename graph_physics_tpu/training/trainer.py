@@ -1,0 +1,248 @@
+"""Training driver — epochs, validation rollouts, checkpointing, logging.
+
+The functional replacement for Lightning's Trainer + LightningModule glue
+(reference train.py:276-312, lightning_module.py). One object owns:
+
+  * the jitted train step (training/step.py) fed by the bucketed loader;
+  * per-epoch validation: full autoregressive rollouts per trajectory via
+    the scan rollout (training/rollout.py), aggregated exactly like
+    on_validation_epoch_end (lightning_module.py:467-493): RMSE over the
+    concatenation of every step of every trajectory;
+  * orbax checkpointing every epoch + resume;
+  * JSONL/wandb metrics (training/logging.py);
+  * optional XDMF dump of validation trajectory 0 per epoch
+    (lightning_module.py:428-438).
+
+Data parallelism: pass a ``jax.sharding.Mesh``; batches are placed with
+the batch axis sharded over 'dp' and the same global-view jitted step runs
+unchanged (XLA inserts ICI collectives).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from graph_physics_tpu.dataset.loader import BatchLoader
+from graph_physics_tpu.models.simulator import Simulator
+from graph_physics_tpu.training import checkpoint as ckpt_lib
+from graph_physics_tpu.training import schedule as schedule_lib
+from graph_physics_tpu.training.logging import MetricsLogger
+from graph_physics_tpu.training.rollout import make_rollout_fn, stack_frames
+from graph_physics_tpu.training.step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 1
+    batch_size: int = 1
+    learning_rate: float = 1e-3
+    warmup: int = 1000
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    seed: int = 42
+    out_dir: str = "runs"
+    run_name: str = "run"
+    checkpoint_every_epochs: int = 1
+    max_val_trajectories: Optional[int] = None
+    previous_data_slice: Optional[tuple] = None
+    save_val_xdmf: bool = False
+    use_wandb: bool = False
+    log_every: int = 50
+
+
+class Trainer:
+    def __init__(
+        self,
+        simulator: Simulator,
+        train_dataset,
+        val_dataset,
+        loss_fn,
+        cfg: TrainerConfig,
+        gradient_method: Optional[str] = None,
+        device_preprocess=None,
+        eval_transform=None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        run_metadata: Optional[Dict[str, Any]] = None,
+    ):
+        self.sim = simulator
+        self.train_ds = train_dataset
+        self.val_ds = val_dataset
+        self.cfg = cfg
+        self.run_metadata = run_metadata or {}
+
+        steps_per_epoch = max(
+            (len(train_dataset) + cfg.batch_size - 1) // cfg.batch_size, 1
+        )
+        self.num_steps = steps_per_epoch * cfg.epochs
+        self.optimizer = schedule_lib.make_optimizer(
+            cfg.learning_rate,
+            warmup=cfg.warmup,
+            num_steps=self.num_steps,
+            weight_decay=cfg.weight_decay,
+            grad_clip=cfg.grad_clip,
+        )
+        self.lr_schedule = schedule_lib.cosine_warmup_schedule(
+            cfg.learning_rate, cfg.warmup, self.num_steps
+        )
+        self.train_step = make_train_step(
+            simulator,
+            self.optimizer,
+            loss_fn,
+            gradient_method=gradient_method,
+            num_steps=self.num_steps,
+            device_preprocess=device_preprocess,
+        )
+        self.rollout_fn = make_rollout_fn(
+            simulator,
+            previous_data_slice=cfg.previous_data_slice,
+            frame_transform=eval_transform,
+        )
+
+        self.sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # batch axis over 'dp'; everything else replicated
+            def spec_for(leaf):
+                return NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
+
+            self._mesh = mesh
+            self.sharding = spec_for  # resolved per-leaf at load time
+
+        self.ckpt_dir = os.path.join(cfg.out_dir, cfg.run_name, "checkpoints")
+        self.manager = ckpt_lib.make_manager(self.ckpt_dir)
+        self.logger = MetricsLogger(
+            os.path.join(cfg.out_dir, cfg.run_name),
+            run_name=cfg.run_name,
+            use_wandb=cfg.use_wandb,
+            wandb_config=self.run_metadata,
+        )
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------
+    def _example_batch(self):
+        loader = BatchLoader(
+            self.train_ds, self.cfg.batch_size, shuffle=False, device_put=False
+        )
+        return next(iter(loader))
+
+    def init_or_resume(self, resume: bool = False):
+        example = self._example_batch()
+        state = init_train_state(
+            self.sim, self.optimizer, jax.random.PRNGKey(self.cfg.seed), example
+        )
+        if resume:
+            state, meta = ckpt_lib.restore_checkpoint(self.manager, state)
+            if meta:
+                self.run_metadata.update(meta)
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------
+    def fit(self, resume: bool = False) -> TrainState:
+        cfg = self.cfg
+        if self.state is None:
+            self.init_or_resume(resume=resume)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        start_epoch = int(self.state.step) // max(
+            (len(self.train_ds) + cfg.batch_size - 1) // cfg.batch_size, 1
+        )
+
+        for epoch in range(start_epoch, cfg.epochs):
+            loader = BatchLoader(
+                self.train_ds,
+                cfg.batch_size,
+                shuffle=True,
+                seed=cfg.seed + epoch,
+                sharding=self.sharding,
+            )
+            t_epoch = time.time()
+            n_batches = 0
+            loss_sum = 0.0
+            for batch in loader:
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self.train_step(self.state, batch, step_rng)
+                n_batches += 1
+                step = int(self.state.step)
+                loss_sum += float(metrics["loss"])
+                if step % cfg.log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["lr"] = float(self.lr_schedule(step))
+                    metrics["epoch"] = epoch
+                    self.logger.log(metrics, step)
+
+            epoch_metrics = {
+                "epoch": epoch,
+                "train_loss_epoch": loss_sum / max(n_batches, 1),
+                "epoch_time_s": time.time() - t_epoch,
+            }
+            val_metrics = self.validate(epoch)
+            epoch_metrics.update(val_metrics)
+            self.logger.log(epoch_metrics, int(self.state.step))
+
+            if (epoch + 1) % cfg.checkpoint_every_epochs == 0 or epoch == cfg.epochs - 1:
+                ckpt_lib.save_checkpoint(
+                    self.manager,
+                    self.state,
+                    int(self.state.step),
+                    metadata={**self.run_metadata, "epoch": epoch},
+                )
+        return self.state
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int = 0) -> Dict[str, float]:
+        """Rollout every validation trajectory; aggregate like the
+        reference's on_validation_epoch_end."""
+        if self.val_ds is None:
+            return {}
+        n_traj = self.val_ds.num_trajectories
+        if self.cfg.max_val_trajectories is not None:
+            n_traj = min(n_traj, self.cfg.max_val_trajectories)
+        sq_sum = 0.0
+        count = 0.0
+        first_rmses = []
+        val_losses = []
+        for t in range(n_traj):
+            frames = stack_frames(self.val_ds.trajectory_frames(t))
+            res = self.rollout_fn(self.state.params, self.state.sim_state, frames)
+            sq_sum += float(np.sum(np.asarray(res.sq_sum)))
+            count += float(np.sum(np.asarray(res.count)))
+            first_rmses.append(float(res.rmse_1step))
+            val_losses.append(float(np.mean(np.asarray(res.val_loss))))
+            if t == 0 and self.cfg.save_val_xdmf:
+                self._save_rollout_xdmf(res, frames, epoch)
+        return {
+            "val_all_rollout_rmse": float(np.sqrt(sq_sum / max(count, 1.0))),
+            "val_1step_rmse": float(np.mean(first_rmses)),
+            "val_loss": float(np.mean(val_losses)),
+        }
+
+    def _save_rollout_xdmf(self, res, frames, epoch: int):
+        from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesWriter
+
+        path = os.path.join(
+            self.cfg.out_dir, self.cfg.run_name, "meshes", f"epoch_{epoch}.xdmf"
+        )
+        w = XdmfTimeSeriesWriter(path)
+        n = int(frames.n_node[0])
+        c = int(np.sum(np.asarray(frames.face_mask[0]))) if frames.face_mask is not None else None
+        preds = np.asarray(res.predictions)
+        for i in range(preds.shape[0]):
+            pos = np.asarray(frames.pos[i])[:n]
+            cells = np.asarray(frames.faces[i])[:c] if c is not None else None
+            w.append(
+                pos,
+                cells,
+                {"prediction": preds[i, :n], "target": np.asarray(res.targets[i])[:n]},
+                float(frames.time[i]) if frames.time is not None else float(i),
+            )

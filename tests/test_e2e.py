@@ -1,0 +1,178 @@
+"""End-to-end: config JSON → train → validate → checkpoint → resume →
+predict+export (the reference's Makefile train-predict path, SURVEY.md §4).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from graph_physics_tpu.dataset import synthetic
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    train_h5, meta = synthetic.write_h5_dataset(
+        str(d / "train.h5"), num_trajectories=2, nx=7, ny=5, num_steps=6,
+        meta_path=str(d / "meta.json"),
+    )
+    val_h5, _ = synthetic.write_h5_dataset(
+        str(d / "val.h5"), num_trajectories=1, nx=7, ny=5, num_steps=6,
+        meta_path=str(d / "meta_val.json"),
+    )
+    config = {
+        "dataset": {
+            "extension": "h5",
+            "train_path": train_h5,
+            "test_path": val_h5,
+            "meta_path": meta,
+            "targets": ["velocity"],
+            "khop": 1,
+        },
+        "model": {
+            "type": "epd",
+            "message_passing_num": 2,
+            "hidden_size": 16,
+            "node_input_size": 2,
+            "output_size": 2,
+            "edge_input_size": 3,
+        },
+        "index": {
+            "feature_index_start": 0,
+            "feature_index_end": 2,
+            "output_index_start": 0,
+            "output_index_end": 2,
+            "node_type_index": 2,
+        },
+        "transformations": {
+            "preprocessing": {
+                "noise": 1e-4,
+                "noise_index_start": [0],
+                "noise_index_end": [2],
+                "masking": 0,
+            },
+            "world_pos_parameters": {"use": False},
+        },
+        "training": {},
+    }
+    cfg_path = str(d / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f)
+    return d, cfg_path
+
+
+def test_train_resume_predict(workspace):
+    d, cfg_path = workspace
+    from graph_physics_tpu.cli.train import main as train_main
+    from graph_physics_tpu.cli.predict import main as predict_main
+
+    out = str(d / "runs")
+    args = [
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1",
+        "--batch_size", "2",
+        "--learning_rate", "1e-3",
+        "--warmup", "5",
+        "--out_dir", out,
+        "--run_name", "e2e",
+    ]
+    assert train_main(args) == 0
+    ckpt_dir = os.path.join(out, "e2e", "checkpoints")
+    assert os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0
+
+    metrics_path = os.path.join(out, "e2e", "e2e.metrics.jsonl")
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert any("val_all_rollout_rmse" in r for r in records)
+    val = [r for r in records if "val_all_rollout_rmse" in r][-1]
+    assert np.isfinite(val["val_all_rollout_rmse"])
+
+    # resume for one more epoch
+    assert train_main(args[:3] + ["2"] + args[4:] + ["--resume_training"]) == 0
+
+    # predict + export
+    pred_out = str(d / "preds")
+    assert predict_main([
+        "--training_parameters_path", cfg_path,
+        "--model_path", ckpt_dir,
+        "--out_dir", pred_out,
+        "--run_name", "p",
+    ]) == 0
+    xdmf = os.path.join(pred_out, "p", "trajectory_0.xdmf")
+    assert os.path.exists(xdmf)
+
+    # exported series is readable and shaped right
+    from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesReader
+
+    r = XdmfTimeSeriesReader(xdmf)
+    assert len(r) == 5
+    pos, cells, pd, time = r.read_frame(0)
+    assert "prediction" in pd and "target" in pd
+    assert pd["prediction"].shape[1] == 2
+    r.close()
+
+
+def test_xdmf_roundtrip(tmp_path):
+    from graph_physics_tpu.utils.xdmf import (
+        XdmfTimeSeriesReader,
+        XdmfTimeSeriesWriter,
+    )
+
+    pos, cells = synthetic.grid_mesh(5, 4)
+    path = str(tmp_path / "series.xdmf")
+    w = XdmfTimeSeriesWriter(path)
+    for i in range(3):
+        w.append(pos, cells, {"v": synthetic.velocity_field(pos, i * 0.1)}, i * 0.1)
+    # incremental append via a fresh writer (append_mesh_to_xdmf parity)
+    w2 = XdmfTimeSeriesWriter(path)
+    w2.append(pos, cells, {"v": synthetic.velocity_field(pos, 0.3)}, 0.3)
+
+    r = XdmfTimeSeriesReader(path)
+    assert len(r) == 4
+    p0, c0, pd, t0 = r.read_frame(0)
+    np.testing.assert_allclose(p0[:, :2], pos, atol=1e-6)
+    np.testing.assert_array_equal(c0, cells)
+    np.testing.assert_allclose(pd["v"], synthetic.velocity_field(pos, 0.0), atol=1e-6)
+    _, _, pd3, t3 = r.read_frame(3)
+    assert abs(t3 - 0.3) < 1e-9
+    r.close()
+
+
+def test_xdmf_dataset(tmp_path):
+    """XDMF dataset path: write synthetic trajectories as XDMF, load."""
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+    from graph_physics_tpu.dataset.xdmf_dataset import XDMFDataset
+    from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesWriter
+
+    meta = {"dt": 0.01, "features": {}, "trajectory_length": 5}
+    meta_path = str(tmp_path / "meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    for t in range(2):
+        traj = synthetic.make_trajectory(6 + t, 5, 5)
+        w = XdmfTimeSeriesWriter(str(tmp_path / f"traj_{t}.xdmf"))
+        for i in range(5):
+            w.append(
+                traj["mesh_pos"][i],
+                traj["cells"][i],
+                {
+                    "velocity": traj["velocity"][i],
+                    "node_type": traj["node_type"][i].astype(np.float64),
+                },
+                i * 0.01,
+            )
+
+    ds = XDMFDataset(str(tmp_path), meta_path, FrameConfig(targets=("velocity",)))
+    assert ds.num_trajectories == 2
+    assert len(ds) == 8  # 2 * (5-1)
+    g = ds[0]
+    n = int(g.n_node)
+    assert g.x.shape[-1] == 4  # velocity(2), node_type, time
+    assert g.y is not None
+    # node types survived the round trip
+    nt = np.asarray(g.node_type[:n])
+    assert (nt >= 0).all()
+    frames = ds.trajectory_frames(0)
+    assert len(frames) == 4

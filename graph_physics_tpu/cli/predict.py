@@ -42,7 +42,7 @@ def main(argv=None):
     from graph_physics_tpu.training import config as config_lib
     from graph_physics_tpu.training import schedule as schedule_lib
     from graph_physics_tpu.training.rollout import make_rollout_fn, stack_frames
-    from graph_physics_tpu.training.step import init_train_state
+    from graph_physics_tpu.training.step import init_train_state, model_params
     from graph_physics_tpu.training.transforms import make_eval_transform
     from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesWriter
 
@@ -72,7 +72,10 @@ def main(argv=None):
     example = next(
         iter(BatchLoader(ds, 1, shuffle=False, device_put=False))
     )
-    abstract = init_train_state(simulator, optimizer, jax.random.PRNGKey(0), example)
+    mtp = config_lib.get_mtp_setup(param, dtype=dtype)
+    abstract = init_train_state(
+        simulator, optimizer, jax.random.PRNGKey(0), example, mtp=mtp
+    )
     manager = ckpt_lib.make_manager(args.model_path)
     state, _ = ckpt_lib.restore_checkpoint(manager, abstract)
 
@@ -92,7 +95,7 @@ def main(argv=None):
 
     for t in range(n_traj):
         frames = stack_frames(ds.trajectory_frames(t))
-        res = rollout(state.params, state.sim_state, frames)
+        res = rollout(model_params(state.params), state.sim_state, frames)
         path = os.path.join(args.out_dir, args.run_name, f"trajectory_{t}.xdmf")
         w = XdmfTimeSeriesWriter(path)
         n = int(frames.n_node[0])

@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--num_dp_devices", type=int, default=None,
                    help="shard the batch axis over this many devices")
+    p.add_argument("--num_partitions", type=int, default=None,
+                   help="train on RCB sub-mesh partitions (Cluster-GCN style)")
+    p.add_argument("--max_nodes_per_partition", type=int, default=None,
+                   help="adaptive partition count cap by node budget")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--external", default=None,
                    help="use-case feature builder name (external registry)")
@@ -82,6 +86,7 @@ def main(argv=None):
 
     model = config_lib.get_model(param, dtype=dtype)
     simulator = config_lib.get_simulator(param, model)
+    mtp = config_lib.get_mtp_setup(param, dtype=dtype)
     loss_fn, loss_name = config_lib.get_loss(param)
     gradient_method = config_lib.get_gradient_method(param)
     noise_cfg = config_lib.get_noise_config(param)
@@ -94,7 +99,14 @@ def main(argv=None):
         use_previous_data=use_prev,
         extra_node_features=extra_node_features,
     )
-    train_ds = config_lib.get_dataset(param, frame_cfg, switch_to_val=False, seed=args.seed)
+    train_ds = config_lib.get_dataset(
+        param,
+        frame_cfg,
+        switch_to_val=False,
+        seed=args.seed,
+        num_partitions=args.num_partitions,
+        max_nodes_per_partition=args.max_nodes_per_partition,
+    )
     val_cfg = config_lib.get_frame_config(
         param, masking_ratio=0.0, use_previous_data=use_prev,
         extra_node_features=extra_node_features,
@@ -143,6 +155,7 @@ def main(argv=None):
         eval_transform=eval_tf,
         mesh=mesh,
         run_metadata={"config": param, "loss": loss_name},
+        mtp=mtp,
     )
     state = trainer.fit(resume=args.resume_training)
     print(f"training done at step {int(state.step)}")

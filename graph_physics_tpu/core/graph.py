@@ -8,9 +8,12 @@ validity masks. Conventions:
 
   * Padded node rows are zero and carry ``node_type = PAD_NODE_TYPE`` (an
     id outside :class:`NodeType`), so type-based masks exclude them for free.
-  * Padded edges have ``senders == receivers == 0`` and ``edge_mask``
-    False. Messages on padded edges are zeroed before any scatter, so the
-    stray writes to node 0 contribute nothing.
+  * Edges are sorted by receiver (ascending) — the contract of the fused
+    scatter kernel. Padded edges have ``senders == 0``,
+    ``receivers == N-1`` (so they sort last) and ``edge_mask`` False;
+    their messages are zeroed before any scatter, so the stray writes to
+    the (padding) last node contribute nothing. Valid edges remain a
+    prefix: ``edge_mask[:n_edge]`` is all True.
   * Batching stacks graphs of the same bucket on a leading axis and vmaps
     the model; edge MLPs then run as [B, E, F] batched GEMMs on the MXU.
 

@@ -58,10 +58,16 @@ def faces_to_edges(faces: np.ndarray, num_nodes: int) -> np.ndarray:
     no self-loops, deterministically sorted.
     """
     faces = np.asarray(faces, dtype=np.int64)
+    if faces.shape[-1] not in (3, 4):
+        raise ValueError(f"cells must be [C,3] or [C,4], got {faces.shape}")
+    # native C++ path (graph_physics_tpu/native) — same output order
+    from graph_physics_tpu import native
+
+    out = native.faces_to_edges(faces, num_nodes)
+    if out is not None:
+        return out.astype(np.int32)
     if faces.shape[-1] == 4:
         faces = tetra_to_faces(faces)
-    if faces.shape[-1] != 3:
-        raise ValueError(f"cells must be [C,3] or [C,4], got {faces.shape}")
     # all 3 undirected edges of each triangle
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
     lo = np.minimum(e[:, 0], e[:, 1])
@@ -86,6 +92,11 @@ def k_hop_edges(edge_index: np.ndarray, num_nodes: int, k: int) -> np.ndarray:
     """
     if k <= 1:
         return edge_index.astype(np.int32)
+    from graph_physics_tpu import native
+
+    out = native.k_hop(edge_index, num_nodes, k)
+    if out is not None:
+        return out.astype(np.int32)
     send, recv = edge_index
     a = sp.csr_matrix(
         (np.ones(len(send), dtype=bool), (send, recv)), shape=(num_nodes, num_nodes)
@@ -130,8 +141,12 @@ def radius_world_edges(
     pairs, keep only pairs connecting {OBSTACLE, HANDLE} with NORMAL nodes,
     drop pairs already in the mesh edge set, return both directions.
     """
-    tree = cKDTree(world_pos)
-    pairs = tree.query_pairs(radius, output_type="ndarray")
+    from graph_physics_tpu import native
+
+    pairs = native.radius_pairs(np.asarray(world_pos, np.float32), radius)
+    if pairs is None:
+        tree = cKDTree(world_pos)
+        pairs = tree.query_pairs(radius, output_type="ndarray")
     if len(pairs) == 0:
         return np.zeros((2, 0), dtype=np.int32)
     t = np.asarray(node_type).reshape(-1)
@@ -181,6 +196,14 @@ def build_mesh_graph(
     n_pad = n_pad or padding.bucket_size(n)
     e_pad = e_pad or padding.bucket_size(e)
 
+    # Receiver-sorted edge invariant: the fused TPU scatter kernel
+    # (ops/pallas_segment.py) requires edges sorted by receiver with
+    # padding edges last (they point at node n_pad-1 and are masked).
+    # Stable sort keeps valid edges ahead of padding on equal keys, so the
+    # "valid edges are a prefix" property is preserved.
+    order = np.argsort(edge_index[1], kind="stable")
+    edge_index = edge_index[:, order]
+
     node_mask = np.zeros(n_pad, dtype=bool)
     node_mask[:n] = True
     edge_mask = np.zeros(e_pad, dtype=bool)
@@ -211,7 +234,9 @@ def build_mesh_graph(
         node_type=nt,
         node_mask=node_mask,
         senders=padding.pad_axis(edge_index[0].astype(np.int32), e_pad),
-        receivers=padding.pad_axis(edge_index[1].astype(np.int32), e_pad),
+        receivers=padding.pad_axis(
+            edge_index[1].astype(np.int32), e_pad, fill=n_pad - 1
+        ),
         edge_mask=edge_mask,
         edge_attr=ea,
         y=pad(y),

@@ -186,6 +186,65 @@ def masked_node_selection(
     return sel
 
 
+def compute_min_distance_to_type(
+    pos: np.ndarray, node_type: np.ndarray, target_type: int
+) -> np.ndarray:
+    """Min distance from each node to any node of ``target_type``.
+
+    Spec: preprocessing.py:241-274. Host-side (feature-builder helper).
+    """
+    mask = np.asarray(node_type).reshape(-1) == int(target_type)
+    if not mask.any():
+        return np.full(len(pos), np.inf, np.float32)
+    d = np.linalg.norm(pos[:, None, :] - pos[mask][None, :, :], axis=-1)
+    return d.min(axis=1).astype(np.float32)
+
+
+def random_3d_rotation_matrix(rng: np.random.Generator) -> np.ndarray:
+    """Random Euler rotation matrix, reference convention.
+
+    Spec: Random3DRotate._build_rotation_matrix (preprocessing.py:277-334):
+    yaw/pitch/roll uniform in [-180°, 180°].
+    """
+    a, b, g = rng.uniform(-np.pi, np.pi, size=3)
+    ca, sa = np.cos(a), np.sin(a)
+    cb, sb = np.cos(b), np.sin(b)
+    cg, sg = np.cos(g), np.sin(g)
+    return np.array(
+        [
+            [ca * cb, ca * sb * sg + sa * cg, -ca * sb * cg + sa * sg],
+            [-sa * cb, -sa * sb * sg + ca * cg, sa * sb * cg + ca * sg],
+            [sb, -cb * sg, cb * cg],
+        ],
+        dtype=np.float32,
+    )
+
+
+def random_3d_rotate(
+    pos: np.ndarray,
+    x: np.ndarray,
+    y: Optional[np.ndarray],
+    feature_indices,
+    rng: np.random.Generator,
+):
+    """Rotate pos, listed x column triplets, and y[:, :3] by one random R.
+
+    Spec: Random3DRotate.forward (preprocessing.py:336-367). Note the
+    reference *replaces* y with its rotated first 3 columns; replicated.
+    """
+    for s, e in feature_indices or []:
+        if e - s != 3:
+            raise ValueError(f"feature range must span 3 columns, got {s}-{e}")
+    r = random_3d_rotation_matrix(rng)
+    pos = (pos @ r).astype(np.float32)
+    x = np.array(x, copy=True)
+    for s, e in feature_indices or []:
+        x[:, s:e] = x[:, s:e] @ r
+    if y is not None:
+        y = (y[:, 0:3] @ r).astype(np.float32)
+    return pos, x, y
+
+
 class FrameBuilder:
     """Stateful builder: caches k-hop edges per trajectory, pins buckets."""
 
@@ -215,6 +274,7 @@ class FrameBuilder:
         c_pad: Optional[int] = None,
         train: bool = True,
         cache_key: Optional[Any] = None,
+        part_ids: Optional[np.ndarray] = None,
     ) -> MeshGraph:
         cfg = self.cfg
         ctx = extract_frame(
@@ -270,15 +330,31 @@ class FrameBuilder:
         if train and cfg.masking_ratio > 0 and rng is not None:
             deselected = masked_node_selection(n, cfg.masking_ratio, rng)
 
+        pos = ctx.pos
+        node_type = ctx.node_type
+        faces = ctx.cells
+        if part_ids is not None:
+            # sub-mesh slice applied after augmentation, like the reference
+            # (_apply_partition runs last: h5_dataset.py:232-233)
+            from graph_physics_tpu.dataset.partition import extract_subgraph
+
+            ei, _ = extract_subgraph(part_ids, ei, n)
+            sel = lambda a: None if a is None else a[part_ids]
+            x, pos, node_type = x[part_ids], pos[part_ids], node_type[part_ids]
+            y, prev, next_data = sel(y), sel(prev), sel(next_data)
+            deselected = sel(deselected)
+            faces = None  # cell list is not sliced (reference drops it too)
+            n = len(part_ids)
+
         g = mesh_lib.build_mesh_graph(
             x,
-            ctx.pos,
-            ctx.node_type,
+            pos,
+            node_type,
             ei,
             y=y,
             prev=prev,
             next_data=next_data,
-            faces=ctx.cells,
+            faces=faces,
             n_pad=n_pad,
             e_pad=e_pad,
             c_pad=c_pad,

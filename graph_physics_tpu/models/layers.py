@@ -382,6 +382,7 @@ class TemporalAttention(nn.Module):
         senders: Optional[jnp.ndarray] = None,
         receivers: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
+        node_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         n = h_prev.shape[0]
         h, dh = self.num_heads, self.hidden_size // self.num_heads
@@ -393,7 +394,10 @@ class TemporalAttention(nn.Module):
             y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
         else:
             logits = jnp.einsum("nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32)
-            alpha = jax.nn.softmax(logits / math.sqrt(dh), axis=-1)
+            logits = logits / math.sqrt(dh)
+            if node_mask is not None:
+                logits = jnp.where(node_mask[None, None, :], logits, -jnp.inf)
+            alpha = jax.nn.softmax(logits, axis=-1)
             y = jnp.einsum("hnm,mhd->nhd", alpha.astype(v.dtype), v)
 
         out = nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(
@@ -430,7 +434,17 @@ class GraphNetBlock(nn.Module):
     use_gated_mlp: bool = False
     use_gate: bool = False
     activation: str = "relu"
+    #: when set, senders carry GLOBAL node ids of an 'sp'-sharded graph and
+    #: sender features/positions are fetched over ICI (parallel/sp.py)
+    sp_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+
+    def _gather_send(self, arr: jnp.ndarray, senders: jnp.ndarray) -> jnp.ndarray:
+        if self.sp_axis_name is not None:
+            from graph_physics_tpu.parallel.sp import sp_gather
+
+            return sp_gather(arr, senders, self.sp_axis_name)
+        return jnp.take(arr, senders, axis=0)
 
     @nn.compact
     def __call__(
@@ -479,7 +493,7 @@ class GraphNetBlock(nn.Module):
                 name="node_block",
             )
 
-        x_send = jnp.take(x, senders, axis=0)
+        x_send = self._gather_send(x, senders)
         x_recv = jnp.take(x, receivers, axis=0)
 
         if self.use_rope:
@@ -492,7 +506,7 @@ class GraphNetBlock(nn.Module):
                 )
             inv = make_inv_freq(m, self.rope_base)
             delta = (
-                jnp.take(pos[:, : self.rope_axes], senders, axis=0)
+                self._gather_send(pos[:, : self.rope_axes], senders)
                 - jnp.take(pos[:, : self.rope_axes], receivers, axis=0)
             )
             x_send = apply_relative_rope(x_send, delta, inv, self.rope_axes)

@@ -50,6 +50,7 @@ class EncodeProcessDecode(nn.Module):
     rope_base: float = 10000.0
     use_temporal_block: bool = False
     remat: bool = False
+    sp_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -65,6 +66,7 @@ class EncodeProcessDecode(nn.Module):
                 dtype=self.dtype,
                 name="nodes_encoder",
             )(x)
+            self.sow("intermediates", "node_encoding", x)
             edge_attr = MLP(
                 hidden_size=self.hidden_size,
                 out_size=self.hidden_size,
@@ -89,6 +91,7 @@ class EncodeProcessDecode(nn.Module):
                 rope_axes=self.rope_pos_dimension,
                 rope_base=self.rope_base,
                 use_gate=self.use_gated_attention,
+                sp_axis_name=self.sp_axis_name,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, edge_attr, graph.senders, graph.receivers, graph.edge_mask, pos, phi)
@@ -100,6 +103,7 @@ class EncodeProcessDecode(nn.Module):
 
         if self.only_processor:
             return x
+        self.sow("intermediates", "penultimate", x)
         return MLP(
             hidden_size=self.hidden_size,
             out_size=self.output_size,
@@ -135,6 +139,7 @@ class EncodeTransformDecode(nn.Module):
                 dtype=self.dtype,
                 name="nodes_encoder",
             )(x)
+            self.sow("intermediates", "node_encoding", x)
 
         pos = graph.pos
         if self.use_rope_embeddings and pos is None:
@@ -176,6 +181,7 @@ class EncodeTransformDecode(nn.Module):
 
         if self.only_processor:
             return x
+        self.sow("intermediates", "penultimate", x)
         return MLP(
             hidden_size=self.hidden_size,
             out_size=self.output_size,

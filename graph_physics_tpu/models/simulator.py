@@ -169,6 +169,21 @@ class Simulator:
             return jax.vmap(lambda g: self.model.apply(params, g))(g_in)
         return self.model.apply(params, g_in)
 
+    def apply_model_with_intermediates(self, params, g_in: MeshGraph):
+        """Run the processor capturing its sown intermediates
+        ('node_encoding', 'penultimate') — the functional replacement for
+        the reference's forward hooks (lightning_module.py:217-230)."""
+
+        def f(g):
+            out, variables = self.model.apply(
+                params, g, mutable=["intermediates"]
+            )
+            return out, variables["intermediates"]
+
+        if g_in.x.ndim == 3:
+            return jax.vmap(f)(g_in)
+        return f(g_in)
+
     def forward(
         self,
         params,

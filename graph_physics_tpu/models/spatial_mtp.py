@@ -1,0 +1,199 @@
+"""Spatial multi-token-prediction auxiliary loss (1-hop stars).
+
+Spec: graphphysics/models/spatial_mtp_1hop.py + lightning_module.py:133-266:
+sample B center nodes per step; for each center build the "star" sequence
+[center ⧺ its 1-hop neighbours]; run a small dense-attention encoder over
+each star (center token from the penultimate hidden H, neighbour tokens
+from the node-encoder output H_neigh); predict each neighbour's Δ-target
+through the model's shared decode head; loss = mean over centers of the
+per-center mean pair MSE.
+
+TPU re-design:
+  * torch forward hooks → flax ``sow`` intermediates ('node_encoding',
+    'penultimate') captured with ``mutable=['intermediates']``;
+  * dynamic star packing → static [B, 1+K] tables built on device from the
+    edge list (argsort by sender + searchsorted row pointers); K =
+    ``max_neighbors`` is a required static cap (the reference's unbounded
+    mode has no static shape);
+  * per-python-loop neighbour sampling → vectorized windowed take (the
+    first K neighbours; edge order is deterministic, which is equivalent
+    in distribution to the reference's uniform cap for mesh graphs).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graph_physics_tpu.models.layers import GatedMLPBlock, RMSNorm
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class SpatialMTPConfig:
+    d_model: int
+    alpha: float = 0.20
+    centers_per_step: int = 256
+    num_heads: int = 4
+    num_layers: int = 1
+    max_neighbors: int = 16
+
+
+class StarEncoderBlock(nn.Module):
+    """Pre-norm MHA + gated-MLP block over [B, L, d] star sequences
+    (spec: _EncoderBlock, spatial_mtp_1hop.py:9-30)."""
+
+    d_model: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
+        # pad_mask: [B, L] True where PADDING (torch key_padding_mask)
+        b, l, d = x.shape
+        h, dh = self.num_heads, self.d_model // self.num_heads
+        xn = RMSNorm(self.d_model, dtype=self.dtype, name="ln1")(x)
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q")(xn).reshape(b, l, h, dh)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="k")(xn).reshape(b, l, h, dh)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v")(xn).reshape(b, l, h, dh)
+        logits = jnp.einsum(
+            "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
+        logits = jnp.where(pad_mask[:, None, None, :], -jnp.inf, logits)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(jnp.isfinite(attn), attn, 0.0)  # all-pad rows
+        y = jnp.einsum("bhlm,bmhd->blhd", attn.astype(v.dtype), v).reshape(b, l, d)
+        x = x + nn.Dense(self.d_model, dtype=self.dtype, name="out")(y)
+        ffn = GatedMLPBlock(
+            in_size=self.d_model,
+            hidden_size=self.d_model,
+            out_size=self.d_model,
+            dtype=self.dtype,
+            name="ffn",
+        )(RMSNorm(self.d_model, dtype=self.dtype, name="ln2")(x))
+        return x + ffn
+
+
+class StarEncoder(nn.Module):
+    """RMSNorm input + N encoder blocks (spec: _Encoder + in_ln)."""
+
+    d_model: int
+    num_heads: int = 4
+    num_layers: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
+        x = RMSNorm(self.d_model, dtype=self.dtype, name="in_ln")(x)
+        x = jnp.where(pad_mask[..., None], 0.0, x)
+        for i in range(self.num_layers):
+            x = StarEncoderBlock(
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, pad_mask)
+        return x
+
+
+def build_star_tables(
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+    centers: jnp.ndarray,  # [B]
+    center_valid: jnp.ndarray,  # [B]
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static star tables from the padded edge list.
+
+    Returns (neighbors [B, K] int32, valid [B, K] bool). CSR structure is
+    derived on device (argsort by sender, masked edges sorted last) —
+    spec: _sorted_by_src, spatial_mtp_1hop.py:57-73.
+    """
+    e = senders.shape[0]
+    src_eff = jnp.where(edge_mask, senders, num_nodes)  # padding sorts last
+    order = jnp.argsort(src_eff)
+    src_s = src_eff[order]
+    dst_s = receivers[order]
+
+    row_ptr = jnp.searchsorted(src_s, jnp.arange(num_nodes + 1))
+    starts = row_ptr[centers]
+    counts = jnp.minimum(row_ptr[centers + 1] - starts, k)
+
+    offs = jnp.arange(k)[None, :]  # [1, K]
+    idx = jnp.minimum(starts[:, None] + offs, e - 1)
+    nbrs = dst_s[idx]
+    valid = (offs < counts[:, None]) & center_valid[:, None]
+    return nbrs.astype(jnp.int32), valid
+
+
+def spatial_mtp_loss(
+    mtp_params,
+    encoder: StarEncoder,
+    cfg: SpatialMTPConfig,
+    graph,
+    h_penultimate: jnp.ndarray,  # [N, d]
+    h_nodeenc: jnp.ndarray,  # [N, d]
+    target: jnp.ndarray,  # [N, y_dim] normalized Δ target
+    out_head_apply,  # callable [.., d] -> [.., y_dim] (shared decode head)
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One aux-loss evaluation on a single graph (vmap over batch)."""
+    n = h_penultimate.shape[0]
+    b = min(cfg.centers_per_step, n)
+    k = cfg.max_neighbors
+
+    # uniform sample WITHOUT replacement among valid nodes: valid nodes get
+    # score 1+U(0,1), padding U(0,1) — top-B picks random valid nodes first
+    # (the reference permutes all N; it has no padding to avoid).
+    scores = graph.node_mask.astype(jnp.float32) + jax.random.uniform(rng, (n,))
+    _, centers = jax.lax.top_k(scores, b)
+    center_valid = jnp.take(graph.node_mask, centers)
+
+    nbrs, valid = build_star_tables(
+        graph.senders,
+        graph.receivers,
+        graph.edge_mask,
+        n,
+        centers,
+        center_valid,
+        k,
+    )  # [B,K]
+
+    x = jnp.concatenate(
+        [
+            jnp.take(h_penultimate, centers, axis=0)[:, None, :],
+            jnp.take(h_nodeenc, nbrs.reshape(-1), axis=0).reshape(b, k, -1),
+        ],
+        axis=1,
+    )  # [B, 1+K, d]
+    pad_mask = jnp.concatenate(
+        [~center_valid[:, None], ~valid], axis=1
+    )  # [B, 1+K] True = pad
+
+    z = encoder.apply(mtp_params, x, pad_mask)  # [B, 1+K, d]
+    z_frontier = z[:, 1:, :]  # [B, K, d]
+    y_hat = out_head_apply(z_frontier)  # [B, K, y]
+    y_true = jnp.take(target, nbrs.reshape(-1), axis=0).reshape(
+        b, k, target.shape[-1]
+    )
+
+    err = jnp.mean((y_hat.astype(jnp.float32) - y_true) ** 2, axis=-1)  # [B,K]
+    vf = valid.astype(jnp.float32)
+    per_center = jnp.sum(err * vf, axis=1) / jnp.maximum(jnp.sum(vf, axis=1), 1.0)
+    has_nbrs = jnp.sum(vf, axis=1) > 0
+    aux = jnp.sum(per_center * has_nbrs) / jnp.maximum(jnp.sum(has_nbrs), 1.0)
+
+    stats = {
+        "sp_mtp/centers": jnp.sum(center_valid.astype(jnp.float32)),
+        "sp_mtp/pairs": jnp.sum(vf),
+        "sp_mtp/mean_pair_loss": jnp.sum(err * vf) / jnp.maximum(jnp.sum(vf), 1.0),
+    }
+    return aux, stats

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native meshops library, with numpy fallbacks.
+
+Build happens lazily on first import (g++ -O3 -shared, cached next to the
+source); if the toolchain is unavailable every entry point falls back to
+the pure-numpy implementations in :mod:`graph_physics_tpu.core.mesh` /
+:mod:`graph_physics_tpu.dataset.partition`, so the framework never hard-
+depends on the compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "meshops.cc")
+_LIB = os.path.join(_HERE, "libmeshops.so")
+
+_lib = None
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return _LIB
+    except Exception:
+        return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _build()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.faces_to_edges.restype = ctypes.c_int64
+    lib.faces_to_edges.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.k_hop.restype = ctypes.c_int64
+    lib.k_hop.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.radius_pairs.restype = ctypes.c_int64
+    lib.radius_pairs.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_float, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.rcb_partition.restype = None
+    lib.rcb_partition.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ----------------------------------------------------------------------
+# wrappers (numpy in / numpy out), with retry-on-budget semantics
+# ----------------------------------------------------------------------
+
+def faces_to_edges(faces: np.ndarray, num_nodes: int) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, dtype=np.int32)
+    nv = faces.shape[1]
+    budget = faces.shape[0] * (6 if nv == 3 else 12) + 8
+    s = np.empty(budget, np.int32)
+    r = np.empty(budget, np.int32)
+    e = lib.faces_to_edges(faces, faces.shape[0], nv, num_nodes, s, r, budget)
+    if e < 0:
+        return None
+    return np.stack([s[:e], r[:e]])
+
+
+def k_hop(edge_index: np.ndarray, num_nodes: int, k: int) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(edge_index[0], np.int32)
+    r = np.ascontiguousarray(edge_index[1], np.int32)
+    budget = max(edge_index.shape[1] * (4 ** min(k, 4)), 1024)
+    for _ in range(4):
+        os_ = np.empty(budget, np.int32)
+        or_ = np.empty(budget, np.int32)
+        e = lib.k_hop(s, r, edge_index.shape[1], num_nodes, k, os_, or_, budget)
+        if e >= 0:
+            return np.stack([os_[:e], or_[:e]])
+        budget = -e
+    return None
+
+
+def radius_pairs(pos: np.ndarray, radius: float) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.float32)
+    n, dim = pos.shape
+    budget = max(n * 32, 1024)
+    for _ in range(4):
+        a = np.empty(budget, np.int32)
+        b = np.empty(budget, np.int32)
+        c = lib.radius_pairs(pos, n, dim, radius, a, b, budget)
+        if c >= 0:
+            return np.stack([a[:c], b[:c]], axis=1)
+        budget = -c
+    return None
+
+
+def rcb_labels(pos: np.ndarray, num_parts: int) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.float32)
+    labels = np.empty(pos.shape[0], np.int32)
+    lib.rcb_partition(pos, pos.shape[0], pos.shape[1], num_parts, labels)
+    return labels

@@ -1,0 +1,228 @@
+// meshops — native host-side mesh/graph kernels for the data loader.
+//
+// The reference delegates these to third-party compiled libraries
+// (torch-scatter, METIS via PyG ClusterData, scipy cKDTree — SURVEY.md
+// §2.3); here they are first-party C++ behind a C ABI consumed via
+// ctypes (graph_physics_tpu/native/__init__.py). All functions are
+// deterministic and allocation-free (caller provides output buffers and
+// budgets; functions return required counts).
+//
+// Build: graph_physics_tpu/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// faces_to_edges: unique undirected edges (both directions) from simplex
+// cells, receiver-sorted. cells: [C, nv] (nv = 3 triangles, 4 tets).
+// Returns number of directed edges written, or -1 if budget too small.
+// senders/receivers buffers must hold `budget` entries.
+int64_t faces_to_edges(const int32_t* cells, int64_t num_cells, int32_t nv,
+                       int64_t num_nodes, int32_t* senders,
+                       int32_t* receivers, int64_t budget) {
+  std::vector<uint64_t> keys;
+  keys.reserve(num_cells * 12);
+  auto push = [&](int64_t a, int64_t b) {
+    if (a == b) return;
+    int64_t lo = std::min(a, b), hi = std::max(a, b);
+    keys.push_back((uint64_t)lo * (uint64_t)num_nodes + (uint64_t)hi);
+  };
+  for (int64_t c = 0; c < num_cells; ++c) {
+    const int32_t* f = cells + c * nv;
+    if (nv == 3) {
+      push(f[0], f[1]);
+      push(f[1], f[2]);
+      push(f[2], f[0]);
+    } else {  // tet: all 6 undirected edges
+      for (int i = 0; i < 4; ++i)
+        for (int j = i + 1; j < 4; ++j) push(f[i], f[j]);
+    }
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  int64_t e = (int64_t)keys.size() * 2;
+  if (e > budget) return -e;
+  // emit both directions, then receiver-sort
+  std::vector<std::pair<int32_t, int32_t>> edges;  // (recv, send)
+  edges.reserve(e);
+  for (uint64_t k : keys) {
+    int32_t lo = (int32_t)(k / (uint64_t)num_nodes);
+    int32_t hi = (int32_t)(k % (uint64_t)num_nodes);
+    edges.push_back({hi, lo});
+    edges.push_back({lo, hi});
+  }
+  std::sort(edges.begin(), edges.end());
+  for (int64_t i = 0; i < e; ++i) {
+    receivers[i] = edges[i].first;
+    senders[i] = edges[i].second;
+  }
+  return e;
+}
+
+// ---------------------------------------------------------------------
+// k_hop: all pairs within graph distance <= k (no self loops),
+// receiver-sorted. Input edges may be in any order. Returns directed
+// edge count (negative requirement if budget too small).
+int64_t k_hop(const int32_t* senders, const int32_t* receivers,
+              int64_t num_edges, int64_t num_nodes, int32_t k,
+              int32_t* out_send, int32_t* out_recv, int64_t budget) {
+  // CSR
+  std::vector<int64_t> deg(num_nodes + 1, 0);
+  for (int64_t i = 0; i < num_edges; ++i) deg[senders[i] + 1]++;
+  std::vector<int64_t> ptr(num_nodes + 1, 0);
+  std::partial_sum(deg.begin(), deg.end(), ptr.begin());
+  std::vector<int32_t> adj(num_edges);
+  std::vector<int64_t> fill(ptr.begin(), ptr.end() - 1);
+  for (int64_t i = 0; i < num_edges; ++i) adj[fill[senders[i]]++] = receivers[i];
+
+  std::vector<std::pair<int32_t, int32_t>> out;  // (recv, send)
+  std::vector<int32_t> level(num_nodes, -1);
+  std::vector<int32_t> frontier, next, visited;
+  for (int64_t s = 0; s < num_nodes; ++s) {
+    frontier.clear();
+    visited.clear();
+    frontier.push_back((int32_t)s);
+    level[s] = 0;
+    visited.push_back((int32_t)s);
+    for (int32_t hop = 1; hop <= k; ++hop) {
+      next.clear();
+      for (int32_t u : frontier) {
+        for (int64_t j = ptr[u]; j < ptr[u + 1]; ++j) {
+          int32_t v = adj[j];
+          if (level[v] < 0) {
+            level[v] = hop;
+            visited.push_back(v);
+            next.push_back(v);
+            out.push_back({v, (int32_t)s});
+          }
+        }
+      }
+      frontier.swap(next);
+    }
+    for (int32_t v : visited) level[v] = -1;
+  }
+  int64_t e = (int64_t)out.size();
+  if (e > budget) return -e;
+  std::sort(out.begin(), out.end());
+  for (int64_t i = 0; i < e; ++i) {
+    out_recv[i] = out[i].first;
+    out_send[i] = out[i].second;
+  }
+  return e;
+}
+
+// ---------------------------------------------------------------------
+// radius_pairs: all unordered pairs (i<j) with |pos_i - pos_j| <= r,
+// via a uniform grid hash (the cKDTree replacement,
+// reference preprocessing.py:114-120). pos: [N, dim], dim in {2, 3}.
+// Returns pair count (negative requirement if budget too small).
+int64_t radius_pairs(const float* pos, int64_t n, int32_t dim, float r,
+                     int32_t* out_a, int32_t* out_b, int64_t budget) {
+  if (n == 0) return 0;
+  float lo[3] = {1e30f, 1e30f, 1e30f};
+  for (int64_t i = 0; i < n; ++i)
+    for (int32_t d = 0; d < dim; ++d) lo[d] = std::min(lo[d], pos[i * dim + d]);
+  const float cell = std::max(r, 1e-12f);
+  auto cell_of = [&](int64_t i, int32_t d) {
+    return (int64_t)std::floor((pos[i * dim + d] - lo[d]) / cell);
+  };
+  // hash grid: sort nodes by cell key
+  std::vector<std::pair<uint64_t, int32_t>> keyed(n);
+  auto key_of = [&](int64_t cx, int64_t cy, int64_t cz) {
+    return ((uint64_t)(cx & 0x1FFFFF) << 42) | ((uint64_t)(cy & 0x1FFFFF) << 21) |
+           (uint64_t)(cz & 0x1FFFFF);
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cx = cell_of(i, 0), cy = cell_of(i, 1), cz = dim > 2 ? cell_of(i, 2) : 0;
+    keyed[i] = {key_of(cx, cy, cz), (int32_t)i};
+  }
+  std::sort(keyed.begin(), keyed.end());
+  const float r2 = r * r;
+  int64_t count = 0;
+  // neighbour cell offsets
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t a = keyed[i].second;
+    int64_t ax = cell_of(a, 0), ay = cell_of(a, 1), az = dim > 2 ? cell_of(a, 2) : 0;
+    for (int64_t dx = -1; dx <= 1; ++dx)
+      for (int64_t dy = -1; dy <= 1; ++dy)
+        for (int64_t dz = (dim > 2 ? -1 : 0); dz <= (dim > 2 ? 1 : 0); ++dz) {
+          uint64_t nk = key_of(ax + dx, ay + dy, az + dz);
+          auto it = std::lower_bound(
+              keyed.begin(), keyed.end(), std::make_pair(nk, (int32_t)-1));
+          for (; it != keyed.end() && it->first == nk; ++it) {
+            int32_t b = it->second;
+            if (b <= a) continue;  // unordered pairs, i<j
+            float d2 = 0;
+            for (int32_t d = 0; d < dim; ++d) {
+              float diff = pos[a * dim + d] - pos[b * dim + d];
+              d2 += diff * diff;
+            }
+            if (d2 <= r2) {
+              if (count < budget) {
+                out_a[count] = a;
+                out_b[count] = b;
+              }
+              ++count;
+            }
+          }
+        }
+  }
+  if (count > budget) return -count;
+  return count;
+}
+
+// ---------------------------------------------------------------------
+// rcb_partition: recursive coordinate bisection; writes part label per
+// node. Deterministic, balanced within one node per split.
+void rcb_partition(const float* pos, int64_t n, int32_t dim,
+                   int32_t num_parts, int32_t* labels) {
+  struct Task {
+    std::vector<int64_t> ids;
+    int32_t parts, base;
+  };
+  std::vector<Task> stack;
+  std::vector<int64_t> all(n);
+  std::iota(all.begin(), all.end(), 0);
+  stack.push_back({std::move(all), num_parts, 0});
+  while (!stack.empty()) {
+    Task t = std::move(stack.back());
+    stack.pop_back();
+    if (t.parts <= 1 || t.ids.size() <= 1) {
+      for (int64_t id : t.ids) labels[id] = t.base;
+      continue;
+    }
+    // widest axis
+    float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t id : t.ids)
+      for (int32_t d = 0; d < dim; ++d) {
+        mn[d] = std::min(mn[d], pos[id * dim + d]);
+        mx[d] = std::max(mx[d], pos[id * dim + d]);
+      }
+    int32_t axis = 0;
+    for (int32_t d = 1; d < dim; ++d)
+      if (mx[d] - mn[d] > mx[axis] - mn[axis]) axis = d;
+    int32_t left_parts = t.parts / 2;
+    int64_t cut = (int64_t)std::llround((double)t.ids.size() * left_parts / t.parts);
+    std::nth_element(
+        t.ids.begin(), t.ids.begin() + cut, t.ids.end(),
+        [&](int64_t x, int64_t y) {
+          float px = pos[x * dim + axis], py = pos[y * dim + axis];
+          if (px != py) return px < py;
+          return x < y;  // deterministic tie-break
+        });
+    Task left{std::vector<int64_t>(t.ids.begin(), t.ids.begin() + cut),
+              left_parts, t.base};
+    Task right{std::vector<int64_t>(t.ids.begin() + cut, t.ids.end()),
+               t.parts - left_parts, t.base + left_parts};
+    stack.push_back(std::move(left));
+    stack.push_back(std::move(right));
+  }
+}
+
+}  // extern "C"

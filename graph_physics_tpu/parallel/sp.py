@@ -1,0 +1,161 @@
+"""Spatial (graph) parallelism: one large mesh sharded across chips.
+
+The reference's only big-mesh story is host-side METIS sub-mesh training
+(SURVEY.md §2.4); the TPU-native upgrade shards the nodes and edges of ONE
+graph over the 'sp' mesh axis and exchanges neighbour features over ICI:
+
+  * host side (:func:`shard_graph`): RCB-partition the nodes, reorder and
+    pad each part to a common size; every edge is owned by its RECEIVER's
+    shard (receiver index local, sender index GLOBAL); per-shard edge
+    lists padded to a common budget;
+  * device side: under ``shard_map`` over 'sp', node MLPs and the message
+    scatter are purely local; gathering sender features uses
+    ``all_gather`` over ICI (v1 — a ppermute halo exchange is the
+    bandwidth-optimal refinement and slots behind the same
+    :func:`sp_gather` seam).
+
+Numerical parity with the single-device model is exact (same params, same
+math, reordered nodes) — see tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_physics_tpu.core import padding
+from graph_physics_tpu.core.graph import PAD_NODE_TYPE, MeshGraph
+from graph_physics_tpu.dataset.partition import rcb_partition
+
+
+def sp_gather(x_local: jnp.ndarray, global_idx: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Gather rows by GLOBAL node index from the sp-sharded node array.
+
+    v1: all_gather over the sp axis then take. The ppermute halo-exchange
+    optimization replaces only this function.
+    """
+    x_all = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
+    return jnp.take(x_all, global_idx, axis=0)
+
+
+def shard_graph(
+    graph_np,  # host-side MeshGraph (numpy), UNBATCHED
+    num_shards: int,
+) -> Tuple[MeshGraph, np.ndarray]:
+    """Reorder + shard a padded MeshGraph for 'sp' execution.
+
+    Returns (sharded graph with leading [S] axis on every array,
+    permutation ``order`` mapping new global index -> original index).
+    Shapes: nodes [S, N_s, ...] and edges [S, E_s] with sender indices
+    GLOBAL (into the concatenated reordered node array) and receiver
+    indices LOCAL to their shard.
+    """
+    n_valid = int(graph_np.n_node)
+    pos = np.asarray(graph_np.pos)[:n_valid]
+    parts = rcb_partition(pos, num_shards)
+
+    n_s = padding.bucket_size(max(len(p) for p in parts))
+    # new global order: part 0 nodes, pad, part 1 nodes, pad, ...
+    order = np.full(num_shards * n_s, -1, dtype=np.int64)
+    local_of = np.full(graph_np.num_nodes, -1, dtype=np.int64)
+    owner = np.full(graph_np.num_nodes, -1, dtype=np.int64)
+    for s, ids in enumerate(parts):
+        order[s * n_s : s * n_s + len(ids)] = ids
+        local_of[ids] = np.arange(len(ids))
+        owner[ids] = s
+
+    def nodes_field(a, fill=0):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        out_shape = (num_shards, n_s) + a.shape[1:]
+        out = np.full(out_shape, fill, dtype=a.dtype)
+        for s, ids in enumerate(parts):
+            out[s, : len(ids)] = a[ids]
+        return out
+
+    # edges: owned by receiver's shard
+    e_valid = int(graph_np.n_edge)
+    send = np.asarray(graph_np.senders)[:e_valid]
+    recv = np.asarray(graph_np.receivers)[:e_valid]
+    e_owner = owner[recv]
+    counts = np.bincount(e_owner, minlength=num_shards)
+    e_s = padding.bucket_size(int(counts.max()) if len(counts) else 1)
+
+    send_g = np.zeros((num_shards, e_s), np.int32)  # GLOBAL sender ids
+    recv_l = np.zeros((num_shards, e_s), np.int32)  # LOCAL receiver ids
+    emask = np.zeros((num_shards, e_s), bool)
+    eattr = None
+    if graph_np.edge_attr is not None:
+        fe = graph_np.edge_attr.shape[-1]
+        eattr = np.zeros((num_shards, e_s, fe), np.float32)
+    for s in range(num_shards):
+        sel = np.where(e_owner == s)[0]
+        k = len(sel)
+        send_g[s, :k] = owner[send[sel]] * n_s + local_of[send[sel]]
+        recv_l[s, :k] = local_of[recv[sel]]
+        emask[s, :k] = True
+        if eattr is not None:
+            eattr[s, :k] = np.asarray(graph_np.edge_attr)[sel]
+
+    node_mask = np.zeros((num_shards, n_s), bool)
+    for s, ids in enumerate(parts):
+        node_mask[s, : len(ids)] = True
+
+    sharded = MeshGraph(
+        x=nodes_field(graph_np.x),
+        pos=nodes_field(graph_np.pos),
+        node_type=nodes_field(graph_np.node_type, fill=PAD_NODE_TYPE),
+        node_mask=node_mask,
+        senders=send_g,
+        receivers=recv_l,
+        edge_mask=emask,
+        edge_attr=eattr,
+        y=nodes_field(graph_np.y),
+        prev=nodes_field(graph_np.prev),
+        next_data=nodes_field(graph_np.next_data),
+        deselected=nodes_field(graph_np.deselected),
+        n_node=np.array([len(p) for p in parts], np.int32),
+        n_edge=counts.astype(np.int32),
+        traj_index=np.repeat(np.asarray(graph_np.traj_index)[None], num_shards),
+        time=np.repeat(np.asarray(graph_np.time)[None], num_shards),
+    )
+    return sharded, order
+
+
+def make_sp_forward(model, mesh: Mesh, axis_name: str = "sp"):
+    """Jit a node-sharded forward: (params, sharded_graph) -> [S, N_s, out].
+
+    ``model`` must be built with ``sp_axis_name=axis_name`` (its
+    GraphNetBlocks then gather sender features with :func:`sp_gather`).
+    Params are replicated; graph leaves are sharded on their leading [S]
+    axis.
+    """
+
+    def local_fn(params, graph: MeshGraph):
+        g = jax.tree.map(lambda a: a[0] if a is not None else None, graph)
+        out = model.apply(params, g)
+        return out[None]
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def unshard_nodes(arr: np.ndarray, order: np.ndarray, num_orig: int) -> np.ndarray:
+    """[S, N_s, F] sharded node array -> [num_orig, F] original order."""
+    flat = np.asarray(arr).reshape(-1, arr.shape[-1])
+    out = np.zeros((num_orig,) + flat.shape[1:], flat.dtype)
+    valid = order >= 0
+    out[order[valid]] = flat[valid]
+    return out

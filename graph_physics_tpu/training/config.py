@@ -171,19 +171,26 @@ def get_dataset(
     frame_config: FrameConfig,
     switch_to_val: bool = False,
     seed: int = 0,
+    num_partitions: Optional[int] = None,
+    max_nodes_per_partition: Optional[int] = None,
 ):
-    """Spec: parse_parameters.py:193-277 (h5/xdmf switch)."""
+    """Spec: parse_parameters.py:193-277 (h5/xdmf switch + partitioning)."""
     ds = param["dataset"]
     ext = ds["extension"]
     path = ds["test_path"] if switch_to_val else ds["train_path"]
+    kwargs = dict(
+        seed=seed,
+        num_partitions=num_partitions,
+        max_nodes_per_partition=max_nodes_per_partition,
+    )
     if ext == "h5":
         from graph_physics_tpu.dataset.h5_dataset import H5Dataset
 
-        return H5Dataset(path, ds["meta_path"], frame_config, seed=seed)
+        return H5Dataset(path, ds["meta_path"], frame_config, **kwargs)
     if ext == "xdmf":
         from graph_physics_tpu.dataset.xdmf_dataset import XDMFDataset
 
-        return XDMFDataset(path, ds["meta_path"], frame_config, seed=seed)
+        return XDMFDataset(path, ds["meta_path"], frame_config, **kwargs)
     raise ValueError(f"Dataset extension '{ext}' not supported.")
 
 
@@ -204,3 +211,65 @@ def get_loss(param: Dict[str, Any]):
 def get_gradient_method(param: Dict[str, Any]) -> Optional[str]:
     """Spec: parse_parameters.py:326-340."""
     return param.get("loss", {}).get("gradient_method")
+
+
+def get_mtp_setup(param: Dict[str, Any], dtype=jnp.float32):
+    """Spatial-MTP wiring from the training block.
+
+    Spec: lightning_module.py:133-231 (keys + shared decode head). Extra
+    TPU knob: ``spatial_mtp_max_neighbors`` must be a static cap
+    (default 16; the reference's unbounded mode has no static shape).
+    """
+    tp = param.get("training", {})
+    if not tp.get("use_spatial_mtp", False):
+        return None
+    from graph_physics_tpu.models.layers import MLP
+    from graph_physics_tpu.models.spatial_mtp import SpatialMTPConfig, StarEncoder
+    from graph_physics_tpu.training.step import MTPSetup
+
+    m = param["model"]
+    hidden = m["hidden_size"]
+    out_size = m["output_size"]
+    model_type = m.get("type", "")
+
+    cfg = SpatialMTPConfig(
+        d_model=hidden,
+        alpha=tp.get("spatial_mtp_alpha", 0.20),
+        centers_per_step=tp.get("spatial_mtp_centers_per_step", 256),
+        num_heads=tp.get("spatial_mtp_num_heads", 4),
+        num_layers=tp.get("spatial_mtp_num_layers", 1),
+        max_neighbors=tp.get("spatial_mtp_max_neighbors", 16) or 16,
+    )
+    encoder = StarEncoder(
+        d_model=hidden,
+        num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers,
+        dtype=dtype,
+    )
+
+    if model_type in ("epd", "transformer"):
+        head = MLP(
+            hidden_size=hidden, out_size=out_size, layer_norm=False, dtype=dtype
+        )
+
+        def out_head_apply(model_params, z):
+            return head.apply(
+                {"params": model_params["params"]["decode_module"]}, z
+            )
+
+    elif model_type == "transolver" and tp.get("use_temporal_block", False):
+        import flax.linen as nn
+
+        head = nn.Dense(out_size, dtype=dtype)
+
+        def out_head_apply(model_params, z):
+            return head.apply(
+                {"params": model_params["params"]["model"]["output_proj"]}, z
+            )
+
+    else:
+        raise ValueError(
+            "Spatial MTP requires a processor with a shared output head "
+            "(epd/transformer, or transolver with use_temporal_block)."
+        )
+    return MTPSetup(cfg=cfg, encoder=encoder, out_head_apply=out_head_apply)

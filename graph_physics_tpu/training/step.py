@@ -35,6 +35,28 @@ class TrainState:
     step: jnp.ndarray  # [] int32
 
 
+def model_params(params):
+    """Unwrap the processor params (identity unless spatial MTP wraps them
+    into {'model':..., 'mtp':...})."""
+    if isinstance(params, dict) and set(params.keys()) == {"model", "mtp"}:
+        return params["model"]
+    return params
+
+
+@dataclass(frozen=True)
+class MTPSetup:
+    """Spatial-MTP wiring: config + encoder module + shared-head applier.
+
+    ``out_head_apply(model_params, z)`` runs the processor's decode MLP on
+    MTP hidden states (the reference shares the decode head via hooks,
+    lightning_module.py:165-231).
+    """
+
+    cfg: Any  # SpatialMTPConfig
+    encoder: Any  # StarEncoder module
+    out_head_apply: Callable
+
+
 @dataclass(frozen=True)
 class NoiseConfig:
     starts: Tuple[int, ...]
@@ -52,8 +74,17 @@ def init_train_state(
     optimizer: optax.GradientTransformation,
     rng: jax.Array,
     example: MeshGraph,
+    mtp: Optional["MTPSetup"] = None,
 ) -> TrainState:
     params = simulator.init_params(rng, example)
+    if mtp is not None:
+        b, l, d = 2, 1 + mtp.cfg.max_neighbors, mtp.cfg.d_model
+        mtp_params = mtp.encoder.init(
+            jax.random.fold_in(rng, 1),
+            jnp.zeros((b, l, d)),
+            jnp.zeros((b, l), bool),
+        )
+        params = {"model": params, "mtp": mtp_params}
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
@@ -72,6 +103,7 @@ def make_train_step(
     num_steps: int = 1,
     donate: bool = True,
     device_preprocess: Optional[Callable] = None,
+    mtp: Optional[MTPSetup] = None,
 ) -> Callable[[TrainState, MeshGraph, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -84,11 +116,16 @@ def make_train_step(
     is_multi = isinstance(loss_fn, MultiLoss)
     mask_types = tuple(int(m) for m in mask_types)
 
-    def compute_loss(params, sim_state: SimulatorState, graph: MeshGraph):
+    def compute_loss(params, sim_state: SimulatorState, graph: MeshGraph, mtp_rng):
+        mp = model_params(params)
         g_in, target_norm, pre_t, new_state = simulator.prepare(
             sim_state, graph, is_training=True
         )
-        net_out = simulator.apply_model(params, g_in)
+        inter = None
+        if mtp is not None:
+            net_out, inter = simulator.apply_model_with_intermediates(mp, g_in)
+        else:
+            net_out = simulator.apply_model(mp, g_in)
 
         inp = LossInputs(
             graph=graph,
@@ -119,10 +156,42 @@ def make_train_step(
                 terms = [jnp.mean(t) for t in terms]
             else:
                 total, terms = per_graph(inp)
-            return total, (new_state, terms)
         else:
             total = loss_fn.fn(inp, mask_types=mask_types)
-            return total, (new_state, [total])
+            terms = [total]
+
+        stats: Dict[str, jnp.ndarray] = {}
+        if mtp is not None:
+            from graph_physics_tpu.models.spatial_mtp import spatial_mtp_loss
+
+            def unwrap(v):
+                # sow stores a tuple per name
+                return v[0] if isinstance(v, (tuple, list)) else v
+
+            h_pen = unwrap(inter["penultimate"])
+            h_enc = unwrap(inter["node_encoding"])
+
+            def head_apply(z):
+                return mtp.out_head_apply(mp, z)
+
+            def one(g, hp, he, tgt, key):
+                return spatial_mtp_loss(
+                    params["mtp"], mtp.encoder, mtp.cfg, g, hp, he, tgt,
+                    head_apply, key,
+                )
+
+            if graph.x.ndim == 3:
+                b = graph.x.shape[0]
+                keys = jax.random.split(mtp_rng, b)
+                aux, st = jax.vmap(one)(graph, h_pen, h_enc, target_norm, keys)
+                aux = jnp.mean(aux)
+                stats = {k: jnp.mean(v) for k, v in st.items()}
+            else:
+                aux, stats = one(graph, h_pen, h_enc, target_norm, mtp_rng)
+            stats["sp_mtp/aux_loss"] = aux
+            total = total + mtp.cfg.alpha * aux
+
+        return total, (new_state, terms, stats)
 
     def step_body(state: TrainState, batch: MeshGraph, rng: jax.Array):
         graph = batch
@@ -140,9 +209,10 @@ def make_train_step(
                 list(noise_cfg.scales),
                 t=t,
             )
-        (loss_val, (new_sim_state, terms)), grads = jax.value_and_grad(
+        mtp_rng = jax.random.fold_in(rng, 7)
+        (loss_val, (new_sim_state, terms, stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
-        )(state.params, state.sim_state, graph)
+        )(state.params, state.sim_state, graph, mtp_rng)
 
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -150,6 +220,7 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss_val, "grad_norm": gnorm}
+        metrics.update(stats)
         for i, t_ in enumerate(terms):
             metrics[f"loss_term_{i}"] = t_
         new_state = TrainState(

@@ -38,6 +38,7 @@ from graph_physics_tpu.training.step import (
     TrainState,
     init_train_state,
     make_train_step,
+    model_params,
 )
 
 
@@ -56,8 +57,10 @@ class TrainerConfig:
     max_val_trajectories: Optional[int] = None
     previous_data_slice: Optional[tuple] = None
     save_val_xdmf: bool = False
+    save_val_visualizations: bool = False
     use_wandb: bool = False
     log_every: int = 50
+    profile_dir: Optional[str] = None
 
 
 class Trainer:
@@ -73,6 +76,7 @@ class Trainer:
         eval_transform=None,
         mesh: Optional[jax.sharding.Mesh] = None,
         run_metadata: Optional[Dict[str, Any]] = None,
+        mtp=None,
     ):
         self.sim = simulator
         self.train_ds = train_dataset
@@ -94,6 +98,7 @@ class Trainer:
         self.lr_schedule = schedule_lib.cosine_warmup_schedule(
             cfg.learning_rate, cfg.warmup, self.num_steps
         )
+        self.mtp = mtp
         self.train_step = make_train_step(
             simulator,
             self.optimizer,
@@ -101,6 +106,7 @@ class Trainer:
             gradient_method=gradient_method,
             num_steps=self.num_steps,
             device_preprocess=device_preprocess,
+            mtp=mtp,
         )
         self.rollout_fn = make_rollout_fn(
             simulator,
@@ -139,7 +145,11 @@ class Trainer:
     def init_or_resume(self, resume: bool = False):
         example = self._example_batch()
         state = init_train_state(
-            self.sim, self.optimizer, jax.random.PRNGKey(self.cfg.seed), example
+            self.sim,
+            self.optimizer,
+            jax.random.PRNGKey(self.cfg.seed),
+            example,
+            mtp=self.mtp,
         )
         if resume:
             state, meta = ckpt_lib.restore_checkpoint(self.manager, state)
@@ -214,13 +224,22 @@ class Trainer:
         val_losses = []
         for t in range(n_traj):
             frames = stack_frames(self.val_ds.trajectory_frames(t))
-            res = self.rollout_fn(self.state.params, self.state.sim_state, frames)
+            res = self.rollout_fn(
+                model_params(self.state.params), self.state.sim_state, frames
+            )
             sq_sum += float(np.sum(np.asarray(res.sq_sum)))
             count += float(np.sum(np.asarray(res.count)))
             first_rmses.append(float(res.rmse_1step))
             val_losses.append(float(np.mean(np.asarray(res.val_loss))))
             if t == 0 and self.cfg.save_val_xdmf:
                 self._save_rollout_xdmf(res, frames, epoch)
+            if t == 0 and self.cfg.save_val_visualizations:
+                from graph_physics_tpu.training.callback import PredictionVisualizer
+
+                PredictionVisualizer(
+                    os.path.join(self.cfg.out_dir, self.cfg.run_name, "viz"),
+                    wandb_run=self.logger.wandb,
+                )(res, frames, epoch)
         return {
             "val_all_rollout_rmse": float(np.sqrt(sq_sum / max(count, 1.0))),
             "val_1step_rmse": float(np.mean(first_rmses)),

@@ -27,9 +27,9 @@ class TestH5Dataset:
         # 2 trajectories, 6 steps each -> 5 supervised frames per traj
         assert dataset.num_trajectories == 2
         assert len(dataset) == 10
-        assert dataset.indices_for(0) == (0, 0)
-        assert dataset.indices_for(4) == (0, 4)
-        assert dataset.indices_for(5) == (1, 0)
+        assert dataset.indices_for(0) == (0, 0, 0)
+        assert dataset.indices_for(4) == (0, 4, 0)
+        assert dataset.indices_for(5) == (1, 0, 0)
 
     def test_frame_contract(self, dataset):
         g = dataset[0]
@@ -66,7 +66,7 @@ class TestH5Dataset:
             path, meta, FrameConfig(targets=("velocity",), use_previous_data=True)
         )
         # first usable frame shifts to 1
-        assert ds.indices_for(0) == (0, 1)
+        assert ds.indices_for(0) == (0, 1, 0)
         g = ds[0]
         assert g.prev is not None
         n = int(g.n_node)

@@ -38,11 +38,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--num_dp_devices", type=int, default=None,
                    help="shard the batch axis over this many devices")
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
     p.add_argument("--num_partitions", type=int, default=None,
                    help="train on RCB sub-mesh partitions (Cluster-GCN style)")
     p.add_argument("--max_nodes_per_partition", type=int, default=None,
                    help="adaptive partition count cap by node budget")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--packed", action="store_true",
+                   help="trajectory-major [N,B,F] batching (TPU fast gathers; epd only)")
     p.add_argument("--external", default=None,
                    help="use-case feature builder name (external registry)")
     return p
@@ -136,6 +139,8 @@ def main(argv=None):
         ),
         save_val_xdmf=args.save_val_xdmf,
         use_wandb=args.use_wandb,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        packed=args.packed,
     )
 
     num_steps = max(

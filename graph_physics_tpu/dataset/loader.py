@@ -44,7 +44,11 @@ class BatchLoader:
         prefetch: int = 2,
         device_put: bool = True,
         sharding=None,
+        packed: bool = False,
     ):
+        """``packed=True``: batches are built from frames of ONE trajectory
+        (shared topology) and emitted in the [N, B, F] trajectory-major
+        layout (training/packed.py) — the TPU-efficient gather path."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,12 +56,19 @@ class BatchLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.sharding = sharding
+        self.packed = packed
         self._rng = np.random.default_rng(seed)
 
     def _batched_indices(self) -> List[List[int]]:
         by_bucket = defaultdict(list)
         for i in range(len(self.ds)):
-            by_bucket[self.ds.bucket_of(i)].append(i)
+            if self.packed:
+                # same-trajectory (and same-partition) groups
+                t, _, part = self.ds.indices_for(i)
+                key = (t, part)
+            else:
+                key = self.ds.bucket_of(i)
+            by_bucket[key].append(i)
         batches = []
         for idxs in by_bucket.values():
             idxs = np.asarray(idxs)
@@ -87,6 +98,10 @@ class BatchLoader:
             for chunk in batches:
                 frames = [self.ds[i] for i in chunk]
                 batch = stack_batch(frames)
+                if self.packed:
+                    from graph_physics_tpu.training.packed import pack
+
+                    batch = pack(batch)
                 if self.device_put:
                     if callable(self.sharding):
                         batch = jax.device_put(

@@ -80,6 +80,93 @@ def make_trajectory(
     }
 
 
+def make_plate_trajectory(
+    nx: int = 8,
+    ny: int = 6,
+    num_steps: int = 8,
+    dt: float = 0.01,
+) -> Dict[str, np.ndarray]:
+    """DeformingPlate-like Lagrangian trajectory (world_pos target).
+
+    A deformable sheet (NORMAL nodes, one HANDLE edge) rests at z=0 while
+    a rigid OBSTACLE bar descends towards it — exercises world-edge
+    discovery between OBSTACLE and NORMAL nodes within a radius
+    (reference plate.json + preprocessing.py:92-140 semantics).
+    """
+    pos2d, cells = grid_mesh(nx, ny, 1.0, 0.6)
+    n_sheet = len(pos2d)
+    sheet = np.concatenate([pos2d, np.zeros((n_sheet, 1))], axis=1)
+
+    # obstacle bar: a line of nodes above the sheet center, moving down
+    n_obs = 6
+    obs_x = np.linspace(0.3, 0.7, n_obs)
+    obs0 = np.stack([obs_x, np.full(n_obs, 0.3), np.full(n_obs, 0.08)], axis=1)
+
+    pos = np.concatenate([sheet, obs0]).astype(np.float32)
+    n = len(pos)
+    types = np.full(n, int(NodeType.NORMAL), np.int32)
+    types[:n_sheet][np.abs(pos2d[:, 0]) < 1e-6] = int(NodeType.HANDLE)
+    types[n_sheet:] = int(NodeType.OBSTACLE)
+
+    world = np.zeros((num_steps, n, 3), np.float32)
+    for k in range(num_steps):
+        w = pos.copy()
+        drop = 0.01 * k
+        w[n_sheet:, 2] -= drop  # obstacle descends
+        # sheet deflects where the obstacle is close
+        d = np.linalg.norm(
+            pos[:n_sheet, None, :2] - w[None, n_sheet:, :2], axis=-1
+        ).min(axis=1)
+        deflect = np.clip(0.08 - drop - d * 0.2, a_min=None, a_max=0.0)
+        w[:n_sheet, 2] += np.where(d < 0.2, deflect * 0.5, 0.0)
+        world[k] = w
+
+    # cells cover only the sheet (obstacle nodes are isolated in the mesh
+    # graph and connect through world edges only)
+    return {
+        "cells": np.repeat(cells[None], num_steps, axis=0).astype(np.int32),
+        "mesh_pos": np.repeat(pos[None], num_steps, axis=0).astype(np.float32),
+        "node_type": np.repeat(types[None, :, None], num_steps, axis=0).astype(np.int32),
+        "world_pos": world,
+    }
+
+
+def write_plate_h5_dataset(
+    path: str,
+    num_trajectories: int = 2,
+    nx: int = 8,
+    ny: int = 6,
+    num_steps: int = 8,
+    dt: float = 0.01,
+    meta_path: Optional[str] = None,
+) -> Tuple[str, str]:
+    """Plate-style dataset + meta.json (3D world_pos dynamic target)."""
+    import h5py
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        for i in range(num_trajectories):
+            traj = make_plate_trajectory(nx + i, ny, num_steps, dt)
+            g = f.create_group(str(i))
+            for k, v in traj.items():
+                g.create_dataset(k, data=v)
+    meta = {
+        "dt": dt,
+        "features": {
+            "cells": {"type": "static", "shape": [num_steps, -1, 3], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [num_steps, -1, 3], "dtype": "float32"},
+            "node_type": {"type": "static", "shape": [num_steps, -1, 1], "dtype": "int32"},
+            "world_pos": {"type": "dynamic", "shape": [num_steps, -1, 3], "dtype": "float32"},
+        },
+        "field_names": ["cells", "mesh_pos", "node_type", "world_pos"],
+        "trajectory_length": num_steps,
+    }
+    meta_path = meta_path or os.path.join(os.path.dirname(path) or ".", "plate_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return path, meta_path
+
+
 def meta_dict(num_steps: int, dt: float = 0.01) -> Dict:
     """meta.json matching dataset_config/cylinder_meta.json's schema."""
     def feat(name, typ, c, dtype):

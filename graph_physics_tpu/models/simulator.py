@@ -92,21 +92,39 @@ class Simulator:
         )
 
     def init_params(self, rng: jax.Array, example: MeshGraph):
-        """Initialize processor parameters from an example (batched or not)."""
+        """Initialize processor parameters from an example (single, stacked
+        [B, N, F] or packed [N, B, F])."""
         g = example
-        if g.x.ndim == 3:  # strip batch dim for init
-            g = jax.tree.map(lambda a: a[0], g)
+        if g.x.ndim == 3:
+            if self.is_packed(g):
+                from graph_physics_tpu.training.packed import single_of
+
+                g = single_of(jax.tree.map(jnp.asarray, g))
+            else:
+                g = jax.tree.map(lambda a: a[0], g)
         g_in, _, _, _ = self.prepare(self.init_state(), g, is_training=False)
         return self.model.init(rng, g_in)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def is_packed(graph: MeshGraph) -> bool:
+        """Trajectory-major packed layout: x [N, B, F] with shared
+        per-node metadata [N] (see training/packed.py). Batched stacked
+        layout has x [B, N, F] with node_type [B, N]."""
+        return graph.x.ndim == 3 and graph.node_type.ndim == 1
+
     def pre_target(self, graph: MeshGraph) -> jnp.ndarray:
         """x[:, ois:oie] — the current value of the predicted fields."""
         return graph.x[..., self.output_index_start : self.output_index_end]
 
     def one_hot_type(self, graph: MeshGraph) -> jnp.ndarray:
         """one_hot(node_type, NodeType.SIZE); PAD (-1) rows are all-zero."""
-        return jax.nn.one_hot(graph.node_type, int(NodeType.SIZE), dtype=jnp.float32)
+        oh = jax.nn.one_hot(graph.node_type, int(NodeType.SIZE), dtype=jnp.float32)
+        if self.is_packed(graph):  # [N, 9] -> [N, B, 9]
+            oh = jnp.broadcast_to(
+                oh[:, None, :], (oh.shape[0], graph.x.shape[1], oh.shape[-1])
+            )
+        return oh
 
     def prepare(
         self,
@@ -121,6 +139,13 @@ class Simulator:
         """
         node_mask = graph.node_mask
         edge_mask = graph.edge_mask
+        if self.is_packed(graph):  # shared [N] masks -> per-row [N, B]
+            b = graph.x.shape[1]
+            node_mask = jnp.broadcast_to(node_mask[:, None], (node_mask.shape[0], b))
+            if edge_mask is not None:
+                edge_mask = jnp.broadcast_to(
+                    edge_mask[:, None], (edge_mask.shape[0], b)
+                )
 
         pre_t = self.pre_target(graph)
         target_norm = None
@@ -164,8 +189,14 @@ class Simulator:
 
     # ------------------------------------------------------------------
     def apply_model(self, params, g_in: MeshGraph) -> jnp.ndarray:
-        """Run the processor; vmap over a leading batch axis if present."""
-        if g_in.x.ndim == 3:
+        """Run the processor.
+
+        Packed layout ([N, B, F], shared topology): apply directly — the
+        MLP/GraphNetBlock stack is axis-0 polymorphic and node-axis
+        gathers then move full [B·H] rows at memory line rate (the
+        TPU-efficient path). Stacked layout ([B, N, F]): vmap per sample.
+        """
+        if g_in.x.ndim == 3 and not self.is_packed(g_in):
             return jax.vmap(lambda g: self.model.apply(params, g))(g_in)
         return self.model.apply(params, g_in)
 

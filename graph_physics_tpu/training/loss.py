@@ -55,6 +55,8 @@ def node_loss_mask(
         m = m | (t == mt)
     m = m & graph.node_mask
     if deselected is not None:
+        if deselected.ndim > m.ndim:  # packed layout: deselected [N, B]
+            m = jnp.broadcast_to(m[..., None], deselected.shape)
         m = m & ~deselected
     return m
 

@@ -42,8 +42,10 @@ def add_noise(
     if len(starts) != len(ends) or len(scales) != len(starts):
         raise ValueError("noise index/scale lists must have equal length")
 
-    normal = (graph.node_type == NodeType.NORMAL)[..., None]
+    normal = graph.node_type == NodeType.NORMAL
     x = graph.x
+    while normal.ndim < x.ndim:  # broadcast over batch/feature dims
+        normal = normal[..., None]
     keys = jax.random.split(rng, len(starts))
     for key, s, e, scale in zip(keys, starts, ends, scales):
         feature = x[..., s:e]

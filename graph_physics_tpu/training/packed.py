@@ -1,0 +1,98 @@
+"""Trajectory-major packed batching — the TPU fast path for training.
+
+Why: with the stacked layout ([B, N, F], per-sample vmap), every gather/
+scatter in message passing moves [H]-sized rows (64 bytes at hidden 32) —
+~2% memory-transaction utilization on TPU; measured 58 of 62 ms of a
+cylinder train step. When all batch elements share one topology (frames of
+one trajectory — connectivity is static per trajectory), laying node data
+out as [N, B, F] makes the SAME ``jnp.take``/``segment_sum`` move
+[B·F]-sized rows at line rate. GraphNetBlock/MLP/RMSNorm are already
+axis-0 polymorphic, so the model runs unchanged and unvmapped.
+
+Restrictions (checked): shared senders/receivers/edge masks across the
+batch; EPD path (transformer/RoPE head reshapes assume 2D x).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_physics_tpu.core.graph import MeshGraph
+
+
+def _shared(a, name: str):
+    """Assert a [B, ...] array is identical across B; return element 0."""
+    a = np.asarray(a)
+    if not (a == a[0]).all():
+        raise ValueError(
+            f"packed batching requires shared {name} across the batch "
+            "(use same-trajectory batches: BatchLoader(same_trajectory=True))"
+        )
+    return a[0]
+
+
+def pack(stacked: MeshGraph) -> MeshGraph:
+    """[B, N, F]-stacked MeshGraph (shared topology) → [N, B, F]-packed."""
+    b = stacked.x.shape[0]
+
+    def node_field(a):
+        return None if a is None else np.moveaxis(np.asarray(a), 0, 1)
+
+    return MeshGraph(
+        x=node_field(stacked.x),
+        pos=_shared(stacked.pos, "pos"),
+        node_type=_shared(stacked.node_type, "node_type"),
+        node_mask=_shared(stacked.node_mask, "node_mask"),
+        senders=_shared(stacked.senders, "senders"),
+        receivers=_shared(stacked.receivers, "receivers"),
+        edge_mask=_shared(stacked.edge_mask, "edge_mask"),
+        edge_attr=node_field(stacked.edge_attr),
+        y=node_field(stacked.y),
+        prev=node_field(stacked.prev),
+        next_data=node_field(stacked.next_data),
+        deselected=(
+            None
+            if stacked.deselected is None
+            else np.moveaxis(np.asarray(stacked.deselected), 0, 1)
+        ),
+        faces=_shared(stacked.faces, "faces") if stacked.faces is not None else None,
+        face_mask=(
+            _shared(stacked.face_mask, "face_mask")
+            if stacked.face_mask is not None
+            else None
+        ),
+        n_node=np.asarray(stacked.n_node)[0] if stacked.n_node is not None else None,
+        n_edge=np.asarray(stacked.n_edge)[0] if stacked.n_edge is not None else None,
+        traj_index=(
+            np.asarray(stacked.traj_index)[0]
+            if stacked.traj_index is not None
+            else None
+        ),
+        time=np.asarray(stacked.time) if stacked.time is not None else None,
+    )
+
+
+def single_of(packed: MeshGraph, b: int = 0) -> MeshGraph:
+    """One sample of a packed graph as a plain single-graph MeshGraph."""
+
+    def node_field(a):
+        return None if a is None else a[:, b]
+
+    return packed.replace(
+        x=node_field(packed.x),
+        edge_attr=node_field(packed.edge_attr),
+        y=node_field(packed.y),
+        prev=node_field(packed.prev),
+        next_data=node_field(packed.next_data),
+        deselected=node_field(packed.deselected),
+        time=packed.time[b] if getattr(packed.time, "ndim", 0) else packed.time,
+    )
+
+
+def unpack_nodes(out: jnp.ndarray) -> jnp.ndarray:
+    """[N, B, F] model output → [B, N, F]."""
+    return jnp.moveaxis(out, 0, 1)

@@ -42,9 +42,15 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.95,
     grad_clip: float = 1.0,
+    accumulate_grad_batches: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW(wd 1e-4, betas .9/.95) + global-norm clip 1.0 + cosine warmup."""
-    return optax.chain(
+    """AdamW(wd 1e-4, betas .9/.95) + global-norm clip 1.0 + cosine warmup.
+
+    ``accumulate_grad_batches`` wraps the chain in optax.MultiSteps —
+    the reference's Trainer(accumulate_grad_batches=...) (train.py:289,
+    README.md:508: preserve effective batch under memory limits).
+    """
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(
             learning_rate=cosine_warmup_schedule(learning_rate, warmup, num_steps),
@@ -53,3 +59,6 @@ def make_optimizer(
             weight_decay=weight_decay,
         ),
     )
+    if accumulate_grad_batches > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate_grad_batches)
+    return opt

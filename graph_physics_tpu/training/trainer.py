@@ -61,6 +61,10 @@ class TrainerConfig:
     use_wandb: bool = False
     log_every: int = 50
     profile_dir: Optional[str] = None
+    accumulate_grad_batches: int = 1
+    #: trajectory-major [N, B, F] batching (shared topology) — the TPU
+    #: fast gather path (training/packed.py)
+    packed: bool = False
 
 
 class Trainer:
@@ -94,6 +98,7 @@ class Trainer:
             num_steps=self.num_steps,
             weight_decay=cfg.weight_decay,
             grad_clip=cfg.grad_clip,
+            accumulate_grad_batches=cfg.accumulate_grad_batches,
         )
         self.lr_schedule = schedule_lib.cosine_warmup_schedule(
             cfg.learning_rate, cfg.warmup, self.num_steps
@@ -138,7 +143,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def _example_batch(self):
         loader = BatchLoader(
-            self.train_ds, self.cfg.batch_size, shuffle=False, device_put=False
+            self.train_ds,
+            self.cfg.batch_size,
+            shuffle=False,
+            device_put=False,
+            packed=self.cfg.packed,
         )
         return next(iter(loader))
 
@@ -175,6 +184,7 @@ class Trainer:
                 shuffle=True,
                 seed=cfg.seed + epoch,
                 sharding=self.sharding,
+                packed=cfg.packed,
             )
             t_epoch = time.time()
             n_batches = 0
@@ -205,7 +215,14 @@ class Trainer:
                     self.manager,
                     self.state,
                     int(self.state.step),
-                    metadata={**self.run_metadata, "epoch": epoch},
+                    # run id round-trips through the checkpoint so resumed
+                    # runs reattach to the same wandb run
+                    # (lightning_module.py:560-573 parity)
+                    metadata={
+                        **self.run_metadata,
+                        "epoch": epoch,
+                        "run_id": self.logger.run_id,
+                    },
                 )
         return self.state
 

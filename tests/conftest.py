@@ -10,7 +10,11 @@ the axon TPU tunnel. ``jax.config.update`` works post-import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE (not setdefault): some shells in this image export
+# JAX_PLATFORMS=axon; the CLIs honor the env var (cli/train.py
+# _honor_platform_env), so leaving 'axon' here would flip e2e CLI tests —
+# and every test after them — onto the real TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 

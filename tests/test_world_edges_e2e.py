@@ -1,0 +1,145 @@
+"""World-edge (DeformingPlate-style) pipeline: dataset → train → rollout.
+
+Covers the SURVEY.md §7 hard part: world-edge discovery with a static
+budget, obstacle-displacement channel insertion, device-side world-pos
+edge features from the noised/predicted x.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from graph_physics_tpu.core.nodetype import NodeType
+from graph_physics_tpu.dataset import synthetic
+from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+from graph_physics_tpu.training import config as config_lib
+
+
+@pytest.fixture(scope="module")
+def plate_config(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plate")
+    train_h5, meta = synthetic.write_plate_h5_dataset(
+        str(d / "train.h5"), num_trajectories=1, num_steps=6,
+        meta_path=str(d / "meta.json"),
+    )
+    config = {
+        "dataset": {
+            "extension": "h5",
+            "train_path": train_h5,
+            "test_path": train_h5,
+            "meta_path": meta,
+            "targets": ["world_pos"],
+            "khop": 1,
+        },
+        "model": {
+            "type": "transformer",
+            "message_passing_num": 2,
+            "hidden_size": 16,
+            "num_heads": 4,
+            "node_input_size": 6,
+            "output_size": 3,
+            "edge_input_size": 0,
+        },
+        "index": {
+            "feature_index_start": 0,
+            "feature_index_end": 6,
+            "output_index_start": 0,
+            "output_index_end": 3,
+            "node_type_index": 6,
+        },
+        "transformations": {
+            "preprocessing": {
+                "noise": 0.003,
+                "noise_index_start": [0],
+                "noise_index_end": [3],
+                "masking": 0,
+            },
+            "world_pos_parameters": {
+                "use": True,
+                "world_pos_index_start": 0,
+                "world_pos_index_end": 3,
+                "radius": 0.12,
+                "edge_budget": 256,
+            },
+        },
+        "training": {},
+    }
+    cfg_path = str(d / "plate.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f)
+    return d, cfg_path
+
+
+def test_plate_frame_contract(plate_config):
+    d, cfg_path = plate_config
+    param = config_lib.load_params(cfg_path)
+    frame_cfg = config_lib.get_frame_config(param)
+    ds = config_lib.get_dataset(param, frame_cfg)
+    g = ds[2]
+    n = int(g.n_node)
+    # x = [world_pos(3), obstacle_displacement(3), node_type, time]
+    assert g.x.shape[-1] == 8
+    nt = np.asarray(g.node_type[:n])
+    x = np.asarray(g.x[:n])
+    # displacement columns: obstacle rows = target - current (descending z)
+    obs = nt == int(NodeType.OBSTACLE)
+    assert obs.any()
+    assert (x[obs, 5] < 0).all()  # z displacement negative
+    # non-obstacle rows carry the mean obstacle displacement
+    np.testing.assert_allclose(
+        x[~obs, 5], x[obs, 5].mean(), atol=1e-6
+    )
+    # world edges exist: some edges connect OBSTACLE and NORMAL nodes
+    e = int(g.n_edge)
+    s, r = np.asarray(g.senders[:e]), np.asarray(g.receivers[:e])
+    cross = (nt[s] == int(NodeType.OBSTACLE)) & (nt[r] == int(NodeType.NORMAL))
+    assert cross.any()
+
+
+def test_plate_trains_and_rolls_out(plate_config):
+    d, cfg_path = plate_config
+    from graph_physics_tpu.cli.train import main as train_main
+
+    out = str(d / "runs")
+    rc = train_main([
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1",
+        "--batch_size", "2",
+        "--warmup", "2",
+        "--out_dir", out,
+        "--run_name", "plate",
+    ])
+    assert rc == 0
+    metrics = [json.loads(l) for l in open(os.path.join(out, "plate", "plate.metrics.jsonl"))]
+    val = [m for m in metrics if "val_all_rollout_rmse" in m][-1]
+    assert np.isfinite(val["val_all_rollout_rmse"])
+
+
+def test_device_world_features_track_noised_x(plate_config):
+    """The device transform computes world-pos edge features from the
+    CURRENT x (post-noise), like the reference pipeline ordering."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.training.transforms import (
+        WorldPosConfig,
+        append_world_pos_features,
+    )
+
+    d, cfg_path = plate_config
+    param = config_lib.load_params(cfg_path)
+    frame_cfg = config_lib.get_frame_config(param)
+    ds = config_lib.get_dataset(param, frame_cfg)
+    g = jax.tree.map(jnp.asarray, ds[0])
+    base_cols = g.edge_attr.shape[-1]
+    g2 = append_world_pos_features(g, WorldPosConfig(0, 3))
+    assert g2.edge_attr.shape[-1] == base_cols + 4
+    e = int(g.n_edge)
+    s, r = np.asarray(g.senders[:e]), np.asarray(g.receivers[:e])
+    wp = np.asarray(g.x[:, 0:3])
+    rel = wp[s] - wp[r]
+    np.testing.assert_allclose(
+        np.asarray(g2.edge_attr[:e, base_cols : base_cols + 3]), rel, atol=1e-5
+    )

@@ -159,7 +159,7 @@ def make_inv_freq(m: int, base: float) -> jnp.ndarray:
 
 
 def apply_spatial_rope(
-    x: jnp.ndarray,  # [N, H, Dh]
+    x: jnp.ndarray,  # [N, ..., Dh] (e.g. [N, H, Dh] or packed [N, B, H, Dh])
     pos: jnp.ndarray,  # [N, P] spatial positions
     inv_freq: jnp.ndarray,  # [m]
 ) -> jnp.ndarray:
@@ -168,24 +168,24 @@ def apply_spatial_rope(
     Spec: reference _apply_rope_with_inv (layers.py:421-490): the first
     ``P * 2m`` channels of each head are rotated, axis-by-axis, by angles
     pos[:, axis] * inv_freq; the remainder passes through. Layout here is
-    [N, H, Dh] (heads-second) rather than the reference's (N, Dh, H); math
-    is identical.
+    heads-last-but-one rather than the reference's (N, Dh, H); math is
+    identical. Extra middle dims (packed batch) broadcast.
     """
-    n, h, dh = x.shape
     p = pos.shape[-1]
     m = inv_freq.shape[0]
     d_rope = p * 2 * m
     if m == 0 or d_rope == 0:
         return x
     angles = pos[:, :, None].astype(jnp.float32) * inv_freq[None, None, :]  # [N,P,m]
-    cos = jnp.cos(angles)[:, None, :, :]  # [N,1,P,m]
-    sin = jnp.sin(angles)[:, None, :, :]
-    part = x[..., :d_rope].reshape(n, h, p, m, 2)
+    mid = (1,) * (x.ndim - 2)  # broadcast over heads / packed-batch dims
+    cos = jnp.cos(angles).reshape((x.shape[0],) + mid + (p, m))
+    sin = jnp.sin(angles).reshape((x.shape[0],) + mid + (p, m))
+    part = x[..., :d_rope].reshape(x.shape[:-1] + (p, m, 2))
     even = part[..., 0].astype(jnp.float32)
     odd = part[..., 1].astype(jnp.float32)
     rot_even = even * cos - odd * sin
     rot_odd = even * sin + odd * cos
-    rot = jnp.stack([rot_even, rot_odd], axis=-1).reshape(n, h, d_rope)
+    rot = jnp.stack([rot_even, rot_odd], axis=-1).reshape(x.shape[:-1] + (d_rope,))
     return jnp.concatenate([rot.astype(x.dtype), x[..., d_rope:]], axis=-1)
 
 
@@ -257,6 +257,7 @@ class Attention(nn.Module):
         if self.use_rope_embeddings and pos is None:
             raise ValueError("RoPE embeddings require positional information.")
         n = x.shape[0]
+        lead = x.shape[:-1]  # [N] or packed [N, B]
         h, dh = self.num_heads, self.hidden_size // self.num_heads
         assert self.hidden_size % self.num_heads == 0
 
@@ -268,9 +269,9 @@ class Attention(nn.Module):
             k_proj = v_proj = q_proj
 
         src = x if kv is None else kv
-        q = q_proj(x).reshape(n, h, dh)
-        k = k_proj(src).reshape(n, h, dh)
-        v = v_proj(src).reshape(n, h, dh)
+        q = q_proj(x).reshape(lead + (h, dh))
+        k = k_proj(src).reshape(lead + (h, dh))
+        v = v_proj(src).reshape(lead + (h, dh))
 
         if self.use_rope_embeddings:
             m = dh // max(self.pos_dimension * 2, 1)
@@ -281,23 +282,25 @@ class Attention(nn.Module):
         if senders is not None:
             y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
         else:
-            # dense attention over valid nodes
-            logits = jnp.einsum("nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32)
+            # dense attention over valid nodes (n = attention axis 0)
+            logits = jnp.einsum(
+                "n...hd,m...hd->...hnm", q, k, preferred_element_type=jnp.float32
+            )
             logits = logits / math.sqrt(dh)
             if node_mask is not None:
                 logits = jnp.where(node_mask[None, None, :], logits, -jnp.inf)
             alpha = jax.nn.softmax(logits, axis=-1)
-            y = jnp.einsum("hnm,mhd->nhd", alpha.astype(v.dtype), v)
+            y = jnp.einsum("...hnm,m...hd->n...hd", alpha.astype(v.dtype), v)
 
         if self.use_gated_attention:
             gate_proj = nn.Dense(
                 self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="gate_proj"
             )
-            gate = jax.nn.sigmoid(gate_proj(x)).reshape(n, h, dh)
+            gate = jax.nn.sigmoid(gate_proj(x)).reshape(lead + (h, dh))
             y = y * gate.astype(y.dtype)
 
         out = nn.Dense(self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="proj")(
-            y.reshape(n, self.hidden_size)
+            y.reshape(lead + (self.hidden_size,))
         )
         return out
 
@@ -384,24 +387,26 @@ class TemporalAttention(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
         node_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        n = h_prev.shape[0]
+        lead = h_prev.shape[:-1]
         h, dh = self.num_heads, self.hidden_size // self.num_heads
-        q = nn.Dense(self.hidden_size, dtype=self.dtype, name="q_proj")(h_pred).reshape(n, h, dh)
-        k = nn.Dense(self.hidden_size, dtype=self.dtype, name="k_proj")(h_prev).reshape(n, h, dh)
-        v = nn.Dense(self.hidden_size, dtype=self.dtype, name="v_proj")(h_pred).reshape(n, h, dh)
+        q = nn.Dense(self.hidden_size, dtype=self.dtype, name="q_proj")(h_pred).reshape(lead + (h, dh))
+        k = nn.Dense(self.hidden_size, dtype=self.dtype, name="k_proj")(h_prev).reshape(lead + (h, dh))
+        v = nn.Dense(self.hidden_size, dtype=self.dtype, name="v_proj")(h_pred).reshape(lead + (h, dh))
 
         if senders is not None:
             y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
         else:
-            logits = jnp.einsum("nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32)
+            logits = jnp.einsum(
+                "n...hd,m...hd->...hnm", q, k, preferred_element_type=jnp.float32
+            )
             logits = logits / math.sqrt(dh)
             if node_mask is not None:
                 logits = jnp.where(node_mask[None, None, :], logits, -jnp.inf)
             alpha = jax.nn.softmax(logits, axis=-1)
-            y = jnp.einsum("hnm,mhd->nhd", alpha.astype(v.dtype), v)
+            y = jnp.einsum("...hnm,m...hd->n...hd", alpha.astype(v.dtype), v)
 
         out = nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(
-            y.reshape(n, self.hidden_size)
+            y.reshape(lead + (self.hidden_size,))
         )
         if self.use_gate:
             g_in = jnp.concatenate([h_pred, h_prev], axis=-1)

@@ -24,9 +24,9 @@ from graph_physics_tpu.ops import segment
 
 
 def edge_attention(
-    q: jnp.ndarray,  # [N, H, D]
-    k: jnp.ndarray,  # [N, H, D]
-    v: jnp.ndarray,  # [N, H, D]
+    q: jnp.ndarray,  # [N, ..., H, D] (extra dims = packed batch)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
     senders: jnp.ndarray,  # [E]
     receivers: jnp.ndarray,  # [E]
     edge_mask: Optional[jnp.ndarray] = None,  # [E] bool
@@ -34,23 +34,26 @@ def edge_attention(
 ):
     """Multi-head attention restricted to graph edges.
 
-    Returns [N, H, D] (and optionally the per-edge weights [E, H]).
+    Returns [N, ..., H, D] (and optionally per-edge weights [E, ..., H]).
     Padded edges (mask False) contribute nothing; nodes with no valid
-    incoming edges return zeros.
+    incoming edges return zeros. Works on the trajectory-major packed
+    layout ([N, B, H, D], node axis first) unchanged — gathers/scatters
+    act on axis 0 and move wide rows (the TPU-efficient path).
     """
-    n, h, d = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=q.dtype))
+    n = q.shape[0]
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=jnp.float32))
 
-    q_e = jnp.take(q, receivers, axis=0)  # [E, H, D]
+    q_e = jnp.take(q, receivers, axis=0)  # [E, ..., H, D]
     k_e = jnp.take(k, senders, axis=0)
     # fp32 logits regardless of compute dtype: softmax stability.
     logits = jnp.einsum(
-        "ehd,ehd->eh", q_e, k_e, preferred_element_type=jnp.float32
-    ) * scale.astype(jnp.float32)
+        "...d,...d->...", q_e, k_e, preferred_element_type=jnp.float32
+    ) * scale
 
-    alpha = segment.segment_softmax(logits, receivers, n, mask=edge_mask)  # [E, H]
+    alpha = segment.segment_softmax(logits, receivers, n, mask=edge_mask)
 
-    v_e = jnp.take(v, senders, axis=0)  # [E, H, D]
+    v_e = jnp.take(v, senders, axis=0)
     weighted = v_e * alpha[..., None].astype(v.dtype)
     out = segment.segment_sum(weighted, receivers, n, mask=edge_mask)
     if return_weights:

@@ -77,6 +77,33 @@ def test_packed_train_step_learns():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_packed_transformer_matches_stacked():
+    """Edge-attention (transformer) path also supports packed layout."""
+    from graph_physics_tpu.models.processors import EncodeTransformDecode
+    from graph_physics_tpu.models.simulator import Simulator
+
+    model = EncodeTransformDecode(
+        message_passing_num=2,
+        node_input_size=11,
+        output_size=2,
+        hidden_size=16,
+        num_heads=4,
+    )
+    sim = Simulator(11, 0, 2, 0, 2, 0, 2, 2, model)
+    b = stacked_batch(3)
+    p = jax.tree.map(jnp.asarray, pk.pack(b))
+    bj = jax.tree.map(jnp.asarray, b)
+    params = sim.init_params(jax.random.PRNGKey(0), bj)
+    state = sim.init_state()
+    out_stacked = sim.forward(params, state, bj, is_training=False)
+    out_packed = sim.forward(params, state, p, is_training=False)
+    np.testing.assert_allclose(
+        np.asarray(pk.unpack_nodes(out_packed.net_out)),
+        np.asarray(out_stacked.net_out),
+        atol=2e-4,
+    )
+
+
 def test_packed_loader(tmp_path):
     from graph_physics_tpu.dataset import synthetic
     from graph_physics_tpu.dataset.h5_dataset import H5Dataset

@@ -47,6 +47,30 @@ def test_visualization_renders(tmp_path):
     assert os.path.getsize(gif) > 1000
 
 
+def test_vtu_roundtrip(tmp_path):
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.utils.vtu import graph_to_vtu, read_vtu, vtu_to_xdmf
+    from tests.helpers import tiny_graph
+
+    g = tiny_graph()
+    p = graph_to_vtu(str(tmp_path / "f.vtu"), g)
+    pos, cells, pd = read_vtu(p)
+    n = int(g.n_node)
+    np.testing.assert_allclose(pos[:, :2], np.asarray(g.pos)[:n], atol=1e-6)
+    assert "x0" in pd and "y0" in pd
+    np.testing.assert_allclose(pd["x0"], np.asarray(g.x)[:n, 0], atol=1e-6)
+
+    # vtu series -> xdmf
+    p2 = graph_to_vtu(str(tmp_path / "f2.vtu"), g)
+    xdmf = vtu_to_xdmf([p, p2], str(tmp_path / "series.xdmf"), dt=0.5)
+    from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesReader
+
+    r = XdmfTimeSeriesReader(xdmf)
+    assert len(r) == 2
+    _, _, pdx, t1 = r.read_frame(1)
+    assert abs(t1 - 0.5) < 1e-9 and "x0" in pdx
+
+
 def test_throughput_counter():
     from graph_physics_tpu.utils.profiling import Throughput
 

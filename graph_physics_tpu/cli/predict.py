@@ -65,6 +65,13 @@ def main(argv=None):
         param, masking_ratio=0.0, use_previous_data=use_prev,
         extra_node_features=extra_node_features,
     )
+    dynamic_we = config_lib.get_dynamic_world_edges(param)
+    if dynamic_we is not None and frame_cfg.world is not None:
+        import dataclasses
+
+        frame_cfg = dataclasses.replace(
+            frame_cfg, world=dataclasses.replace(frame_cfg.world, radius=1e-12)
+        )
     ds = config_lib.get_dataset(param, frame_cfg, switch_to_val=True)
 
     # restore
@@ -87,6 +94,7 @@ def main(argv=None):
             else None
         ),
         frame_transform=make_eval_transform(world_dev),
+        dynamic_world_edges=dynamic_we,
     )
 
     n_traj = ds.num_trajectories

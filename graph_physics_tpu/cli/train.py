@@ -110,10 +110,19 @@ def main(argv=None):
         num_partitions=args.num_partitions,
         max_nodes_per_partition=args.max_nodes_per_partition,
     )
+    dynamic_we = config_lib.get_dynamic_world_edges(param)
     val_cfg = config_lib.get_frame_config(
         param, masking_ratio=0.0, use_previous_data=use_prev,
         extra_node_features=extra_node_features,
     )
+    if dynamic_we is not None and val_cfg.world is not None:
+        # device rollout rediscovers world edges; host must leave the
+        # reserved tail slots free
+        import dataclasses
+
+        val_cfg = dataclasses.replace(
+            val_cfg, world=dataclasses.replace(val_cfg.world, radius=1e-12)
+        )
     val_ds = config_lib.get_dataset(param, val_cfg, switch_to_val=True, seed=args.seed)
 
     mesh = None
@@ -161,6 +170,7 @@ def main(argv=None):
         mesh=mesh,
         run_metadata={"config": param, "loss": loss_name},
         mtp=mtp,
+        dynamic_world_edges=dynamic_we,
     )
     state = trainer.fit(resume=args.resume_training)
     print(f"training done at step {int(state.step)}")

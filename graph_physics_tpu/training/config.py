@@ -139,6 +139,27 @@ def get_world_configs(
     return host, dev
 
 
+def get_dynamic_world_edges(param: Dict[str, Any]):
+    """Optional on-device world-edge rediscovery during rollout.
+
+    Enabled with ``world_pos_parameters.dynamic_rollout: true`` — the TPU
+    upgrade of the reference's ground-truth-tracking rollout world edges
+    (SURVEY.md §3.3): contact edges follow the PREDICTED positions.
+    """
+    wp = param.get("transformations", {}).get("world_pos_parameters", {})
+    if not (wp.get("use", False) and wp.get("dynamic_rollout", False)):
+        return None
+    from graph_physics_tpu.training.rollout import DynamicWorldEdges
+
+    budget = wp.get("edge_budget", 1024)
+    return DynamicWorldEdges(
+        world_pos_start=wp["world_pos_index_start"],
+        world_pos_end=wp["world_pos_index_end"],
+        radius=wp.get("radius", 0.03),
+        budget=budget // 2,
+    )
+
+
 def get_frame_config(
     param: Dict[str, Any],
     masking_ratio: Optional[float] = None,

@@ -56,11 +56,64 @@ def bc_mask(graph: MeshGraph) -> jnp.ndarray:
     return ~keep
 
 
+@struct.dataclass
+class DynamicWorldEdges:
+    """On-device world-edge rediscovery during rollout.
+
+    The reference rebuilds world edges per frame from GROUND-TRUTH
+    positions (dataset preprocessing runs before the module overwrites x —
+    SURVEY.md §3.3). With this config the rollout instead runs a radius
+    search (ops/knn.radius_edges) on the CURRENT (predicted) world
+    positions each step and writes the pairs into a reserved static tail
+    region of the edge arrays — the principled fix of that behavioral
+    quirk, fully inside the scan.
+
+    Frames must be built with mesh edges only and an edge padding of at
+    least ``2 * budget`` free slots at the tail.
+    """
+
+    world_pos_start: int = struct.field(pytree_node=False)
+    world_pos_end: int = struct.field(pytree_node=False)
+    radius: float = struct.field(pytree_node=False)
+    budget: int = struct.field(pytree_node=False)  # per direction
+
+
+def _apply_dynamic_world_edges(g: MeshGraph, cfg: DynamicWorldEdges) -> MeshGraph:
+    from graph_physics_tpu.ops.knn import radius_edges
+
+    wp = g.x[:, cfg.world_pos_start : cfg.world_pos_end].astype(jnp.float32)
+    t = g.node_type
+    obs = ((t == NodeType.OBSTACLE) | (t == NodeType.HANDLE)) & g.node_mask
+    nrm = (t == NodeType.NORMAL) & g.node_mask
+    a_idx, b_idx, valid = radius_edges(
+        wp, wp, cfg.radius, cfg.budget, mask_a=obs, mask_b=nrm
+    )
+    e_pad = g.senders.shape[0]
+    off = e_pad - 2 * cfg.budget
+    senders = g.senders.at[off : off + cfg.budget].set(a_idx)
+    senders = senders.at[off + cfg.budget :].set(b_idx)
+    receivers = g.receivers.at[off : off + cfg.budget].set(b_idx)
+    receivers = receivers.at[off + cfg.budget :].set(a_idx)
+    emask = g.edge_mask.at[off : off + cfg.budget].set(valid)
+    emask = emask.at[off + cfg.budget :].set(valid)
+    g = g.replace(senders=senders, receivers=receivers, edge_mask=emask)
+    if g.edge_attr is not None:
+        # refresh mesh-position features for the new tail edges
+        d = jnp.take(g.pos, senders, axis=0) - jnp.take(g.pos, receivers, axis=0)
+        nrm_ = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        mesh_feats = jnp.concatenate([d, nrm_], axis=-1).astype(g.edge_attr.dtype)
+        fe = mesh_feats.shape[-1]
+        ea = g.edge_attr.at[off:, :fe].set(mesh_feats[off:])
+        g = g.replace(edge_attr=ea)
+    return g
+
+
 def make_rollout_fn(
     simulator: Simulator,
     previous_data_slice: Optional[Tuple[int, int]] = None,
     mask_types=loss_lib.DEFAULT_MASK_TYPES,
     frame_transform=None,
+    dynamic_world_edges: Optional[DynamicWorldEdges] = None,
 ):
     """Build ``rollout(params, sim_state, frames) -> RolloutResult``.
 
@@ -85,6 +138,8 @@ def make_rollout_fn(
                 ps, pe = previous_data_slice
                 x = x.at[:, ps:pe].set(last_prev)
             g = frame.replace(x=x)
+            if dynamic_world_edges is not None:
+                g = _apply_dynamic_world_edges(g, dynamic_world_edges)
             if frame_transform is not None:
                 g = frame_transform(g)
 

@@ -81,6 +81,7 @@ class Trainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         run_metadata: Optional[Dict[str, Any]] = None,
         mtp=None,
+        dynamic_world_edges=None,
     ):
         self.sim = simulator
         self.train_ds = train_dataset
@@ -117,6 +118,7 @@ class Trainer:
             simulator,
             previous_data_slice=cfg.previous_data_slice,
             frame_transform=eval_transform,
+            dynamic_world_edges=dynamic_world_edges,
         )
 
         self.sharding = None

@@ -101,6 +101,71 @@ def test_noise_applied_to_normal_nodes_only():
     np.testing.assert_array_equal(np.asarray(g2.x[:, 2:]), np.asarray(g.x[:, 2:]))
 
 
+def test_multi_step_matches_sequential():
+    """make_multi_step(K) == K sequential train steps (same rng split)."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.training.step import make_multi_step
+
+    sim, opt, step_fn = make_setup(noise_scale=0.0)
+    batch = batch_of(2)
+    s0 = init_train_state(sim, opt, jax.random.PRNGKey(0), batch)
+    multi = make_multi_step(step_fn, unroll=4)
+    rng = jax.random.PRNGKey(5)
+    s_multi, m = multi(jax.tree.map(jnp.array, s0), batch, rng)
+
+    s_seq = jax.tree.map(jnp.array, s0)
+    keys = jax.random.split(rng, 4)
+    losses = []
+    for i in range(4):
+        s_seq, mi = step_fn(s_seq, batch, keys[i])
+        losses.append(float(mi["loss"]))
+    np.testing.assert_allclose(np.asarray(m["loss"]), losses, rtol=1e-4)
+    assert int(s_multi.step) == int(s_seq.step) == 4
+    for a, b in zip(jax.tree.leaves(s_multi.params), jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accumulation_equivalence():
+    """MultiSteps(k=2) on two half-batches ~= one step on the full batch."""
+    sim, _, _ = make_setup(noise_scale=0.0)
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import make_train_step
+
+    full = batch_of(4)
+    halves = [
+        jax.tree.map(lambda a: a[:2], full),
+        jax.tree.map(lambda a: a[2:], full),
+    ]
+    opt_full = schedule.make_optimizer(1e-2, warmup=1, num_steps=10)
+    opt_acc = schedule.make_optimizer(1e-2, warmup=1, num_steps=10,
+                                      accumulate_grad_batches=2)
+    step_full = make_train_step(sim, opt_full, LossType.L2LOSS, donate=False)
+    step_acc = make_train_step(sim, opt_acc, LossType.L2LOSS, donate=False)
+
+    s1 = init_train_state(sim, opt_full, jax.random.PRNGKey(0), full)
+    s2 = init_train_state(sim, opt_acc, jax.random.PRNGKey(0), halves[0])
+    s2 = s2.replace(params=jax.tree.map(jnp.array, s1.params))
+    p0 = jax.tree.map(jnp.array, s2.params)
+
+    s1, _ = step_full(s1, full, jax.random.PRNGKey(1))
+    # first micro-step: gradients buffered, params unchanged
+    s2, _ = step_acc(s2, halves[0], jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # second micro-step applies the averaged update
+    s2, _ = step_acc(s2, halves[1], jax.random.PRNGKey(1))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(s2.params))
+    )
+    assert moved
+    # and lands close to the full-batch update (normalizer statistics
+    # evolving between micro-steps causes small inherent divergence)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
+
+
 def test_cosine_warmup_schedule():
     sched = schedule.cosine_warmup_schedule(1.0, warmup=10, max_iters=100)
     lrs = [float(sched(s)) for s in range(100)]

@@ -118,6 +118,70 @@ def test_plate_trains_and_rolls_out(plate_config):
     assert np.isfinite(val["val_all_rollout_rmse"])
 
 
+def test_dynamic_world_edges_in_rollout(plate_config):
+    """On-device radius search inside the scan rollout recovers the same
+    OBSTACLE↔NORMAL pairs as host preprocessing on ground-truth frames."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+    from graph_physics_tpu.training.rollout import (
+        DynamicWorldEdges,
+        make_rollout_fn,
+        stack_frames,
+    )
+
+    import dataclasses
+
+    d, cfg_path = plate_config
+    param = config_lib.load_params(cfg_path)
+    # frames WITHOUT host world edges (radius ~0 finds none) but with the
+    # world edge budget reserved as free tail slots
+    frame_cfg = config_lib.get_frame_config(param)
+    world_off = dataclasses.replace(frame_cfg.world, radius=1e-9)
+    frame_cfg = dataclasses.replace(frame_cfg, world=world_off)
+    ds = config_lib.get_dataset(param, frame_cfg)
+
+    model = config_lib.get_model(param)
+    sim = config_lib.get_simulator(param, model)
+    frames_list = ds.trajectory_frames(0)
+    frames = stack_frames(frames_list)
+
+    budget = 128
+    assert frames.senders.shape[-1] - int(np.max(np.asarray(frames.n_edge))) >= 2 * budget
+
+    params = sim.init_params(jax.random.PRNGKey(0), jax.tree.map(lambda a: a[0], frames))
+    rollout = make_rollout_fn(
+        sim,
+        dynamic_world_edges=DynamicWorldEdges(
+            world_pos_start=0, world_pos_end=3, radius=0.12, budget=budget
+        ),
+    )
+    res = rollout(params, sim.init_state(), frames)
+    assert np.isfinite(float(res.rmse_all_rollout))
+
+    # cross-check step 0 (ground-truth positions): device pairs == host pairs
+    g0 = frames_list[0]
+    n = int(g0.n_node)
+    wp = np.asarray(g0.x[:n, 0:3])
+    nt = np.asarray(g0.node_type[:n])
+    host = mesh_lib.radius_world_edges(wp, nt, 0.12)
+    host_pairs = set(zip(host[0].tolist(), host[1].tolist()))
+
+    from graph_physics_tpu.training.rollout import _apply_dynamic_world_edges
+
+    g0j = jax.tree.map(jnp.asarray, g0)
+    g0d = _apply_dynamic_world_edges(
+        g0j, DynamicWorldEdges(0, 3, 0.12, budget)
+    )
+    e_pad = g0d.senders.shape[0]
+    off = e_pad - 2 * budget
+    dm = np.asarray(g0d.edge_mask[off:])
+    ds_ = np.asarray(g0d.senders[off:])[dm]
+    dr_ = np.asarray(g0d.receivers[off:])[dm]
+    dev_pairs = set(zip(ds_.tolist(), dr_.tolist()))
+    assert dev_pairs == host_pairs
+
+
 def test_device_world_features_track_noised_x(plate_config):
     """The device transform computes world-pos edge features from the
     CURRENT x (post-noise), like the reference pipeline ordering."""

@@ -14,6 +14,7 @@ batching lives in graph_physics_tpu/dataset/loader.py. Partitioning
 from __future__ import annotations
 
 import json
+import threading
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
@@ -53,6 +54,11 @@ class H5Dataset(BaseDataset):
         self._h5py = h5py
         self._cache: "OrderedDict[str, Dict[str, np.ndarray]]" = OrderedDict()
         self._cache_size = trajectory_cache_size
+        # h5py is not thread-safe; the prefetch thread (loader) and the
+        # main thread (validation rollouts) may both read — serialize.
+        # (The reference works around this with per-worker file handles,
+        # h5_dataset.py:96-103.)
+        self._lock = threading.Lock()
 
         with h5py.File(dataset_path, "r") as f:
             self.traj_keys: List[str] = sorted(f.keys(), key=lambda k: (len(k), k))
@@ -77,18 +83,19 @@ class H5Dataset(BaseDataset):
 
     def _trajectory(self, t: int) -> Dict[str, np.ndarray]:
         key = self.traj_keys[t]
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
-        g = self._file()[key]
-        traj = {}
-        for name, ft in self.meta["features"].items():
-            data = np.asarray(g[name][()], dtype=ft["dtype"])
-            traj[name] = data.reshape(list(ft["shape"]))
-        self._cache[key] = traj
-        while len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
-        return traj
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+            g = self._file()[key]
+            traj = {}
+            for name, ft in self.meta["features"].items():
+                data = np.asarray(g[name][()], dtype=ft["dtype"])
+                traj[name] = data.reshape(list(ft["shape"]))
+            self._cache[key] = traj
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+            return traj
 
     def close(self):
         if self._h5 is not None:

@@ -211,6 +211,16 @@ class Trainer:
             val_metrics = self.validate(epoch)
             epoch_metrics.update(val_metrics)
             self.logger.log(epoch_metrics, int(self.state.step))
+            print(
+                f"epoch {epoch}: train_loss={epoch_metrics['train_loss_epoch']:.5f}"
+                + (
+                    f" val_rmse={val_metrics['val_all_rollout_rmse']:.5f}"
+                    if "val_all_rollout_rmse" in val_metrics
+                    else ""
+                )
+                + f" ({epoch_metrics['epoch_time_s']:.1f}s)",
+                flush=True,
+            )
 
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0 or epoch == cfg.epochs - 1:
                 ckpt_lib.save_checkpoint(

@@ -241,6 +241,7 @@ class Attention(nn.Module):
     use_rope_embeddings: bool = False
     use_gated_attention: bool = False
     rope_base: float = 10000.0
+    sp_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -280,7 +281,10 @@ class Attention(nn.Module):
             k = apply_spatial_rope(k, pos[:, : self.pos_dimension], inv)
 
         if senders is not None:
-            y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
+            y = ea.edge_attention(
+                q, k, v, senders, receivers, edge_mask,
+                sp_axis_name=self.sp_axis_name,
+            )
         else:
             # dense attention over valid nodes (n = attention axis 0)
             logits = jnp.einsum(
@@ -322,6 +326,7 @@ class TransformerBlock(nn.Module):
     pos_dimension: int = 3
     rope_base: float = 10000.0
     use_silu: bool = False
+    sp_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -343,6 +348,7 @@ class TransformerBlock(nn.Module):
             use_rope_embeddings=self.use_rope_embeddings,
             use_gated_attention=self.use_gated_attention,
             rope_base=self.rope_base,
+            sp_axis_name=self.sp_axis_name,
             dtype=self.dtype,
             name="attention",
         )(

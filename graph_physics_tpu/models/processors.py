@@ -127,6 +127,7 @@ class EncodeTransformDecode(nn.Module):
     use_temporal_block: bool = False
     use_silu: bool = False
     remat: bool = False
+    sp_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -160,6 +161,7 @@ class EncodeTransformDecode(nn.Module):
                 pos_dimension=self.rope_pos_dimension,
                 rope_base=self.rope_base,
                 use_silu=self.use_silu,
+                sp_axis_name=self.sp_axis_name,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(

@@ -31,6 +31,7 @@ def edge_attention(
     receivers: jnp.ndarray,  # [E]
     edge_mask: Optional[jnp.ndarray] = None,  # [E] bool
     return_weights: bool = False,
+    sp_axis_name: Optional[str] = None,
 ):
     """Multi-head attention restricted to graph edges.
 
@@ -39,13 +40,24 @@ def edge_attention(
     incoming edges return zeros. Works on the trajectory-major packed
     layout ([N, B, H, D], node axis first) unchanged — gathers/scatters
     act on axis 0 and move wide rows (the TPU-efficient path).
+
+    ``sp_axis_name``: under shard_map with nodes sharded over that axis,
+    senders carry GLOBAL node ids and k/v rows are fetched over ICI
+    (parallel/sp.py); receivers stay local.
     """
     n = q.shape[0]
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=jnp.float32))
 
+    if sp_axis_name is not None:
+        from graph_physics_tpu.parallel.sp import sp_gather
+
+        gather_send = lambda a: sp_gather(a, senders, sp_axis_name)
+    else:
+        gather_send = lambda a: jnp.take(a, senders, axis=0)
+
     q_e = jnp.take(q, receivers, axis=0)  # [E, ..., H, D]
-    k_e = jnp.take(k, senders, axis=0)
+    k_e = gather_send(k)
     # fp32 logits regardless of compute dtype: softmax stability.
     logits = jnp.einsum(
         "...d,...d->...", q_e, k_e, preferred_element_type=jnp.float32
@@ -53,7 +65,7 @@ def edge_attention(
 
     alpha = segment.segment_softmax(logits, receivers, n, mask=edge_mask)
 
-    v_e = jnp.take(v, senders, axis=0)
+    v_e = gather_send(v)
     weighted = v_e * alpha[..., None].astype(v.dtype)
     out = segment.segment_sum(weighted, receivers, n, mask=edge_mask)
     if return_weights:

@@ -191,10 +191,24 @@ class Trainer:
             t_epoch = time.time()
             n_batches = 0
             loss_sum = 0.0
+            profiling = False
             for batch in loader:
+                if (
+                    cfg.profile_dir
+                    and epoch == start_epoch
+                    and n_batches == 1  # skip the compile step
+                ):
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
+                if profiling and n_batches >= 4:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
                 n_batches += 1
+            if profiling:
+                jax.profiler.stop_trace()
                 step = int(self.state.step)
                 loss_sum += float(metrics["loss"])
                 if step % cfg.log_every == 0:

@@ -59,7 +59,8 @@ class BatchLoader:
         self.packed = packed
         self._rng = np.random.default_rng(seed)
 
-    def _batched_indices(self) -> List[List[int]]:
+    def _batched_indices(self, shuffle: Optional[bool] = None) -> List[List[int]]:
+        shuffle = self.shuffle if shuffle is None else shuffle
         by_bucket = defaultdict(list)
         for i in range(len(self.ds)):
             if self.packed:
@@ -72,7 +73,7 @@ class BatchLoader:
         batches = []
         for idxs in by_bucket.values():
             idxs = np.asarray(idxs)
-            if self.shuffle:
+            if shuffle:
                 self._rng.shuffle(idxs)
             for s in range(0, len(idxs), self.batch_size):
                 chunk = idxs[s : s + self.batch_size].tolist()
@@ -82,16 +83,15 @@ class BatchLoader:
                     # repeat-pad so every batch of a bucket has one shape
                     chunk = (chunk * self.batch_size)[: self.batch_size]
                 batches.append(chunk)
-        if self.shuffle:
+        if shuffle:
             order = self._rng.permutation(len(batches))
             batches = [batches[i] for i in order]
         return batches
 
     def __len__(self):
-        n = len(self.ds)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        # exact: group sizes depend on bucketing / same-trajectory packing
+        # (shuffle=False so the rng stream driving batch order is untouched)
+        return len(self._batched_indices(shuffle=False))
 
     def _produce(self, batches, q):
         try:

@@ -162,6 +162,10 @@ def make_train_step(
 
         stats: Dict[str, jnp.ndarray] = {}
         if mtp is not None:
+            if simulator.is_packed(graph):
+                raise NotImplementedError(
+                    "spatial MTP requires stacked batching (packed=False)"
+                )
             from graph_physics_tpu.models.spatial_mtp import spatial_mtp_loss
 
             def unwrap(v):

@@ -38,9 +38,16 @@ class WorldPosConfig:
 def append_world_pos_features(graph: MeshGraph, cfg: WorldPosConfig) -> MeshGraph:
     """edge_attr ⧺= [world_pos[send] − world_pos[recv], its norm]."""
     wp = graph.x[..., cfg.start : cfg.end]
-    rel = jnp.take_along_axis(
-        wp, graph.senders[..., None], axis=-2
-    ) - jnp.take_along_axis(wp, graph.receivers[..., None], axis=-2)
+    if graph.senders.ndim == 1:
+        # single graph [N, D] or packed [N, B, D]: node axis is 0
+        rel = jnp.take(wp, graph.senders, axis=0) - jnp.take(
+            wp, graph.receivers, axis=0
+        )
+    else:
+        # stacked [B, N, D] with per-sample edge lists [B, E]
+        rel = jnp.take_along_axis(
+            wp, graph.senders[..., None], axis=-2
+        ) - jnp.take_along_axis(wp, graph.receivers[..., None], axis=-2)
     norm = jnp.linalg.norm(rel, axis=-1, keepdims=True)
     ea = jnp.concatenate([graph.edge_attr, rel, norm], axis=-1)
     return graph.replace(edge_attr=ea)

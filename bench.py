@@ -7,13 +7,21 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+
 
 def main():
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
 
     from __graft_entry__ import _cylinder_setup
     from graph_physics_tpu.training.step import init_train_state, make_multi_step

@@ -63,13 +63,19 @@ class RMSNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
         xf = x.astype(jnp.float32)
+
+        def safe_norm(v):
+            # sqrt(Σv²+tiny): forward-identical to ‖v‖ at fp32 but with a
+            # finite gradient on all-zero rows (padded nodes)
+            return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
+
         if self.p < 0.0 or self.p > 1.0:
             d_x = self.dim
-            norm_x = jnp.linalg.norm(xf, axis=-1, keepdims=True)
+            norm_x = safe_norm(xf)
         else:
             partial = int(self.dim * self.p)
             d_x = partial
-            norm_x = jnp.linalg.norm(xf[..., :partial], axis=-1, keepdims=True)
+            norm_x = safe_norm(xf[..., :partial])
         rms = norm_x / math.sqrt(max(d_x, 1))
         out = xf / (rms + self.eps) * scale
         if self.use_bias:

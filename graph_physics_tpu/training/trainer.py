@@ -207,8 +207,6 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                 n_batches += 1
-            if profiling:
-                jax.profiler.stop_trace()
                 step = int(self.state.step)
                 loss_sum += float(metrics["loss"])
                 if step % cfg.log_every == 0:
@@ -216,6 +214,8 @@ class Trainer:
                     metrics["lr"] = float(self.lr_schedule(step))
                     metrics["epoch"] = epoch
                     self.logger.log(metrics, step)
+            if profiling:
+                jax.profiler.stop_trace()
 
             epoch_metrics = {
                 "epoch": epoch,

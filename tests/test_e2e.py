@@ -87,6 +87,8 @@ def test_train_resume_predict(workspace):
     assert any("val_all_rollout_rmse" in r for r in records)
     val = [r for r in records if "val_all_rollout_rmse" in r][-1]
     assert np.isfinite(val["val_all_rollout_rmse"])
+    # the epoch training loss must be a real accumulated value
+    assert val["train_loss_epoch"] > 0
 
     # resume for one more epoch
     assert train_main(args[:3] + ["2"] + args[4:] + ["--resume_training"]) == 0

@@ -45,7 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="adaptive partition count cap by node budget")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--packed", action="store_true",
-                   help="trajectory-major [N,B,F] batching (TPU fast gathers; epd only)")
+                   help="trajectory-major [N,B,F] batching (TPU fast gathers)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
                    help="use-case feature builder name (external registry)")
     return p
@@ -150,6 +152,7 @@ def main(argv=None):
         use_wandb=args.use_wandb,
         accumulate_grad_batches=args.accumulate_grad_batches,
         packed=args.packed,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     num_steps = max(

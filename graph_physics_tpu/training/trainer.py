@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from graph_physics_tpu.dataset.loader import BatchLoader
@@ -65,6 +66,9 @@ class TrainerConfig:
     #: trajectory-major [N, B, F] batching (shared topology) — the TPU
     #: fast gather path (training/packed.py)
     packed: bool = False
+    #: fuse K optimizer steps into one XLA dispatch (lax.scan over K
+    #: stacked batches) — amortizes host→device latency
+    steps_per_dispatch: int = 1
 
 
 class Trainer:
@@ -105,6 +109,7 @@ class Trainer:
             cfg.learning_rate, cfg.warmup, self.num_steps
         )
         self.mtp = mtp
+        self.multi_step = None
         self.train_step = make_train_step(
             simulator,
             self.optimizer,
@@ -114,6 +119,12 @@ class Trainer:
             device_preprocess=device_preprocess,
             mtp=mtp,
         )
+        if cfg.steps_per_dispatch > 1:
+            from graph_physics_tpu.training.step import make_multi_step
+
+            self.multi_step = make_multi_step(
+                self.train_step, unroll=cfg.steps_per_dispatch
+            )
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,
@@ -169,6 +180,10 @@ class Trainer:
         self.state = state
         return state
 
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
     # ------------------------------------------------------------------
     def fit(self, resume: bool = False) -> TrainState:
         cfg = self.cfg
@@ -192,20 +207,12 @@ class Trainer:
             n_batches = 0
             loss_sum = 0.0
             profiling = False
-            for batch in loader:
-                if (
-                    cfg.profile_dir
-                    and epoch == start_epoch
-                    and n_batches == 1  # skip the compile step
-                ):
-                    jax.profiler.start_trace(cfg.profile_dir)
-                    profiling = True
-                rng, step_rng = jax.random.split(rng)
-                self.state, metrics = self.train_step(self.state, batch, step_rng)
-                if profiling and n_batches >= 4:
-                    jax.block_until_ready(metrics["loss"])
-                    jax.profiler.stop_trace()
-                    profiling = False
+            pending = []  # same-shape batches awaiting a fused dispatch
+
+            def run_single(batch):
+                nonlocal n_batches, loss_sum
+                rng_local = self._next_rng()
+                self.state, metrics = self.train_step(self.state, batch, rng_local)
                 n_batches += 1
                 step = int(self.state.step)
                 loss_sum += float(metrics["loss"])
@@ -214,6 +221,48 @@ class Trainer:
                     metrics["lr"] = float(self.lr_schedule(step))
                     metrics["epoch"] = epoch
                     self.logger.log(metrics, step)
+
+            def flush(force=False):
+                nonlocal pending, n_batches, loss_sum
+                k = cfg.steps_per_dispatch
+                if self.multi_step is not None and len(pending) == k:
+                    super_batch = jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *pending
+                    )
+                    self.state, ms = self.multi_step(
+                        self.state, super_batch, self._next_rng()
+                    )
+                    n_batches += k
+                    loss_sum += float(jnp.sum(ms["loss"]))
+                    pending = []
+                elif force:
+                    for b in pending:
+                        run_single(b)
+                    pending = []
+
+            self._rng = rng
+            for batch in loader:
+                if (
+                    cfg.profile_dir
+                    and epoch == start_epoch
+                    and n_batches == 1  # skip the compile step
+                ):
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                if self.multi_step is None:
+                    run_single(batch)
+                else:
+                    if pending and jax.tree.map(jnp.shape, pending[0].x) != jax.tree.map(
+                        jnp.shape, batch.x
+                    ):
+                        flush(force=True)  # bucket changed
+                    pending.append(batch)
+                    flush()
+                if profiling and n_batches >= 4:
+                    jax.profiler.stop_trace()
+                    profiling = False
+            flush(force=True)
+            rng = self._rng
             if profiling:
                 jax.profiler.stop_trace()
 

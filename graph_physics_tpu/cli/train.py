@@ -65,6 +65,12 @@ def _honor_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    n_cpu = os.environ.get("JAX_NUM_CPU_DEVICES")
+    if n_cpu:
+        try:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
+        except Exception:
+            pass
 
 
 def main(argv=None):

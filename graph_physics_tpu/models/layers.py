@@ -196,7 +196,7 @@ def apply_spatial_rope(
 
 
 def apply_relative_rope(
-    x_src: jnp.ndarray,  # [E, C] flat features
+    x_src: jnp.ndarray,  # [E, ..., C] source features (packed dims allowed)
     delta_pos: jnp.ndarray,  # [E, P]
     inv_freq: jnp.ndarray,  # [m]
     rope_axes: int,
@@ -205,23 +205,28 @@ def apply_relative_rope(
 
     Spec: reference GraphNetBlock._apply_rope_rel (layers.py:1104-1149):
     channels are grouped per axis as [2m]*rope_axes, rotated by the edge's
-    Δpos along that axis.
+    Δpos along that axis. Extra middle dims (packed batch) broadcast.
     """
     m = inv_freq.shape[0]
     if m == 0:
         return x_src
-    e, c = x_src.shape
+    e = x_src.shape[0]
+    lead = x_src.shape[:-1]
+    mid = (1,) * (x_src.ndim - 2)
     d_rope = rope_axes * 2 * m
     parts = []
     for axis in range(rope_axes):
-        seg = x_src[:, axis * 2 * m : (axis + 1) * 2 * m].reshape(e, m, 2)
-        theta = delta_pos[:, axis : axis + 1].astype(jnp.float32) * inv_freq[None, :]
+        seg = x_src[..., axis * 2 * m : (axis + 1) * 2 * m].reshape(lead + (m, 2))
+        theta = (
+            delta_pos[:, axis].astype(jnp.float32).reshape((e,) + mid + (1,))
+            * inv_freq.reshape((1,) * (x_src.ndim - 1) + (m,))
+        )
         cos, sin = jnp.cos(theta), jnp.sin(theta)
         even = seg[..., 0].astype(jnp.float32)
         odd = seg[..., 1].astype(jnp.float32)
         rot = jnp.stack([even * cos - odd * sin, even * sin + odd * cos], axis=-1)
-        parts.append(rot.reshape(e, 2 * m).astype(x_src.dtype))
-    return jnp.concatenate(parts + [x_src[:, d_rope:]], axis=-1)
+        parts.append(rot.reshape(lead + (2 * m,)).astype(x_src.dtype))
+    return jnp.concatenate(parts + [x_src[..., d_rope:]], axis=-1)
 
 
 # ----------------------------------------------------------------------
@@ -260,6 +265,7 @@ class Attention(nn.Module):
         node_mask: Optional[jnp.ndarray] = None,
         pos: Optional[jnp.ndarray] = None,
         kv: Optional[jnp.ndarray] = None,
+        return_attention: bool = False,
     ) -> jnp.ndarray:
         if self.use_rope_embeddings and pos is None:
             raise ValueError("RoPE embeddings require positional information.")
@@ -286,11 +292,15 @@ class Attention(nn.Module):
             q = apply_spatial_rope(q, pos[:, : self.pos_dimension], inv)
             k = apply_spatial_rope(k, pos[:, : self.pos_dimension], inv)
 
+        attn_weights = None
         if senders is not None:
             y = ea.edge_attention(
                 q, k, v, senders, receivers, edge_mask,
+                return_weights=return_attention,
                 sp_axis_name=self.sp_axis_name,
             )
+            if return_attention:
+                y, attn_weights = y
         else:
             # dense attention over valid nodes (n = attention axis 0)
             logits = jnp.einsum(
@@ -300,6 +310,7 @@ class Attention(nn.Module):
             if node_mask is not None:
                 logits = jnp.where(node_mask[None, None, :], logits, -jnp.inf)
             alpha = jax.nn.softmax(logits, axis=-1)
+            attn_weights = alpha
             y = jnp.einsum("...hnm,m...hd->n...hd", alpha.astype(v.dtype), v)
 
         if self.use_gated_attention:
@@ -312,6 +323,10 @@ class Attention(nn.Module):
         out = nn.Dense(self.hidden_size, use_bias=self.use_proj_bias, dtype=self.dtype, name="proj")(
             y.reshape(lead + (self.hidden_size,))
         )
+        if return_attention:
+            # per-edge weights [E, ..., H] (sparse) or dense [..., H, N, N]
+            # (spec: reference Attention.return_attention, layers.py:685-698)
+            return out, attn_weights
         return out
 
 

@@ -33,31 +33,77 @@ from graph_physics_tpu.core.graph import PAD_NODE_TYPE, MeshGraph
 from graph_physics_tpu.dataset.partition import rcb_partition
 
 
-def sp_gather(x_local: jnp.ndarray, global_idx: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Gather rows by GLOBAL node index from the sp-sharded node array.
+import contextvars
 
-    v1: all_gather over the sp axis then take. The ppermute halo-exchange
-    optimization replaces only this function.
+#: static halo row count per shard, set by make_sp_forward(halo_size=..).
+#: When set, sharded graphs must come from shard_graph(halo=True): each
+#: shard's nodes are ordered boundary-first and sender indices address the
+#: combined [local ⧺ gathered-halo] space.
+_HALO_SIZE: "contextvars.ContextVar[Optional[int]]" = contextvars.ContextVar(
+    "sp_halo_size", default=None
+)
+
+
+def sp_gather(x_local: jnp.ndarray, global_idx: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Gather rows by node index from the sp-sharded node array.
+
+    Full mode: all_gather everything over the sp axis then take (index =
+    global node id). Halo mode (``_HALO_SIZE`` set): exchange only each
+    shard's first ``Hb`` rows — the boundary nodes any other shard needs —
+    so ICI traffic is O(S·Hb·F) instead of O(S·N_s·F); sender indices then
+    address [0, N_s) for local rows and [N_s, N_s + S·Hb) for halo rows.
     """
-    x_all = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
-    return jnp.take(x_all, global_idx, axis=0)
+    hb = _HALO_SIZE.get()
+    if hb is None:
+        x_all = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
+        return jnp.take(x_all, global_idx, axis=0)
+    halo = jax.lax.all_gather(x_local[:hb], axis_name, axis=0, tiled=True)
+    combined = jnp.concatenate([x_local, halo], axis=0)
+    return jnp.take(combined, global_idx, axis=0)
 
 
 def shard_graph(
     graph_np,  # host-side MeshGraph (numpy), UNBATCHED
     num_shards: int,
+    halo: bool = False,
 ) -> Tuple[MeshGraph, np.ndarray]:
     """Reorder + shard a padded MeshGraph for 'sp' execution.
 
     Returns (sharded graph with leading [S] axis on every array,
     permutation ``order`` mapping new global index -> original index).
-    Shapes: nodes [S, N_s, ...] and edges [S, E_s] with sender indices
-    GLOBAL (into the concatenated reordered node array) and receiver
-    indices LOCAL to their shard.
+    Shapes: nodes [S, N_s, ...] and edges [S, E_s] with receiver indices
+    LOCAL to their shard. Sender indices are GLOBAL (owner·N_s + local)
+    in full mode, or combined-space ids in halo mode (see
+    :func:`sp_gather`); in halo mode each shard's boundary nodes — those
+    any remote edge reads — are ordered first, and the static halo size is
+    returned via ``sharded.n_node``'s companion attribute ``halo_size``
+    (use :func:`make_sp_forward(halo_size=...)`).
     """
     n_valid = int(graph_np.n_node)
     pos = np.asarray(graph_np.pos)[:n_valid]
     parts = rcb_partition(pos, num_shards)
+
+    e_valid_pre = int(graph_np.n_edge)
+    send_pre = np.asarray(graph_np.senders)[:e_valid_pre]
+    recv_pre = np.asarray(graph_np.receivers)[:e_valid_pre]
+
+    if halo:
+        # boundary-first ordering: node u of part s is boundary if some
+        # edge owned by another part reads it
+        owner0 = np.full(n_valid, -1, np.int64)
+        for s, ids in enumerate(parts):
+            owner0[ids] = s
+        remote_read = np.zeros(n_valid, bool)
+        cross = owner0[send_pre] != owner0[recv_pre]
+        remote_read[send_pre[cross]] = True
+        parts = [
+            np.concatenate([ids[remote_read[ids]], ids[~remote_read[ids]]])
+            for ids in parts
+        ]
+        hb = max(int(remote_read[ids].sum()) for ids in parts)
+        hb = max(((hb + 7) // 8) * 8, 8)  # sublane-align
+    else:
+        hb = None
 
     n_s = padding.bucket_size(max(len(p) for p in parts))
     # new global order: part 0 nodes, pad, part 1 nodes, pad, ...
@@ -97,7 +143,17 @@ def shard_graph(
     for s in range(num_shards):
         sel = np.where(e_owner == s)[0]
         k = len(sel)
-        send_g[s, :k] = owner[send[sel]] * n_s + local_of[send[sel]]
+        su = send[sel]
+        if halo:
+            is_local = owner[su] == s
+            # local rows address [0, N_s); halo rows address
+            # N_s + owner·Hb + boundary_pos (boundary nodes are the first
+            # rows of their shard, so boundary_pos == local index)
+            send_g[s, :k] = np.where(
+                is_local, local_of[su], n_s + owner[su] * hb + local_of[su]
+            )
+        else:
+            send_g[s, :k] = owner[su] * n_s + local_of[su]
         recv_l[s, :k] = local_of[recv[sel]]
         emask[s, :k] = True
         if eattr is not None:
@@ -125,16 +181,21 @@ def shard_graph(
         traj_index=np.repeat(np.asarray(graph_np.traj_index)[None], num_shards),
         time=np.repeat(np.asarray(graph_np.time)[None], num_shards),
     )
+    if halo:
+        return sharded, order, hb
     return sharded, order
 
 
-def make_sp_forward(model, mesh: Mesh, axis_name: str = "sp"):
+def make_sp_forward(
+    model, mesh: Mesh, axis_name: str = "sp", halo_size: Optional[int] = None
+):
     """Jit a node-sharded forward: (params, sharded_graph) -> [S, N_s, out].
 
     ``model`` must be built with ``sp_axis_name=axis_name`` (its
     GraphNetBlocks then gather sender features with :func:`sp_gather`).
     Params are replicated; graph leaves are sharded on their leading [S]
-    axis.
+    axis. Pass the ``halo_size`` returned by ``shard_graph(halo=True)`` to
+    exchange only boundary rows over ICI instead of the full node array.
     """
 
     def local_fn(params, graph: MeshGraph):
@@ -149,7 +210,18 @@ def make_sp_forward(model, mesh: Mesh, axis_name: str = "sp"):
         out_specs=P(axis_name),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    if halo_size is None:
+        return jitted
+
+    def with_halo(params, graph):
+        token = _HALO_SIZE.set(halo_size)
+        try:
+            return jitted(params, graph)
+        finally:
+            _HALO_SIZE.reset(token)
+
+    return with_halo
 
 
 def unshard_nodes(arr: np.ndarray, order: np.ndarray, num_orig: int) -> np.ndarray:

@@ -77,6 +77,52 @@ def test_packed_train_step_learns():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_packed_rope_epd_matches_stacked():
+    """Relative-RoPE GraphNetBlocks also support the packed layout."""
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.models.simulator import Simulator
+
+    model = EncodeProcessDecode(
+        message_passing_num=2,
+        node_input_size=11,
+        edge_input_size=3,
+        output_size=2,
+        hidden_size=16,
+        use_rope_embeddings=True,
+        rope_pos_dimension=2,
+    )
+    sim = Simulator(11, 3, 2, 0, 2, 0, 2, 2, model)
+    b = stacked_batch(3)
+    p = jax.tree.map(jnp.asarray, pk.pack(b))
+    bj = jax.tree.map(jnp.asarray, b)
+    params = sim.init_params(jax.random.PRNGKey(0), bj)
+    state = sim.init_state()
+    out_stacked = sim.forward(params, state, bj, is_training=False)
+    out_packed = sim.forward(params, state, p, is_training=False)
+    np.testing.assert_allclose(
+        np.asarray(pk.unpack_nodes(out_packed.net_out)),
+        np.asarray(out_stacked.net_out),
+        atol=2e-4,
+    )
+
+
+def test_attention_return_weights():
+    from graph_physics_tpu.models import layers
+
+    n, c = 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, c))
+    s = jnp.array([(i + 1) % n for i in range(n)])
+    r = jnp.arange(n)
+    mod = layers.Attention(hidden_size=c, num_heads=4)
+    params = mod.init(jax.random.PRNGKey(1), x, s, r)
+    out, w = mod.apply(params, x, s, r, return_attention=True)
+    assert out.shape == (n, c) and w.shape == (n, 4)
+    # single incoming edge per node -> weight 1
+    np.testing.assert_allclose(np.asarray(w), 1.0, atol=1e-5)
+    out_d, w_d = mod.apply(params, x, return_attention=True)
+    assert w_d.shape == (4, n, n)
+
+
 def test_packed_transformer_matches_stacked():
     """Edge-attention (transformer) path also supports packed layout."""
     from graph_physics_tpu.models.processors import EncodeTransformDecode

@@ -88,6 +88,34 @@ def test_sp_transformer_matches_single_device():
     np.testing.assert_allclose(rec[:n], np.asarray(out_single)[:n], atol=2e-4)
 
 
+def test_sp_halo_exchange_matches_full_gather():
+    """Boundary-only halo exchange == full all_gather == single device."""
+    g = tiny_graph(nx=10, ny=8)
+    n_shards = 4
+    sharded, order, hb = sp.shard_graph(g, n_shards, halo=True)
+    assert hb < sharded.x.shape[1]  # halo strictly smaller than a shard
+
+    kwargs = dict(
+        message_passing_num=2,
+        node_input_size=4,
+        edge_input_size=3,
+        output_size=2,
+        hidden_size=16,
+    )
+    model_single = EncodeProcessDecode(**kwargs)
+    model_sp = EncodeProcessDecode(sp_axis_name="sp", **kwargs)
+    g_j = jax.tree.map(jnp.asarray, g)
+    params = model_single.init(jax.random.PRNGKey(0), g_j)
+    out_single = model_single.apply(params, g_j)
+
+    mesh = make_mesh(dp=1, sp=n_shards)
+    fwd = sp.make_sp_forward(model_sp, mesh, halo_size=hb)
+    out_sharded = fwd(params, jax.tree.map(jnp.asarray, sharded))
+    rec = sp.unshard_nodes(np.asarray(out_sharded), order, g.x.shape[0])
+    n = int(g.n_node)
+    np.testing.assert_allclose(rec[:n], np.asarray(out_single)[:n], atol=2e-4)
+
+
 def test_dp_train_step_matches_single_device():
     """GSPMD dp sharding: same numerics as unsharded execution."""
     from jax.sharding import NamedSharding, PartitionSpec as P

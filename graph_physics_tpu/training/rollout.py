@@ -124,8 +124,7 @@ def make_rollout_fn(
     ois, oie = simulator.output_index_start, simulator.output_index_end
     mask_types = tuple(int(m) for m in mask_types)
 
-    @jax.jit
-    def rollout(params, sim_state: SimulatorState, frames: MeshGraph) -> RolloutResult:
+    def rollout_impl(params, sim_state: SimulatorState, frames: MeshGraph) -> RolloutResult:
         def body(carry, frame: MeshGraph):
             # Unconditional write-back: the carry is seeded with frame-0's
             # ground-truth slices, so step 0 writes identical values. (A
@@ -197,7 +196,34 @@ def make_rollout_fn(
             count=counts,
         )
 
+    rollout = jax.jit(rollout_impl)
+    rollout._impl = rollout_impl  # for make_batched_rollout_fn
     return rollout
+
+
+def make_batched_rollout_fn(
+    simulator: Simulator,
+    previous_data_slice: Optional[Tuple[int, int]] = None,
+    mask_types=loss_lib.DEFAULT_MASK_TYPES,
+    frame_transform=None,
+    dynamic_world_edges: Optional[DynamicWorldEdges] = None,
+):
+    """All validation trajectories in ONE dispatch.
+
+    vmaps the scan rollout over a leading trajectory axis: input frames
+    are [R, T, N, ...] (R same-bucket trajectories stacked), outputs carry
+    per-trajectory metrics. Amortizes host↔device latency across the
+    whole validation epoch — the reference iterates trajectories in
+    Python (lightning_module.py:411-465).
+    """
+    single = make_rollout_fn(
+        simulator,
+        previous_data_slice=previous_data_slice,
+        mask_types=mask_types,
+        frame_transform=frame_transform,
+        dynamic_world_edges=dynamic_world_edges,
+    )
+    return jax.jit(jax.vmap(single._impl, in_axes=(None, None, 0)))
 
 
 def stack_frames(frame_list) -> MeshGraph:

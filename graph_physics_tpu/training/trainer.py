@@ -131,6 +131,14 @@ class Trainer:
             frame_transform=eval_transform,
             dynamic_world_edges=dynamic_world_edges,
         )
+        from graph_physics_tpu.training.rollout import make_batched_rollout_fn
+
+        self.batched_rollout_fn = make_batched_rollout_fn(
+            simulator,
+            previous_data_slice=cfg.previous_data_slice,
+            frame_transform=eval_transform,
+            dynamic_world_edges=dynamic_world_edges,
+        )
 
         self.sharding = None
         if mesh is not None:
@@ -304,34 +312,51 @@ class Trainer:
     # ------------------------------------------------------------------
     def validate(self, epoch: int = 0) -> Dict[str, float]:
         """Rollout every validation trajectory; aggregate like the
-        reference's on_validation_epoch_end."""
+        reference's on_validation_epoch_end. Same-shape trajectories are
+        stacked and rolled out in one dispatch (batched vmap rollout)."""
         if self.val_ds is None:
             return {}
         n_traj = self.val_ds.num_trajectories
         if self.cfg.max_val_trajectories is not None:
             n_traj = min(n_traj, self.cfg.max_val_trajectories)
+
+        # group trajectories by stacked-frame shape
+        groups: Dict[tuple, list] = {}
+        for t in range(n_traj):
+            frames = stack_frames(self.val_ds.trajectory_frames(t))
+            key = (frames.x.shape, frames.senders.shape)
+            groups.setdefault(key, []).append((t, frames))
+
+        params = model_params(self.state.params)
         sq_sum = 0.0
         count = 0.0
         first_rmses = []
         val_losses = []
-        for t in range(n_traj):
-            frames = stack_frames(self.val_ds.trajectory_frames(t))
-            res = self.rollout_fn(
-                model_params(self.state.params), self.state.sim_state, frames
+        for entries in groups.values():
+            ts = [t for t, _ in entries]
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[f for _, f in entries]
             )
+            res = self.batched_rollout_fn(params, self.state.sim_state, stacked)
             sq_sum += float(np.sum(np.asarray(res.sq_sum)))
             count += float(np.sum(np.asarray(res.count)))
-            first_rmses.append(float(res.rmse_1step))
-            val_losses.append(float(np.mean(np.asarray(res.val_loss))))
-            if t == 0 and self.cfg.save_val_xdmf:
-                self._save_rollout_xdmf(res, frames, epoch)
-            if t == 0 and self.cfg.save_val_visualizations:
-                from graph_physics_tpu.training.callback import PredictionVisualizer
+            first_rmses.extend(np.asarray(res.rmse_1step).tolist())
+            val_losses.extend(np.mean(np.asarray(res.val_loss), axis=-1).tolist())
+            if 0 in ts and (self.cfg.save_val_xdmf or self.cfg.save_val_visualizations):
+                i0 = ts.index(0)
+                res0 = jax.tree.map(lambda a: a[i0], res)
+                frames0 = entries[i0][1]
+                if self.cfg.save_val_xdmf:
+                    self._save_rollout_xdmf(res0, frames0, epoch)
+                if self.cfg.save_val_visualizations:
+                    from graph_physics_tpu.training.callback import (
+                        PredictionVisualizer,
+                    )
 
-                PredictionVisualizer(
-                    os.path.join(self.cfg.out_dir, self.cfg.run_name, "viz"),
-                    wandb_run=self.logger.wandb,
-                )(res, frames, epoch)
+                    PredictionVisualizer(
+                        os.path.join(self.cfg.out_dir, self.cfg.run_name, "viz"),
+                        wandb_run=self.logger.wandb,
+                    )(res0, frames0, epoch)
         return {
             "val_all_rollout_rmse": float(np.sqrt(sq_sum / max(count, 1.0))),
             "val_1step_rmse": float(np.mean(first_rmses)),

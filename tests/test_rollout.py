@@ -54,6 +54,30 @@ def test_bc_nodes_match_targets(frames):
     np.testing.assert_allclose(preds[:, m, :], targs[:, m, :], atol=1e-6)
 
 
+def test_batched_rollout_matches_sequential(frames):
+    """vmap-batched rollout over stacked trajectories == per-trajectory."""
+    from graph_physics_tpu.training.rollout import make_batched_rollout_fn
+
+    sim, opt, _ = make_setup()
+    stacked = stack_frames(frames)
+    params = sim.init_params(jax.random.PRNGKey(0), jax.tree.map(lambda a: a[0], stacked))
+    state = sim.init_state()
+    single = make_rollout_fn(sim)
+    res1 = single(params, state, stacked)
+
+    # two "trajectories" (same frames twice), batched
+    batched = jax.tree.map(lambda a: jnp.stack([a, a]), stacked)
+    multi = make_batched_rollout_fn(sim)
+    res2 = multi(params, state, batched)
+    assert res2.rmse_1step.shape == (2,)
+    np.testing.assert_allclose(
+        float(res2.rmse_all_rollout[0]), float(res1.rmse_all_rollout), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2.predictions[1]), np.asarray(res1.predictions), atol=1e-5
+    )
+
+
 def test_perfect_model_zero_rmse(frames):
     """A simulator whose net_out equals the normalized target rolls out with
     zero error — validates the write-back + inverse-normalization chain."""

@@ -25,11 +25,28 @@ def _abs(path: str) -> str:
     return os.path.abspath(os.path.expanduser(path))
 
 
-def make_manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+def make_manager(
+    directory: str,
+    max_to_keep: int = 3,
+    best_metric: Optional[str] = None,
+    best_mode: str = "min",
+) -> ocp.CheckpointManager:
+    """Checkpoint manager; with ``best_metric`` set, keeps the k best
+    checkpoints by that metric (e.g. 'val_all_rollout_rmse') instead of
+    the k most recent (the reference's ModelCheckpoint monitor analog)."""
+    kwargs = {}
+    if best_metric is not None:
+        kwargs.update(
+            best_fn=lambda m: m[best_metric],
+            best_mode=best_mode,
+        )
     return ocp.CheckpointManager(
         _abs(directory),
         options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+            max_to_keep=max_to_keep,
+            create=True,
+            enable_async_checkpointing=False,
+            **kwargs,
         ),
     )
 
@@ -39,6 +56,7 @@ def save_checkpoint(
     state: TrainState,
     step: int,
     metadata: Optional[Dict[str, Any]] = None,
+    metrics: Optional[Dict[str, float]] = None,
 ) -> None:
     args = ocp.args.Composite(
         state=ocp.args.StandardSave(state),
@@ -48,7 +66,7 @@ def save_checkpoint(
             else {}
         ),
     )
-    manager.save(step, args=args)
+    manager.save(step, args=args, metrics=metrics)
     manager.wait_until_finished()
 
 

@@ -63,6 +63,9 @@ class TrainerConfig:
     log_every: int = 50
     profile_dir: Optional[str] = None
     accumulate_grad_batches: int = 1
+    #: keep the k best checkpoints by this validation metric instead of
+    #: the k most recent (reference ModelCheckpoint monitor analog)
+    monitor_metric: Optional[str] = None
     #: trajectory-major [N, B, F] batching (shared topology) — the TPU
     #: fast gather path (training/packed.py)
     packed: bool = False
@@ -152,7 +155,9 @@ class Trainer:
             self.sharding = spec_for  # resolved per-leaf at load time
 
         self.ckpt_dir = os.path.join(cfg.out_dir, cfg.run_name, "checkpoints")
-        self.manager = ckpt_lib.make_manager(self.ckpt_dir)
+        self.manager = ckpt_lib.make_manager(
+            self.ckpt_dir, best_metric=cfg.monitor_metric
+        )
         self.logger = MetricsLogger(
             os.path.join(cfg.out_dir, cfg.run_name),
             run_name=cfg.run_name,
@@ -306,6 +311,12 @@ class Trainer:
                         "epoch": epoch,
                         "run_id": self.logger.run_id,
                     },
+                    metrics=(
+                        {self.cfg.monitor_metric: val_metrics[self.cfg.monitor_metric]}
+                        if self.cfg.monitor_metric
+                        and self.cfg.monitor_metric in val_metrics
+                        else None
+                    ),
                 )
         return self.state
 

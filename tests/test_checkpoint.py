@@ -40,6 +40,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_best_k_checkpointing(tmp_path):
+    """best_metric keeps the lowest-metric checkpoints, not the latest."""
+    sim, opt, step_fn = make_setup(noise_scale=0.0)
+    batch = batch_of(1)
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch)
+    mgr = ckpt_lib.make_manager(
+        str(tmp_path / "best"), max_to_keep=2, best_metric="val_rmse"
+    )
+    for step, rmse in [(1, 0.5), (2, 0.1), (3, 0.9), (4, 0.3)]:
+        ckpt_lib.save_checkpoint(
+            mgr, state.replace(step=jnp.asarray(step)), step,
+            metadata={}, metrics={"val_rmse": rmse},
+        )
+    kept = sorted(mgr.all_steps())
+    assert kept == [2, 4]  # the two lowest rmse values
+    assert mgr.best_step() == 2
+
+
 def test_simulator_artifact_roundtrip(tmp_path):
     sim, opt, _ = make_setup()
     batch = batch_of(1)

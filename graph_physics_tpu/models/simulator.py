@@ -211,7 +211,7 @@ class Simulator:
             )
             return out, variables["intermediates"]
 
-        if g_in.x.ndim == 3:
+        if g_in.x.ndim == 3 and not self.is_packed(g_in):
             return jax.vmap(f)(g_in)
         return f(g_in)
 

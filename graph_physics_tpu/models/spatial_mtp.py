@@ -139,13 +139,30 @@ def spatial_mtp_loss(
     encoder: StarEncoder,
     cfg: SpatialMTPConfig,
     graph,
-    h_penultimate: jnp.ndarray,  # [N, d]
-    h_nodeenc: jnp.ndarray,  # [N, d]
-    target: jnp.ndarray,  # [N, y_dim] normalized Δ target
+    h_penultimate: jnp.ndarray,  # [N, d] or packed [N, B, d]
+    h_nodeenc: jnp.ndarray,
+    target: jnp.ndarray,  # [N, y] or packed [N, B, y]
     out_head_apply,  # callable [.., d] -> [.., y_dim] (shared decode head)
     rng: jax.Array,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """One aux-loss evaluation on a single graph (vmap over batch)."""
+    """One aux-loss evaluation on a single graph (vmap over stacked
+    batches). Packed [N, B, d] inputs share one topology, so one star
+    table serves all B samples — tokens are gathered per sample and the
+    stars flattened to [(B·centers), L, d] for the encoder."""
+    if h_penultimate.ndim == 3:
+        b = h_penultimate.shape[1]
+
+        def per_sample(hp, he, tgt, key):
+            return spatial_mtp_loss(
+                mtp_params, encoder, cfg, graph, hp, he, tgt, out_head_apply, key
+            )
+
+        keys = jax.random.split(rng, b)
+        aux, stats = jax.vmap(per_sample, in_axes=(1, 1, 1, 0))(
+            h_penultimate, h_nodeenc, target, keys
+        )
+        return jnp.mean(aux), {k: jnp.mean(v) for k, v in stats.items()}
+
     n = h_penultimate.shape[0]
     b = min(cfg.centers_per_step, n)
     k = cfg.max_neighbors

@@ -162,10 +162,6 @@ def make_train_step(
 
         stats: Dict[str, jnp.ndarray] = {}
         if mtp is not None:
-            if simulator.is_packed(graph):
-                raise NotImplementedError(
-                    "spatial MTP requires stacked batching (packed=False)"
-                )
             from graph_physics_tpu.models.spatial_mtp import spatial_mtp_loss
 
             def unwrap(v):
@@ -184,7 +180,10 @@ def make_train_step(
                     head_apply, key,
                 )
 
-            if graph.x.ndim == 3:
+            if simulator.is_packed(graph):
+                # shared topology: spatial_mtp_loss handles [N, B, d]
+                aux, stats = one(graph, h_pen, h_enc, target_norm, mtp_rng)
+            elif graph.x.ndim == 3:
                 b = graph.x.shape[0]
                 keys = jax.random.split(mtp_rng, b)
                 aux, st = jax.vmap(one)(graph, h_pen, h_enc, target_norm, keys)

@@ -68,6 +68,64 @@ def test_spatial_mtp_loss_runs():
     assert float(stats["sp_mtp/pairs"]) > 0
 
 
+def test_spatial_mtp_packed():
+    """Packed [N,B,d] inputs: shared topology, per-sample stars."""
+    g = jax.tree.map(jnp.asarray, tiny_graph())
+    n, b, d = g.x.shape[0], 3, 16
+    cfg = SpatialMTPConfig(d_model=d, centers_per_step=8, max_neighbors=6)
+    enc = StarEncoder(d_model=d, num_heads=4, num_layers=1)
+    h = jax.random.normal(jax.random.PRNGKey(0), (n, b, d))
+    he = jax.random.normal(jax.random.PRNGKey(1), (n, b, d))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (n, b, 2))
+    params = enc.init(
+        jax.random.PRNGKey(3), jnp.zeros((2, 7, d)), jnp.zeros((2, 7), bool)
+    )
+    head = lambda z: z[..., :2]
+    aux, stats = spatial_mtp_loss(
+        params, enc, cfg, g, h, he, tgt, head, jax.random.PRNGKey(4)
+    )
+    assert np.isfinite(float(aux))
+    assert float(stats["sp_mtp/pairs"]) > 0
+
+
+def test_train_step_with_mtp_packed():
+    """Full packed train step with the MTP aux loss."""
+    from graph_physics_tpu.training import config as config_lib
+    from graph_physics_tpu.training import schedule
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.packed import pack
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    param = {
+        "model": {
+            "type": "epd", "message_passing_num": 1, "hidden_size": 16,
+            "node_input_size": 2, "output_size": 2, "edge_input_size": 3,
+        },
+        "index": {
+            "feature_index_start": 0, "feature_index_end": 2,
+            "output_index_start": 0, "output_index_end": 2, "node_type_index": 2,
+        },
+        "training": {
+            "use_spatial_mtp": True, "spatial_mtp_centers_per_step": 8,
+            "spatial_mtp_max_neighbors": 6,
+        },
+    }
+    model = config_lib.get_model(param)
+    sim = config_lib.get_simulator(param, model)
+    mtp = config_lib.get_mtp_setup(param)
+    opt = schedule.make_optimizer(1e-3, 5, 100)
+    step_fn = make_train_step(sim, opt, LossType.L2LOSS, mtp=mtp, donate=False)
+    gs = [tiny_graph(frame=i) for i in range(2)]
+    import numpy as _np
+
+    batch = pack(jax.tree.map(lambda *xs: _np.stack(xs), *gs))
+    batch = jax.tree.map(jnp.asarray, batch)
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch, mtp=mtp)
+    s1, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["sp_mtp/pairs"]) > 0
+
+
 def test_train_step_with_mtp():
     """Full integration: EPD + spatial MTP aux loss in the jitted step."""
     from graph_physics_tpu.training import config as config_lib

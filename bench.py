@@ -26,11 +26,12 @@ def main():
     from __graft_entry__ import _cylinder_setup
     from graph_physics_tpu.training.step import init_train_state, make_multi_step
 
-    # trajectory-major packed batching: the TPU fast path (training/packed.py)
+    # trajectory-major packed batching + fused Pallas GraphNetBlocks
     batch = 128
-    inner = 10
+    inner = 200
     sim, opt, step_fn, batch_graph = _cylinder_setup(
-        nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True
+        nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True,
+        fused=True,
     )
     state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
     rng = jax.random.PRNGKey(1)

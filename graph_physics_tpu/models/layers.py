@@ -469,7 +469,31 @@ class GraphNetBlock(nn.Module):
     #: when set, senders carry GLOBAL node ids of an 'sp'-sharded graph and
     #: sender features/positions are fetched over ICI (parallel/sp.py)
     sp_axis_name: Optional[str] = None
+    #: blocked-CSR layout (ops/tiling.py) enabling the fused Pallas kernel
+    #: on packed [N, B, H] inputs; static per topology. None = XLA path.
+    tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
+
+    def _fused_ok(self, x: jnp.ndarray, edge_attr: jnp.ndarray) -> bool:
+        """Whether the fused Pallas path applies to these inputs."""
+        from graph_physics_tpu.ops.fused_gnblock import LANES
+
+        t = self.tiling
+        return (
+            t is not None
+            and self.dtype == jnp.bfloat16  # the kernel computes in bf16
+            and not self.use_rope
+            and not self.use_gate
+            and not self.use_gated_mlp
+            and self.sp_axis_name is None
+            and x.ndim == 3
+            and edge_attr.ndim == 3
+            and x.shape[-1] == self.hidden_size
+            and LANES % self.hidden_size == 0
+            and (x.shape[1] * self.hidden_size) % LANES == 0
+            and x.shape[0] == t.num_nodes
+            and edge_attr.shape[0] == t.num_groups * t.edges_per_block
+        )
 
     def _gather_send(self, arr: jnp.ndarray, senders: jnp.ndarray) -> jnp.ndarray:
         if self.sp_axis_name is not None:
@@ -524,6 +548,25 @@ class GraphNetBlock(nn.Module):
                 dtype=self.dtype,
                 name="node_block",
             )
+
+        if self._fused_ok(x, edge_attr):
+            # materialize the MLP params (zero-row dummy: no compute), then
+            # run the fused Pallas kernel on the same parameters
+            _ = edge_block(jnp.zeros((0, 3 * self.hidden_size), self.dtype))
+            _ = node_block(jnp.zeros((0, 2 * self.hidden_size), self.dtype))
+            from graph_physics_tpu.ops.fused_gnblock import fused_gn_block
+
+            x_new, e_new = fused_gn_block(
+                x.astype(self.dtype),
+                edge_attr.astype(self.dtype),
+                edge_block.variables["params"],
+                node_block.variables["params"],
+                self.tiling,
+                activation=self.activation,
+                layer_norm=self.layer_norm,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return x_new.astype(x.dtype), e_new.astype(edge_attr.dtype)
 
         x_send = self._gather_send(x, senders)
         x_recv = jnp.take(x, receivers, axis=0)

@@ -51,6 +51,10 @@ class EncodeProcessDecode(nn.Module):
     use_temporal_block: bool = False
     remat: bool = False
     sp_axis_name: Optional[str] = None
+    #: blocked-CSR edge layout (ops/tiling.py) — enables the fused Pallas
+    #: GraphNetBlock on packed batches; the graph's edge arrays must be in
+    #: the blocked order (tiling.apply_to_graph).
+    edge_tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -92,6 +96,7 @@ class EncodeProcessDecode(nn.Module):
                 rope_base=self.rope_base,
                 use_gate=self.use_gated_attention,
                 sp_axis_name=self.sp_axis_name,
+                tiling=self.edge_tiling,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, edge_attr, graph.senders, graph.receivers, graph.edge_mask, pos, phi)

@@ -1,0 +1,628 @@
+"""Fused Pallas GraphNetBlock — the TPU hot-path kernel.
+
+One grid step processes (lane-tile c, node-block g) and performs the whole
+message-passing block in VMEM: sender gather → edge MLP (+RMSNorm tail) →
+receiver scatter → node MLP (+RMSNorm tail) → residuals. Gathers/scatters
+are windowed one-hot contractions on the MXU (see
+:mod:`graph_physics_tpu.ops.tiling` for the blocked-CSR layout); HBM
+traffic collapses to one read + one write of ``x`` and ``edge_attr`` per
+block instead of the ~12 materialized intermediates of the XLA path.
+
+Layout: packed training batches ([N, B, F], shared topology,
+training/packed.py) viewed 2-D as [N, B*F] with F minor. A lane tile is
+``lanes`` columns (default 512 = ``lanes//F`` batch samples). Per-sample
+[F, F] weights are expanded block-diagonally to [128, 128] (kron with
+I_{128/F}) and the activations are viewed as [rows·lanes/128, 128] around
+each dense layer — a relayout-only reshape (row-major order is unchanged)
+— so every MLP layer is ONE large MXU matmul at full lane width even at
+hidden 32, instead of per-sample thin GEMMs.
+
+Backward is a second Pallas kernel (custom VJP): it rematerializes the
+forward from (x, e) — nothing but the inputs is saved — and accumulates
+weight gradients in fp32 VMEM across all grid steps. Sender-window
+gradient contributions overlap between node blocks, so they are emitted
+per-(block, window) and reduced with one XLA segment-sum epilogue.
+
+Replaces the reference hot loop graphphysics/models/layers.py:1015-1102
+(gather → edge MLP → scatter_add → node MLP with residuals); numerics
+match :class:`graph_physics_tpu.models.layers.GraphNetBlock` (relu/silu/
+gelu activations, RMSNorm tails, fp32 statistics).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graph_physics_tpu.ops.tiling import EdgeTiling
+
+LANES = 128  # MXU lane width; weights are packed to this
+
+
+@dataclass(frozen=True)
+class FusedBlockConfig:
+    feature_size: int  # F == hidden size of the block
+    n_edge_layers: int  # Dense count in the edge MLP (reference: 4)
+    n_node_layers: int
+    activation: str = "relu"
+    layer_norm: bool = True
+    rms_eps: float = 1e-8
+    interpret: bool = False  # Pallas interpreter (CPU tests)
+
+
+# ----------------------------------------------------------------------
+# small in-kernel helpers
+# ----------------------------------------------------------------------
+
+def _act(name: str):
+    return {"relu": jax.nn.relu, "silu": jax.nn.silu, "gelu": jax.nn.gelu}[name]
+
+
+def _act_grad(name: str, pre: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise activation derivative at ``pre`` (fp32)."""
+    if name == "relu":
+        # compare in fp32: bf16 compares are unsupported on some targets
+        return (pre.astype(jnp.float32) > 0).astype(pre.dtype)
+    if name == "silu":
+        s = jax.nn.sigmoid(pre)
+        return s * (1.0 + pre * (1.0 - s))
+    if name == "gelu":  # tanh approximation, matching jax.nn.gelu default
+        c = math.sqrt(2.0 / math.pi)
+        inner = c * (pre + 0.044715 * pre**3)
+        t = jnp.tanh(inner)
+        dinner = c * (1.0 + 3 * 0.044715 * pre**2)
+        return 0.5 * (1.0 + t) + 0.5 * pre * (1.0 - t * t) * dinner
+    raise NotImplementedError(name)
+
+
+def _group_ones(f: int) -> jnp.ndarray:
+    """[LANES, LANES] bf16 block matrix: 1 where i//f == j//f (for per-
+    F-group lane reductions via one fp32-accumulating MXU contraction)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    return ((i // f) == (j // f)).astype(jnp.bfloat16)
+
+
+def _dot(a, b):  # [M,K]@[K,N] fp32 accumulation
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_t(a, b):  # aᵀ@b with contraction over rows: [K,M],[K,N] -> [M,N]
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_bt(a, b):  # a@bᵀ: [M,K],[N,K] -> [M,N]
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _rms_fwd(pre_bf: jnp.ndarray, ones_k: jnp.ndarray, scale: jnp.ndarray,
+             f: int, eps: float):
+    """RMSNorm per F-lane-group; matches models/layers.RMSNorm numerics
+    (statistics accumulated in fp32; activations bf16).
+
+    Returns (y_bf, u_bf, inv_denom_f32) for reuse in backward.
+    """
+    sq = pre_bf * pre_bf  # bf16 squares, fp32 accumulation in the dot
+    gs = _dot(sq, ones_k)  # per-group Σv² broadcast to every lane of group
+    rms = jnp.sqrt(gs + 1e-24) / math.sqrt(f)
+    inv = 1.0 / (rms + eps)
+    u = pre_bf * inv.astype(jnp.bfloat16)
+    return u * scale.astype(jnp.bfloat16), u, inv
+
+
+# ----------------------------------------------------------------------
+# shared MLP fwd/bwd (operating on the [rows, 128] view)
+# ----------------------------------------------------------------------
+
+def _mlp_fwd(h0_f32, kern_refs, bias_refs, scale_ref, ones_k, cfg):
+    """Dense chain + optional RMSNorm tail. ``h0_f32`` is the first-layer
+    pre-activation WITHOUT bias (fp32 from the MXU). Activations flow in
+    bf16 (matching the XLA path's Dense(dtype=bf16) semantics); fp32 only
+    inside dot accumulation and the RMS statistics.
+    Returns (out_bf16, (pres_bf16, rms_res))."""
+    act = _act(cfg.activation)
+    pres: List[jnp.ndarray] = []
+    h = h0_f32.astype(jnp.bfloat16) + bias_refs[0][:].astype(jnp.bfloat16)
+    pres.append(h)
+    z = act(h)
+    for i, kref in enumerate(kern_refs):
+        is_last = i == len(kern_refs) - 1
+        h = _dot(z, kref[:]).astype(jnp.bfloat16) + bias_refs[i + 1][:].astype(jnp.bfloat16)
+        pres.append(h)
+        if not is_last:
+            z = act(h)
+    out = h
+    rms_res = None
+    if cfg.layer_norm:
+        out, u, inv = _rms_fwd(h, ones_k, scale_ref[:],
+                               cfg.feature_size, cfg.rms_eps)
+        rms_res = (u, inv)
+    return out, (pres, rms_res)
+
+
+def _mlp_bwd(g_out_bf, inputs_bf16: Sequence[jnp.ndarray],
+             first_refs, kern_refs, bias_refs, scale_ref, ones_k, cfg,
+             pres, rms_res):
+    """Backward through the dense chain (bf16 gradient flow, fp32 dot
+    accumulation). Returns (grads wrt each first-layer input [bf16],
+    flat weight-grad list in _flatten_mlp order)."""
+    act = _act(cfg.activation)
+    g = g_out_bf
+    d_scale = None
+    if cfg.layer_norm:
+        u, inv = rms_res  # u bf16, inv f32
+        scale = scale_ref[:].astype(jnp.bfloat16)
+        d_scale = jnp.sum((g * u).astype(jnp.float32), axis=0, keepdims=True)
+        g_u = g * scale
+        # u = v·inv, inv = 1/(rms+eps), rms = sqrt(Σv²+tiny)/√f
+        v = pres[-1]
+        dot_gv = _dot(g_u * v, ones_k)  # per-group Σ g_u·v, fp32
+        rms = 1.0 / inv - cfg.rms_eps
+        safe_rms = jnp.maximum(rms, 1e-30)
+        corr = (dot_gv * (inv * inv) / (cfg.feature_size * safe_rms)).astype(
+            jnp.bfloat16
+        )
+        g = g_u * inv.astype(jnp.bfloat16) - v * corr
+
+    zs = [act(p) for p in pres[:-1]]  # post-activations feeding layer i+1
+    d_kerns = [None] * len(kern_refs)
+    d_biases = [None] * len(bias_refs)
+    for i in reversed(range(len(kern_refs))):
+        d_biases[i + 1] = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+        d_kerns[i] = _dot_t(zs[i], g)
+        g = _dot_bt(g, kern_refs[i][:]).astype(jnp.bfloat16)
+        g = g * _act_grad(cfg.activation, pres[i])
+    d_biases[0] = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    d_first = [_dot_t(inp, g) for inp in inputs_bf16]
+    g_inputs = [_dot_bt(g, fref[:]).astype(jnp.bfloat16) for fref in first_refs]
+    # flat order must mirror _flatten_mlp: firsts, b0, (k_i, b_i)..., scale
+    flat = list(d_first) + [d_biases[0]]
+    for k, b_ in zip(d_kerns, d_biases[1:]):
+        flat += [k, b_]
+    if cfg.layer_norm:
+        flat.append(d_scale)
+    return g_inputs, flat
+
+
+def _parse_weight_refs(refs, n_first: int, n_layers: int, layer_norm: bool):
+    """refs layout: n_first first-layer kernels, then bias0, then
+    (kernel_i, bias_i) for i=1..n_layers-1, then optional scale."""
+    i = 0
+    first = refs[i : i + n_first]; i += n_first
+    biases = [refs[i]]; i += 1
+    kerns = []
+    for _ in range(n_layers - 1):
+        kerns.append(refs[i]); i += 1
+        biases.append(refs[i]); i += 1
+    scale = None
+    if layer_norm:
+        scale = refs[i]; i += 1
+    return first, kerns, biases, scale, refs[i:]
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
+                     xw_refs, e_ref):
+    """Gathers shared by fwd and bwd. Returns rows-view tensors + one-hots."""
+    k = lanes // LANES
+    w_rows = wb * nb
+    xw = jnp.concatenate([r[:] for r in xw_refs], axis=0)  # [W, lanes]
+    xj = xj_ref[:]  # [NB, lanes]
+    e = e_ref[:]  # [Emax, lanes]
+    sid = sidx_ref[0]  # [1, Emax]
+    rid = ridx_ref[0]
+    oh_sT = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_rows, emax), 0) == sid
+    ).astype(jnp.bfloat16)  # [W, Emax]
+    oh_rN = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, emax), 0) == rid
+    ).astype(jnp.bfloat16)  # [NB, Emax]
+    xs = _dot_t(oh_sT, xw).astype(jnp.bfloat16)  # [Emax, lanes]
+    xr = _dot_t(oh_rN, xj).astype(jnp.bfloat16)
+    # rows view: [M, k*128] -> [M*k, 128] is a row-major no-op
+    er = e.reshape(emax * k, LANES)
+    xrr = xr.reshape(emax * k, LANES)
+    xsr = xs.reshape(emax * k, LANES)
+    xjr = xj.reshape(nb * k, LANES)
+    return k, xj, e, oh_sT, oh_rN, er, xrr, xsr, xjr
+
+
+def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
+                win_start_ref, sidx_ref, ridx_ref, xj_ref, *rest):
+    xw_refs = rest[:wb]
+    rest = rest[wb:]
+    e_ref = rest[0]
+    rest = rest[1:]
+    ew_first, ew_mid, ew_b, ew_scale, rest = _parse_weight_refs(
+        rest, 3, cfg.n_edge_layers, cfg.layer_norm)
+    nw_first, nw_mid, nw_b, nw_scale, rest = _parse_weight_refs(
+        rest, 2, cfg.n_node_layers, cfg.layer_norm)
+    xout_ref, eout_ref = rest
+
+    ones_k = _group_ones(cfg.feature_size)
+    k, xj, e, oh_sT, oh_rN, er, xrr, xsr, xjr = _common_prologue(
+        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs, e_ref)
+
+    # edge MLP; first layer = e@Ke + xr@Kr + xs@Ks (concat order of the
+    # reference: [edge_attr, x_recv, x_send], layers.py:1044-1060)
+    h0 = _dot(er, ew_first[0][:]) + _dot(xrr, ew_first[1][:]) + _dot(xsr, ew_first[2][:])
+    edge_upd, _ = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
+    eh = edge_upd.reshape(emax, lanes)
+    eout_ref[:] = e + eh
+
+    agg = _dot(oh_rN, eh).astype(jnp.bfloat16)  # [NB, lanes] masked scatter
+    aggr = agg.reshape(nb * k, LANES)
+
+    hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
+    node_upd, _ = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale, ones_k, cfg)
+    xout_ref[:] = xj + node_upd.reshape(nb, lanes)
+
+
+def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
+                win_start_ref, sidx_ref, ridx_ref, xj_ref, *rest):
+    xw_refs = rest[:wb]
+    rest = rest[wb:]
+    e_ref = rest[0]
+    rest = rest[1:]
+    ew_first, ew_mid, ew_b, ew_scale, rest = _parse_weight_refs(
+        rest, 3, cfg.n_edge_layers, cfg.layer_norm)
+    nw_first, nw_mid, nw_b, nw_scale, rest = _parse_weight_refs(
+        rest, 2, cfg.n_node_layers, cfg.layer_norm)
+    g_xout_ref, g_eout_ref = rest[:2]
+    rest = rest[2:]
+    dx_ref, dxw_ref, de_ref = rest[:3]
+    dw_refs = rest[3:]
+
+    ones_k = _group_ones(cfg.feature_size)
+    k, xj, e, oh_sT, oh_rN, er, xrr, xsr, xjr = _common_prologue(
+        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs, e_ref)
+
+    # ---- recompute forward ----
+    h0 = _dot(er, ew_first[0][:]) + _dot(xrr, ew_first[1][:]) + _dot(xsr, ew_first[2][:])
+    edge_upd, (e_pres, e_rms) = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
+    eh = edge_upd.reshape(emax, lanes)
+    agg = _dot(oh_rN, eh).astype(jnp.bfloat16)
+    aggr = agg.reshape(nb * k, LANES)
+    hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
+    _node_upd, (n_pres, n_rms) = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale, ones_k, cfg)
+
+    # ---- backward (bf16 gradient flow) ----
+    g_xout = g_xout_ref[:]  # [NB, lanes] bf16
+    g_eout = g_eout_ref[:]  # [Emax, lanes] bf16
+    g_xout_r = g_xout.reshape(nb * k, LANES)
+
+    (g_xj_n, g_agg_r), dn_flat = _mlp_bwd(
+        g_xout_r, [xjr, aggr], nw_first, nw_mid, nw_b, nw_scale, ones_k, cfg,
+        n_pres, n_rms)
+
+    # eh receives gradient from both the agg scatter and the edge residual
+    g_agg = g_agg_r.reshape(nb, lanes)
+    g_eh = g_eout + _dot_t(oh_rN, g_agg).astype(jnp.bfloat16)
+    g_eh_r = g_eh.reshape(emax * k, LANES)
+
+    (g_e_mlp, g_xr_r, g_xs_r), de_flat = _mlp_bwd(
+        g_eh_r, [er, xrr, xsr], ew_first, ew_mid, ew_b, ew_scale, ones_k, cfg,
+        e_pres, e_rms)
+
+    de_ref[:] = g_eout + g_e_mlp.reshape(emax, lanes)
+    g_xr = g_xr_r.reshape(emax, lanes)
+    g_xs = g_xs_r.reshape(emax, lanes)
+    dx_ref[:] = (
+        g_xout + g_xj_n.reshape(nb, lanes) + _dot(oh_rN, g_xr).astype(jnp.bfloat16)
+    )
+    dxw_ref[:] = _dot(oh_sT, g_xs).astype(jnp.bfloat16)
+
+    # ---- weight-grad accumulation across all grid steps (fp32 VMEM) ----
+    is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for ref, val in zip(dw_refs, de_flat + dn_flat):
+
+        @pl.when(is_first)
+        def _(ref=ref):
+            ref[:] = jnp.zeros_like(ref)
+
+        ref[:] += val.astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------
+# host-side wrapper: kron packing, pallas_call plumbing, custom VJP
+# ----------------------------------------------------------------------
+
+def _kron_expand(w: jnp.ndarray, bg: int) -> jnp.ndarray:
+    """[F, F] -> block-diagonal [bg*F, bg*F] (differentiable)."""
+    if bg == 1:
+        return w
+    f = w.shape[0]
+    eye = jnp.eye(bg, dtype=w.dtype)
+    return jnp.einsum("ab,ij->aibj", eye, w).reshape(bg * f, bg * f)
+
+
+def _tile_vec(v: jnp.ndarray, bg: int) -> jnp.ndarray:
+    """[F] -> [1, bg*F]."""
+    return jnp.tile(v, bg)[None, :]
+
+
+def _flatten_mlp(params: dict, f_in_parts: int, bg: int, dtype,
+                 layer_norm: bool):
+    """flax MLP param dict -> flat kron-packed list matching
+    _parse_weight_refs order. First kernel [n_parts*F, F] is split."""
+    n_dense = len([k for k in params if k.startswith("Dense_")])
+    k0 = params["Dense_0"]["kernel"]
+    f = k0.shape[1]
+    firsts = [
+        _kron_expand(k0[i * f : (i + 1) * f].astype(dtype), bg)
+        for i in range(f_in_parts)
+    ]
+    out = list(firsts)
+    out.append(_tile_vec(params["Dense_0"]["bias"].astype(jnp.float32), bg))
+    for i in range(1, n_dense):
+        out.append(_kron_expand(params[f"Dense_{i}"]["kernel"].astype(dtype), bg))
+        out.append(_tile_vec(params[f"Dense_{i}"]["bias"].astype(jnp.float32), bg))
+    if layer_norm:
+        out.append(_tile_vec(params["RMSNorm_0"]["scale"].astype(jnp.float32), bg))
+    return out, n_dense
+
+
+def fused_gn_block(
+    x: jnp.ndarray,  # [N, B, F] packed node features
+    edge_attr: jnp.ndarray,  # [G*Emax, B, F] blocked packed edge features
+    edge_params: dict,  # flax params of the edge MLP (Dense_i, RMSNorm_0)
+    node_params: dict,
+    tiling: EdgeTiling,
+    activation: str = "relu",
+    layer_norm: bool = True,
+    interpret: bool = False,
+    lanes: int = 1024,
+    lanes_bwd: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply one fused GraphNetBlock; returns (x', edge_attr').
+
+    ``lanes`` / ``lanes_bwd`` pick the lane-tile width of the forward /
+    backward kernels (backward holds ~3x the VMEM working set — the
+    rematerialized layer pre-activations — so it runs narrower tiles).
+    """
+    n, b, f = x.shape
+    assert LANES % f == 0, f"feature size {f} must divide {LANES}"
+    bg = LANES // f
+    total_lanes = b * f
+    assert total_lanes % LANES == 0, (
+        f"batch {b} x feature {f} must tile {LANES} lanes")
+
+    def _fit(l):
+        l = max(min(l, total_lanes), LANES)
+        while total_lanes % l != 0:  # shrink to a divisor of the lane count
+            l -= LANES
+        return l
+
+    lanes = _fit(lanes)
+    lanes_bwd = _fit(lanes_bwd)
+    assert n == tiling.num_nodes, (n, tiling.num_nodes)
+    g_blocks = tiling.num_groups
+    emax = tiling.edges_per_block
+    nb = tiling.node_block
+    wb = tiling.window_blocks
+    assert edge_attr.shape[0] == g_blocks * emax
+
+    n_edge_layers = len([k for k in edge_params if k.startswith("Dense_")])
+    n_node_layers = len([k for k in node_params if k.startswith("Dense_")])
+    cfg = FusedBlockConfig(
+        feature_size=f,
+        n_edge_layers=n_edge_layers,
+        n_node_layers=n_node_layers,
+        activation=activation,
+        layer_norm=layer_norm,
+        interpret=interpret,
+    )
+
+    dtype = jnp.bfloat16
+    x2 = x.reshape(n, total_lanes).astype(dtype)
+    e2 = edge_attr.reshape(g_blocks * emax, total_lanes).astype(dtype)
+
+    ew_flat, _ = _flatten_mlp(edge_params, 3, bg, dtype, layer_norm)
+    nw_flat, _ = _flatten_mlp(node_params, 2, bg, dtype, layer_norm)
+    n_ew = len(ew_flat)
+
+    # [G, 1, Emax]: trailing dims match the block exactly (Mosaic tiling rule)
+    sidx = jnp.asarray(tiling.sidx)[:, None, :]
+    ridx = jnp.asarray(tiling.ridx)[:, None, :]
+    win_start = jnp.asarray(tiling.win_start)
+    # node BLOCK of each (g, window-block) pair: the dxw reduction epilogue
+    # scatter-adds whole [nb, lanes] blocks (contiguous - vectorizes) rather
+    # than individual rows
+    blk_node = jnp.asarray(
+        (tiling.win_start[:, None].astype(np.int64)
+         + np.arange(wb)[None, :]).reshape(-1).astype(np.int32)
+    )
+
+    # PrefetchScalarGridSpec index maps receive (c, g, win_start_ref)
+    def _vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def _const_spec(w):
+        nd = len(w.shape)
+        return _vspec(w.shape, partial(lambda nd_, c, g, ws: (0,) * nd_, nd))
+
+    def _specs(l):
+        """(grid, in_specs, node_spec, edge_spec, dxw_spec) for lane width l."""
+        grid = (total_lanes // l, g_blocks)
+        group_spec = _vspec((1, 1, emax), lambda c, g, ws: (g, 0, 0))
+        node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
+        edge_spec = _vspec((emax, l), lambda c, g, ws: (g, c))
+        win_specs = [
+            _vspec((nb, l), partial(lambda k, c, g, ws: (ws[g] + k, c), k))
+            for k in range(wb)
+        ]
+        weight_specs = [_const_spec(w) for w in ew_flat + nw_flat]
+        in_specs = ([group_spec, group_spec, node_spec] + win_specs
+                    + [edge_spec] + weight_specs)
+        dxw_spec = _vspec((wb * nb, l), lambda c, g, ws: (g, c))
+        return grid, in_specs, node_spec, edge_spec, dxw_spec
+
+    def _fwd(x2, e2, ew_flat, nw_flat):
+        grid, in_specs, node_spec, edge_spec, _ = _specs(lanes)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[node_spec, edge_spec],
+        )
+        kernel = partial(_fwd_kernel, cfg, wb, nb, emax, lanes)
+        xout, eout = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype),
+            ],
+            interpret=interpret,
+        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *ew_flat, *nw_flat)
+        return xout, eout
+
+    @jax.custom_vjp
+    def run(x2, e2, *weights):
+        ew = list(weights[:n_ew]); nw = list(weights[n_ew:])
+        return _fwd(x2, e2, ew, nw)
+
+    def run_fwd(x2, e2, *weights):
+        out = run(x2, e2, *weights)
+        return out, (x2, e2, weights)
+
+    def run_bwd(res, g):
+        x2, e2, weights = res
+        ew = list(weights[:n_ew]); nw = list(weights[n_ew:])
+        g_xout, g_eout = g
+        g_xout = g_xout.astype(dtype)
+        g_eout = g_eout.astype(dtype)
+
+        dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                     for w in ew + nw]
+        grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(lanes_bwd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs + [node_spec, edge_spec],  # g_xout, g_eout
+            out_specs=[
+                node_spec,  # dx_main
+                dxw_spec,
+                edge_spec,  # de
+            ] + [_const_spec(s) for s in dw_shapes],
+        )
+        kernel = partial(_bwd_kernel, cfg, wb, nb, emax, lanes_bwd)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype),
+            ] + dw_shapes,
+            interpret=interpret,
+        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *ew, *nw,
+          g_xout, g_eout)
+        dx_main, dxw, de = outs[:3]
+        # fp32 in-kernel accumulators -> cotangent dtype must match primal
+        dws = [dw.astype(w.dtype) for dw, w in zip(outs[3:], ew + nw)]
+        # block-granular scatter-add of the window contributions
+        dxw_blocks = dxw.reshape(g_blocks * wb, nb, total_lanes)
+        dx_extra = jax.ops.segment_sum(
+            dxw_blocks, blk_node, num_segments=n // nb
+        ).reshape(n, total_lanes)
+        dx = dx_main.astype(jnp.float32) + dx_extra.astype(jnp.float32)
+        return (dx.astype(dtype), de, *dws)
+
+    run.defvjp(run_fwd, run_bwd)
+
+    xout2, eout2 = run(x2, e2, *ew_flat, *nw_flat)
+    return xout2.reshape(n, b, f), eout2.reshape(g_blocks * emax, b, f)
+
+
+# ----------------------------------------------------------------------
+# pure-JAX reference of the same blocked semantics (tests)
+# ----------------------------------------------------------------------
+
+def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
+                      activation="relu", layer_norm=True,
+                      compute_dtype=jnp.float32):
+    """XLA implementation of exactly the fused math, for parity tests.
+
+    With ``compute_dtype=jnp.bfloat16`` the dtype flow mirrors the kernel
+    (bf16 matmul operands, fp32 accumulation/statistics), so fused-vs-
+    reference comparisons isolate logic bugs from precision noise.
+    """
+    n, b, f = x.shape
+    act = _act(activation)
+    cd = compute_dtype
+    is_bf = cd == jnp.bfloat16
+
+    def dense_f32(h, k):
+        # fp32-accumulating matmul on cd operands
+        return jax.lax.dot_general(
+            h.astype(cd), k.astype(cd),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dense(h, k):
+        out = dense_f32(h, k)
+        return out.astype(cd) if is_bf else out
+
+    def mlp(parts, params):
+        n_dense = len([k for k in params if k.startswith("Dense_")])
+        k0 = params["Dense_0"]["kernel"]
+        splits = np.cumsum([p.shape[-1] for p in parts])[:-1]
+        k0_parts = jnp.split(k0, splits, axis=0)
+        # first-layer parts summed in fp32 BEFORE the cd cast (kernel order)
+        h = sum(dense_f32(p, kp) for p, kp in zip(parts, k0_parts))
+        if is_bf:
+            h = h.astype(cd)
+        h = h + params["Dense_0"]["bias"].astype(h.dtype)
+        for i in range(1, n_dense):
+            h = dense(act(h), params[f"Dense_{i}"]["kernel"])
+            h = h + params[f"Dense_{i}"]["bias"].astype(h.dtype)
+        if layer_norm:
+            s = params["RMSNorm_0"]["scale"]
+            gs = jnp.sum((h * h).astype(jnp.float32), -1, keepdims=True)
+            r = jnp.sqrt(gs + 1e-24) / math.sqrt(f)
+            inv = 1.0 / (r + 1e-8)
+            h = h * inv.astype(h.dtype) * s.astype(h.dtype)
+        return h
+
+    g_blocks, emax = tiling.sidx.shape
+    sid = jnp.asarray(tiling.sidx).reshape(-1)
+    rid = jnp.asarray(tiling.ridx).reshape(-1)
+    gids = jnp.repeat(jnp.arange(g_blocks), emax)
+    glob_s = jnp.asarray(tiling.win_start)[gids] * tiling.node_block + sid
+    glob_r = gids * tiling.node_block + rid
+    s_valid = sid < tiling.window_rows
+    r_valid = rid < tiling.node_block
+    xc = x.astype(cd)
+    ec = edge_attr.astype(cd)
+    xs = jnp.where(s_valid[:, None, None], xc[jnp.clip(glob_s, 0, n - 1)],
+                   jnp.zeros((), cd))
+    xr = jnp.where(r_valid[:, None, None], xc[jnp.clip(glob_r, 0, n - 1)],
+                   jnp.zeros((), cd))
+    eh = mlp([ec, xr, xs], edge_params)
+    agg = jax.ops.segment_sum(
+        jnp.where(r_valid[:, None, None], eh.astype(jnp.float32), 0.0),
+        jnp.clip(glob_r, 0, n - 1), num_segments=n).astype(cd)
+    nh = mlp([xc, agg], node_params)
+    return (xc + nh).astype(x.dtype), (ec + eh).astype(edge_attr.dtype)

@@ -1,0 +1,243 @@
+"""Host-side edge tiling for the fused GraphNetBlock kernel.
+
+The fused Pallas message-passing kernel (:mod:`graph_physics_tpu.ops.
+fused_gnblock`) replaces XLA gather/scatter with windowed one-hot matmuls
+on the MXU. That requires a *blocked CSR* edge layout, built once per
+topology on the host:
+
+  * nodes are grouped into blocks of ``node_block`` (128) rows;
+  * edges (already receiver-sorted — core/graph.py invariant) are grouped
+    by the node block of their receiver, and every group is padded to the
+    same static ``edges_per_block`` count;
+  * for each group, the senders fall inside a window of
+    ``window_blocks * node_block`` consecutive node rows starting at block
+    ``win_start[g]`` — true for meshes ordered with locality (reverse
+    Cuthill–McKee, :func:`rcm_order`, or grid-major order), where the
+    adjacency matrix is banded.
+
+The kernel then runs one grid step per (lane-chunk, node-block):
+sender gather = one-hot([edges, window]) @ x_window, receiver scatter =
+one-hot([nodes, edges]) @ messages — both plain MXU contractions with
+static shapes.
+
+Spec lineage: this accelerates the same contract as the reference's
+torch-scatter hot loop (graphphysics/models/layers.py:1015-1102); the
+blocked layout is this framework's own TPU design (SURVEY.md §7 item 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+#: sentinel local index meaning "padded edge" — one past the last window
+#: row, so iota-compare one-hots yield an all-zero row/column for it.
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True, eq=False)  # identity eq: safe as a linen attribute
+class EdgeTiling:
+    """Blocked-CSR edge layout (all numpy, host-built; static per topology).
+
+    Shapes: G = number of node blocks, Emax = padded edges per block.
+    """
+
+    #: [G * Emax] int32 — position of each slot's edge in the ORIGINAL
+    #: (receiver-sorted) edge array; -1 on padded slots.
+    perm: np.ndarray
+    #: [G, Emax] int32 — sender index local to the group's window;
+    #: sentinel (= window rows) on padded slots.
+    sidx: np.ndarray
+    #: [G, Emax] int32 — receiver index local to the group's node block;
+    #: sentinel (= node_block) on padded slots.
+    ridx: np.ndarray
+    #: [G] int32 — first node block of each group's sender window.
+    win_start: np.ndarray
+    node_block: int
+    window_blocks: int
+    edges_per_block: int
+    num_nodes: int  # padded node count (multiple of node_block)
+
+    @property
+    def num_groups(self) -> int:
+        return self.win_start.shape[0]
+
+    @property
+    def window_rows(self) -> int:
+        return self.window_blocks * self.node_block
+
+    def expand_edges(self, edge_vals: np.ndarray, fill=0):
+        """Re-order a per-edge array [E, ...] into the blocked layout
+        [G*Emax, ...] (padded slots get ``fill``)."""
+        out_shape = (self.perm.shape[0],) + tuple(edge_vals.shape[1:])
+        out = np.full(out_shape, fill, dtype=edge_vals.dtype)
+        valid = self.perm >= 0
+        out[valid] = edge_vals[self.perm[valid]]
+        return out
+
+    def reduce_edges(self, blocked_vals: np.ndarray, num_edges: int) -> np.ndarray:
+        """Inverse of :meth:`expand_edges` (host-side, for tests)."""
+        out = np.zeros((num_edges,) + tuple(blocked_vals.shape[1:]), blocked_vals.dtype)
+        valid = self.perm >= 0
+        out[self.perm[valid]] = blocked_vals[valid]
+        return out
+
+
+def apply_to_graph(graph, tiling: EdgeTiling):
+    """Convert a MeshGraph to the blocked edge layout (host-side numpy).
+
+    Nodes are padded up to ``tiling.num_nodes`` (multiple of node_block);
+    edge arrays are re-ordered into the grouped layout. Padded edge slots
+    follow the repo convention (senders 0, receivers N-1, mask False), so
+    every mask-aware XLA op still works on the converted graph — the fused
+    kernel additionally uses the tiling's local indices.
+    """
+    n_old = graph.x.shape[0]
+    n_new = tiling.num_nodes
+    pad_n = n_new - n_old
+    gids = np.repeat(np.arange(tiling.num_groups), tiling.edges_per_block)
+    valid = tiling.perm >= 0
+    new_send = np.zeros(tiling.perm.shape[0], np.int32)
+    new_recv = np.full(tiling.perm.shape[0], n_new - 1, np.int32)
+    new_send[valid] = (
+        tiling.win_start[gids[valid]].astype(np.int64) * tiling.node_block
+        + tiling.sidx.reshape(-1)[valid]
+    )
+    new_recv[valid] = (
+        gids[valid].astype(np.int64) * tiling.node_block
+        + tiling.ridx.reshape(-1)[valid]
+    )
+
+    def pad_nodes(a, fill=0):
+        if a is None or pad_n == 0:
+            return a
+        a = np.asarray(a)
+        pad = np.full((pad_n,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    from graph_physics_tpu.core.graph import PAD_NODE_TYPE
+
+    edge_attr = graph.edge_attr
+    if edge_attr is not None:
+        edge_attr = tiling.expand_edges(np.asarray(edge_attr))
+    return graph.replace(
+        x=pad_nodes(graph.x),
+        pos=pad_nodes(graph.pos),
+        node_type=pad_nodes(graph.node_type, PAD_NODE_TYPE),
+        node_mask=pad_nodes(graph.node_mask, False),
+        senders=new_send,
+        receivers=new_recv,
+        edge_mask=valid,
+        edge_attr=edge_attr,
+        y=pad_nodes(graph.y),
+        prev=pad_nodes(graph.prev),
+        next_data=pad_nodes(graph.next_data),
+        deselected=pad_nodes(graph.deselected, False),
+    )
+
+
+def rcm_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill–McKee node permutation (old id -> position given by
+    perm; use ``new_id = inv[old_id]``). Returns the permutation array such
+    that ``perm[i]`` is the old id placed at new position ``i``.
+
+    Minimizes adjacency bandwidth so sender windows stay narrow. Host-side
+    (scipy), run once per topology — the TPU-native analog of the
+    reference's reliance on mesh-generator ordering.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    data = np.ones(len(senders), np.int8)
+    adj = sp.csr_matrix((data, (senders, receivers)), shape=(num_nodes, num_nodes))
+    adj = adj + adj.T
+    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True), np.int64)
+    return perm
+
+
+def build_edge_tiling(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    edge_mask: Optional[np.ndarray] = None,
+    node_block: int = 128,
+    max_window_blocks: int = 8,
+    edge_pad_multiple: int = 16,
+) -> Optional[EdgeTiling]:
+    """Build the blocked-CSR layout, or None when the topology doesn't fit.
+
+    ``None`` is returned when any group's sender window would exceed
+    ``max_window_blocks`` blocks (badly-ordered mesh — reorder with
+    :func:`rcm_order` first) so callers can fall back to the XLA path.
+    Padded edges (``edge_mask`` False) are dropped — they re-enter as
+    padded slots of the blocked layout.
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    e_total = senders.shape[0]
+    if edge_mask is not None:
+        valid = np.asarray(edge_mask, bool)
+    else:
+        valid = np.ones(e_total, bool)
+    orig_ids = np.nonzero(valid)[0]
+    s = senders[orig_ids]
+    r = receivers[orig_ids]
+
+    n_pad = _round_up(max(num_nodes, 1), node_block)
+    n_groups = n_pad // node_block
+
+    # group edges by receiver block (stable: keeps receiver-sorted order)
+    gid = r // node_block
+    order = np.argsort(gid, kind="stable")
+    s, r, orig_ids, gid = s[order], r[order], orig_ids[order], gid[order]
+    counts = np.bincount(gid, minlength=n_groups)
+    e_max = int(counts.max()) if counts.size else 0
+    e_max = max(_round_up(max(e_max, 1), edge_pad_multiple), edge_pad_multiple)
+
+    # sender windows per group, aligned to node blocks
+    starts = np.zeros(n_groups, np.int64)
+    widths = np.zeros(n_groups, np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for g in range(n_groups):
+        seg = s[offs[g] : offs[g + 1]]
+        if seg.size == 0:
+            starts[g] = 0
+            widths[g] = 1
+            continue
+        lo = int(seg.min()) // node_block
+        hi = int(seg.max()) // node_block
+        starts[g] = lo
+        widths[g] = hi - lo + 1
+    wb = int(widths.max()) if n_groups else 1
+    if wb > max_window_blocks:
+        return None
+    # clamp windows to the array end so BlockSpec reads stay in bounds
+    max_start = max(n_groups - wb, 0)
+    starts = np.minimum(starts, max_start)
+
+    win_rows = wb * node_block
+    perm = np.full(n_groups * e_max, -1, np.int64)
+    sidx = np.full((n_groups, e_max), win_rows, np.int64)  # sentinel
+    ridx = np.full((n_groups, e_max), node_block, np.int64)  # sentinel
+    for g in range(n_groups):
+        k = counts[g]
+        if k == 0:
+            continue
+        sl = slice(offs[g], offs[g + 1])
+        perm[g * e_max : g * e_max + k] = orig_ids[sl]
+        sidx[g, :k] = s[sl] - starts[g] * node_block
+        ridx[g, :k] = r[sl] - g * node_block
+
+    return EdgeTiling(
+        perm=perm.astype(np.int32),
+        sidx=sidx.astype(np.int32),
+        ridx=ridx.astype(np.int32),
+        win_start=starts.astype(np.int32),
+        node_block=node_block,
+        window_blocks=wb,
+        edges_per_block=e_max,
+        num_nodes=n_pad,
+    )

@@ -253,6 +253,7 @@ class Attention(nn.Module):
     use_gated_attention: bool = False
     rope_base: float = 10000.0
     sp_axis_name: Optional[str] = None
+    sp_halo_size: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -298,6 +299,7 @@ class Attention(nn.Module):
                 q, k, v, senders, receivers, edge_mask,
                 return_weights=return_attention,
                 sp_axis_name=self.sp_axis_name,
+                sp_halo_size=self.sp_halo_size,
             )
             if return_attention:
                 y, attn_weights = y
@@ -348,6 +350,7 @@ class TransformerBlock(nn.Module):
     rope_base: float = 10000.0
     use_silu: bool = False
     sp_axis_name: Optional[str] = None
+    sp_halo_size: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -370,6 +373,7 @@ class TransformerBlock(nn.Module):
             use_gated_attention=self.use_gated_attention,
             rope_base=self.rope_base,
             sp_axis_name=self.sp_axis_name,
+            sp_halo_size=self.sp_halo_size,
             dtype=self.dtype,
             name="attention",
         )(
@@ -469,6 +473,9 @@ class GraphNetBlock(nn.Module):
     #: when set, senders carry GLOBAL node ids of an 'sp'-sharded graph and
     #: sender features/positions are fetched over ICI (parallel/sp.py)
     sp_axis_name: Optional[str] = None
+    #: static halo row count per shard (shard_graph(halo=True) return value);
+    #: switches the ICI fetch to the boundary-rows-only exchange
+    sp_halo_size: Optional[int] = None
     #: blocked-CSR layout (ops/tiling.py) enabling the fused Pallas kernel
     #: on packed [N, B, H] inputs; static per topology. None = XLA path.
     tiling: Optional[Any] = None
@@ -499,7 +506,7 @@ class GraphNetBlock(nn.Module):
         if self.sp_axis_name is not None:
             from graph_physics_tpu.parallel.sp import sp_gather
 
-            return sp_gather(arr, senders, self.sp_axis_name)
+            return sp_gather(arr, senders, self.sp_axis_name, self.sp_halo_size)
         return jnp.take(arr, senders, axis=0)
 
     @nn.compact

@@ -51,6 +51,7 @@ class EncodeProcessDecode(nn.Module):
     use_temporal_block: bool = False
     remat: bool = False
     sp_axis_name: Optional[str] = None
+    sp_halo_size: Optional[int] = None
     #: blocked-CSR edge layout (ops/tiling.py) — enables the fused Pallas
     #: GraphNetBlock on packed batches; the graph's edge arrays must be in
     #: the blocked order (tiling.apply_to_graph).
@@ -96,6 +97,7 @@ class EncodeProcessDecode(nn.Module):
                 rope_base=self.rope_base,
                 use_gate=self.use_gated_attention,
                 sp_axis_name=self.sp_axis_name,
+                sp_halo_size=self.sp_halo_size,
                 tiling=self.edge_tiling,
                 dtype=self.dtype,
                 name=f"block_{i}",
@@ -133,6 +135,7 @@ class EncodeTransformDecode(nn.Module):
     use_silu: bool = False
     remat: bool = False
     sp_axis_name: Optional[str] = None
+    sp_halo_size: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -167,6 +170,7 @@ class EncodeTransformDecode(nn.Module):
                 rope_base=self.rope_base,
                 use_silu=self.use_silu,
                 sp_axis_name=self.sp_axis_name,
+                sp_halo_size=self.sp_halo_size,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(

@@ -32,6 +32,7 @@ def edge_attention(
     edge_mask: Optional[jnp.ndarray] = None,  # [E] bool
     return_weights: bool = False,
     sp_axis_name: Optional[str] = None,
+    sp_halo_size: Optional[int] = None,
 ):
     """Multi-head attention restricted to graph edges.
 
@@ -43,7 +44,8 @@ def edge_attention(
 
     ``sp_axis_name``: under shard_map with nodes sharded over that axis,
     senders carry GLOBAL node ids and k/v rows are fetched over ICI
-    (parallel/sp.py); receivers stay local.
+    (parallel/sp.py); receivers stay local. ``sp_halo_size`` switches that
+    fetch to the boundary-rows-only halo exchange (shard_graph(halo=True)).
     """
     n = q.shape[0]
     d = q.shape[-1]
@@ -52,7 +54,7 @@ def edge_attention(
     if sp_axis_name is not None:
         from graph_physics_tpu.parallel.sp import sp_gather
 
-        gather_send = lambda a: sp_gather(a, senders, sp_axis_name)
+        gather_send = lambda a: sp_gather(a, senders, sp_axis_name, sp_halo_size)
     else:
         gather_send = lambda a: jnp.take(a, senders, axis=0)
 

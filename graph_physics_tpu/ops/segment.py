@@ -10,9 +10,9 @@ statically padded edge lists:
     zeroes masked lanes *before* scattering so the stray writes vanish.
   * ``num_segments`` is the padded node count → static output shapes.
 
-These XLA-level ops are the correctness baseline; the fused Pallas kernel
-in :mod:`graph_physics_tpu.ops.gather_scatter` accelerates the same
-contract on the hot path.
+These XLA-level ops are the correctness baseline; the fused Pallas
+GraphNetBlock kernel in :mod:`graph_physics_tpu.ops.fused_gnblock`
+accelerates the same contract on the packed-batch hot path.
 """
 
 from __future__ import annotations

@@ -33,27 +33,24 @@ from graph_physics_tpu.core.graph import PAD_NODE_TYPE, MeshGraph
 from graph_physics_tpu.dataset.partition import rcb_partition
 
 
-import contextvars
-
-#: static halo row count per shard, set by make_sp_forward(halo_size=..).
-#: When set, sharded graphs must come from shard_graph(halo=True): each
-#: shard's nodes are ordered boundary-first and sender indices address the
-#: combined [local ⧺ gathered-halo] space.
-_HALO_SIZE: "contextvars.ContextVar[Optional[int]]" = contextvars.ContextVar(
-    "sp_halo_size", default=None
-)
-
-
-def sp_gather(x_local: jnp.ndarray, global_idx: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+def sp_gather(
+    x_local: jnp.ndarray,
+    global_idx: jnp.ndarray,
+    axis_name: str,
+    halo_size: Optional[int] = None,
+) -> jnp.ndarray:
     """Gather rows by node index from the sp-sharded node array.
 
-    Full mode: all_gather everything over the sp axis then take (index =
-    global node id). Halo mode (``_HALO_SIZE`` set): exchange only each
-    shard's first ``Hb`` rows — the boundary nodes any other shard needs —
-    so ICI traffic is O(S·Hb·F) instead of O(S·N_s·F); sender indices then
-    address [0, N_s) for local rows and [N_s, N_s + S·Hb) for halo rows.
+    Full mode (``halo_size=None``): all_gather everything over the sp axis
+    then take (index = global node id). Halo mode: exchange only each
+    shard's first ``halo_size`` rows — the boundary nodes any other shard
+    needs — so ICI traffic is O(S·Hb·F) instead of O(S·N_s·F); sender
+    indices then address [0, N_s) for local rows and [N_s, N_s + S·Hb) for
+    halo rows. Halo-mode graphs must come from ``shard_graph(halo=True)``
+    (boundary-first node order), and ``halo_size`` must be the value that
+    call returned — models carry it as their ``sp_halo_size`` attribute.
     """
-    hb = _HALO_SIZE.get()
+    hb = halo_size
     if hb is None:
         x_all = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
         return jnp.take(x_all, global_idx, axis=0)
@@ -186,16 +183,14 @@ def shard_graph(
     return sharded, order
 
 
-def make_sp_forward(
-    model, mesh: Mesh, axis_name: str = "sp", halo_size: Optional[int] = None
-):
+def make_sp_forward(model, mesh: Mesh, axis_name: str = "sp"):
     """Jit a node-sharded forward: (params, sharded_graph) -> [S, N_s, out].
 
     ``model`` must be built with ``sp_axis_name=axis_name`` (its
     GraphNetBlocks then gather sender features with :func:`sp_gather`).
     Params are replicated; graph leaves are sharded on their leading [S]
-    axis. Pass the ``halo_size`` returned by ``shard_graph(halo=True)`` to
-    exchange only boundary rows over ICI instead of the full node array.
+    axis. For halo-limited exchange, build the model with
+    ``sp_halo_size=<value returned by shard_graph(halo=True)>``.
     """
 
     def local_fn(params, graph: MeshGraph):
@@ -210,18 +205,7 @@ def make_sp_forward(
         out_specs=P(axis_name),
         check_vma=False,
     )
-    jitted = jax.jit(sharded)
-    if halo_size is None:
-        return jitted
-
-    def with_halo(params, graph):
-        token = _HALO_SIZE.set(halo_size)
-        try:
-            return jitted(params, graph)
-        finally:
-            _HALO_SIZE.reset(token)
-
-    return with_halo
+    return jax.jit(sharded)
 
 
 def unshard_nodes(arr: np.ndarray, order: np.ndarray, num_orig: int) -> np.ndarray:

@@ -9,8 +9,9 @@ out as [N, B, F] makes the SAME ``jnp.take``/``segment_sum`` move
 [B·F]-sized rows at line rate. GraphNetBlock/MLP/RMSNorm are already
 axis-0 polymorphic, so the model runs unchanged and unvmapped.
 
-Restrictions (checked): shared senders/receivers/edge masks across the
-batch; EPD path (transformer/RoPE head reshapes assume 2D x).
+Restriction (checked): shared senders/receivers/edge masks across the
+batch — use same-trajectory batches (``BatchLoader(packed=True)``). Both
+the EPD and transformer paths support the packed layout.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ def _shared(a, name: str):
     if not (a == a[0]).all():
         raise ValueError(
             f"packed batching requires shared {name} across the batch "
-            "(use same-trajectory batches: BatchLoader(same_trajectory=True))"
+            "(use same-trajectory batches: BatchLoader(packed=True))"
         )
     return a[0]
 

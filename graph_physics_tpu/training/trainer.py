@@ -158,13 +158,26 @@ class Trainer:
         self.manager = ckpt_lib.make_manager(
             self.ckpt_dir, best_metric=cfg.monitor_metric
         )
-        self.logger = MetricsLogger(
-            os.path.join(cfg.out_dir, cfg.run_name),
-            run_name=cfg.run_name,
-            use_wandb=cfg.use_wandb,
-            wandb_config=self.run_metadata,
-        )
+        # constructed lazily in init_or_resume: a resumed run must reattach
+        # to its original wandb run id, which lives in the checkpoint
+        # metadata (reference lightning_module.py:560-573)
+        self._logger: Optional[MetricsLogger] = None
         self.state: Optional[TrainState] = None
+
+    @property
+    def logger(self) -> MetricsLogger:
+        if self._logger is None:
+            cfg = self.cfg
+            self._logger = MetricsLogger(
+                os.path.join(cfg.out_dir, cfg.run_name),
+                run_name=cfg.run_name,
+                use_wandb=cfg.use_wandb,
+                wandb_config=self.run_metadata,
+                resume_id=self.run_metadata.get("run_id"),
+            )
+            if self._logger.run_id is not None:
+                self.run_metadata["run_id"] = self._logger.run_id
+        return self._logger
 
     # ------------------------------------------------------------------
     def _example_batch(self):

@@ -98,3 +98,59 @@ def test_processor_options():
     p2 = m2.init(jax.random.PRNGKey(0), g)
     grads = jax.grad(lambda p: jnp.sum(m2.apply(p, g) ** 2))(p2)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(grads))
+
+
+def test_trainer_wandb_run_id_resume(tmp_path):
+    """A resumed Trainer reattaches to the checkpointed wandb run id: the
+    logger must be constructed AFTER checkpoint restore (reference
+    lightning_module.py:560-573 parity)."""
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.trainer import Trainer, TrainerConfig
+
+    h5, meta = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=1, nx=5, ny=4, num_steps=4,
+        meta_path=str(tmp_path / "meta.json"),
+    )
+    fc = FrameConfig(targets=("velocity",))
+
+    def make_trainer():
+        model = EncodeProcessDecode(
+            message_passing_num=1, node_input_size=11, edge_input_size=3,
+            output_size=2, hidden_size=8,
+        )
+        sim = Simulator(
+            node_input_size=11, edge_input_size=3, output_size=2,
+            feature_index_start=0, feature_index_end=2,
+            output_index_start=0, output_index_end=2, node_type_index=2,
+            model=model,
+        )
+        cfg = TrainerConfig(
+            epochs=1, batch_size=1, out_dir=str(tmp_path / "runs"),
+            run_name="r", warmup=2,
+        )
+        return Trainer(
+            sim, H5Dataset(h5, meta, fc), H5Dataset(h5, meta, fc),
+            LossType.L2LOSS, cfg,
+        )
+
+    t1 = make_trainer()
+    t1.fit()
+    assert t1.logger.run_id is None  # no wandb in this image
+
+    # inject a run id into the latest checkpoint's metadata, as a wandb
+    # run would have left it
+    ckpt_lib.save_checkpoint(
+        t1.manager, t1.state, int(t1.state.step) + 1, metadata={"run_id": "abc123"}
+    )
+    t1.manager.wait_until_finished()
+
+    t2 = make_trainer()
+    t2.init_or_resume(resume=True)
+    assert t2.run_metadata.get("run_id") == "abc123"
+    # the lazily-built logger picks the restored id up as its resume id
+    assert t2.logger.run_id == "abc123"

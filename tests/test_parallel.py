@@ -103,13 +103,13 @@ def test_sp_halo_exchange_matches_full_gather():
         hidden_size=16,
     )
     model_single = EncodeProcessDecode(**kwargs)
-    model_sp = EncodeProcessDecode(sp_axis_name="sp", **kwargs)
+    model_sp = EncodeProcessDecode(sp_axis_name="sp", sp_halo_size=hb, **kwargs)
     g_j = jax.tree.map(jnp.asarray, g)
     params = model_single.init(jax.random.PRNGKey(0), g_j)
     out_single = model_single.apply(params, g_j)
 
     mesh = make_mesh(dp=1, sp=n_shards)
-    fwd = sp.make_sp_forward(model_sp, mesh, halo_size=hb)
+    fwd = sp.make_sp_forward(model_sp, mesh)
     out_sharded = fwd(params, jax.tree.map(jnp.asarray, sharded))
     rec = sp.unshard_nodes(np.asarray(out_sharded), order, g.x.shape[0])
     n = int(g.n_node)

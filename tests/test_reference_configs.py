@@ -53,3 +53,70 @@ def test_cylinder_config_forward():
     out = sim.forward(params, sim.init_state(), g, is_training=True)
     assert out.net_out.shape == (g.x.shape[0], 2)
     assert np.isfinite(np.asarray(out.net_out)).all()
+
+
+# ----------------------------------------------------------------------
+# 5-config e2e matrix: every canonical training_config JSON drives the
+# real CLIs (train -> validate -> checkpoint -> predict/export) on a
+# fabricated dataset matching its dataset_config meta schema
+# (reference Makefile:36-52 pipeline, generalized to all 5 workloads).
+# ----------------------------------------------------------------------
+
+WORKLOADS = {
+    "cylinder": ("cylinder", None),
+    "plate": ("plate", None),
+    "coarse-aneurysm": ("aneurysm", "aneurysm"),
+    "pinn-aneurysm": ("aneurysm", "aneurysm"),
+    "panels": ("panels", "panels"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(WORKLOADS))
+def test_canonical_config_e2e(name, tmp_path):
+    import json
+
+    from graph_physics_tpu.cli.predict import main as predict_main
+    from graph_physics_tpu.cli.train import main as train_main
+    from graph_physics_tpu.dataset.synthetic import write_workload_fixture
+
+    workload, external = WORKLOADS[name]
+    train_p, test_p, meta_p = write_workload_fixture(
+        workload, str(tmp_path / "data")
+    )
+    cfg = json.load(open(f"training_config/{name}.json"))
+    cfg["dataset"].update(
+        train_path=train_p, test_path=test_p, meta_path=meta_p
+    )
+    cfg_path = str(tmp_path / f"{name}.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    args = [
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1",
+        "--batch_size", "1",
+        "--warmup", "2",
+        "--out_dir", str(tmp_path / "runs"),
+        "--run_name", "r",
+    ]
+    if external:
+        args += ["--external", external]
+    assert train_main(args) == 0
+
+    metrics = [
+        json.loads(l)
+        for l in open(tmp_path / "runs" / "r" / "r.metrics.jsonl")
+    ]
+    val = [m for m in metrics if "val_all_rollout_rmse" in m][-1]
+    assert np.isfinite(val["val_all_rollout_rmse"])
+    assert val["train_loss_epoch"] > 0
+
+    pred_args = [
+        "--training_parameters_path", cfg_path,
+        "--model_path", str(tmp_path / "runs" / "r" / "checkpoints"),
+        "--out_dir", str(tmp_path / "preds"),
+        "--run_name", "p",
+    ]
+    if external:
+        pred_args += ["--external", external]
+    assert predict_main(pred_args) == 0
+    assert os.path.exists(tmp_path / "preds" / "p" / "trajectory_0.xdmf")

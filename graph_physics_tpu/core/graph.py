@@ -60,6 +60,10 @@ class MeshGraph:
 
     # --- augmentation ---
     deselected: Optional[jnp.ndarray] = None  # [N] bool, True = node masked out of loss
+    #: per-node scalar conditioning the GraphNetBlock aggregation gate
+    #: (reference ``graph.phi``, layers.py:1091-1098) — an extension hook
+    #: set by custom feature builders; None almost always
+    phi: Optional[jnp.ndarray] = None  # [N] f32
 
     # --- static mesh structure (host-side use: export, gradients) ---
     faces: Optional[jnp.ndarray] = None  # [C, 3] or [C, 4] int32 cells

@@ -74,6 +74,9 @@ class FrameContext:
     next_data: Optional[Dict[str, np.ndarray]]  # dynamic non-target fields at t+1
     previous_data: Optional[Dict[str, np.ndarray]]  # dynamic fields at t-1
     x: Optional[np.ndarray] = None  # assembled features (builder may replace)
+    #: per-node scalar for the GraphNetBlock aggregation gate (reference
+    #: graph.phi hook, layers.py:1091-1098); builders may set it
+    phi: Optional[np.ndarray] = None
 
 
 def extract_frame(
@@ -333,6 +336,7 @@ class FrameBuilder:
         pos = ctx.pos
         node_type = ctx.node_type
         faces = ctx.cells
+        phi = ctx.phi
         if part_ids is not None:
             # sub-mesh slice applied after augmentation, like the reference
             # (_apply_partition runs last: h5_dataset.py:232-233)
@@ -343,6 +347,7 @@ class FrameBuilder:
             x, pos, node_type = x[part_ids], pos[part_ids], node_type[part_ids]
             y, prev, next_data = sel(y), sel(prev), sel(next_data)
             deselected = sel(deselected)
+            phi = sel(phi)
             faces = None  # cell list is not sliced (reference drops it too)
             n = len(part_ids)
 
@@ -367,6 +372,12 @@ class FrameBuilder:
         if deselected is not None:
             d = padding.pad_axis(deselected, g.num_nodes, fill=False)
             g = g.replace(deselected=d)
+        if phi is not None:
+            g = g.replace(
+                phi=padding.pad_axis(
+                    np.asarray(phi, np.float32).reshape(-1), g.num_nodes, fill=0.0
+                )
+            )
         return g
 
     def edge_budget_for(self, mesh_edge_count: int) -> int:

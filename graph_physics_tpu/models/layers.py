@@ -604,7 +604,7 @@ class GraphNetBlock(nn.Module):
                 gate_pos = self.param(
                     "gate_pos", nn.initializers.zeros, (self.hidden_size,), jnp.float32
                 )
-                gate_logits = gate_logits + phi[:, None].astype(self.dtype) * gate_pos.astype(self.dtype)
+                gate_logits = gate_logits + phi[..., None].astype(self.dtype) * gate_pos.astype(self.dtype)
             agg = agg * jax.nn.sigmoid(gate_logits).astype(agg.dtype)
 
         node_in = jnp.concatenate([x, agg], axis=-1)

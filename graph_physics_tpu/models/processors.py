@@ -80,7 +80,9 @@ class EncodeProcessDecode(nn.Module):
             )(edge_attr)
 
         pos = graph.pos if self.use_rope_embeddings else None
-        phi = None  # hook for φ-conditioned gating (reference graph.phi)
+        # φ-conditioned aggregation gating (reference processors.py:193 —
+        # phi is read off the graph only when the gate is active)
+        phi = graph.phi if self.use_gated_attention else None
 
         block_cls = GraphNetBlock
         if self.remat:

@@ -110,12 +110,21 @@ def build_star_tables(
     centers: jnp.ndarray,  # [B]
     center_valid: jnp.ndarray,  # [B]
     k: int,
+    rng: Optional[jax.Array] = None,
+    candidate_cap: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static star tables from the padded edge list.
 
     Returns (neighbors [B, K] int32, valid [B, K] bool). CSR structure is
     derived on device (argsort by sender, masked edges sorted last) —
     spec: _sorted_by_src, spatial_mtp_1hop.py:57-73.
+
+    When ``rng`` is given and a center's degree exceeds ``k``, the K kept
+    neighbors are a uniform random subset WITHOUT replacement (reference
+    ``randperm(c)[:k]``, spatial_mtp_1hop.py:131-139), drawn from the
+    row's first ``max(candidate_cap, k)`` CSR entries — a static bound so
+    the selection jits; mesh degrees sit far below 64 even with k-hop.
+    With ``rng=None`` the first K neighbors are kept deterministically.
     """
     e = senders.shape[0]
     src_eff = jnp.where(edge_mask, senders, num_nodes)  # padding sorts last
@@ -125,12 +134,30 @@ def build_star_tables(
 
     row_ptr = jnp.searchsorted(src_s, jnp.arange(num_nodes + 1))
     starts = row_ptr[centers]
-    counts = jnp.minimum(row_ptr[centers + 1] - starts, k)
+    degrees = row_ptr[centers + 1] - starts
+    counts = jnp.minimum(degrees, k)
+    b = centers.shape[0]
 
-    offs = jnp.arange(k)[None, :]  # [1, K]
-    idx = jnp.minimum(starts[:, None] + offs, e - 1)
-    nbrs = dst_s[idx]
-    valid = (offs < counts[:, None]) & center_valid[:, None]
+    if rng is None:
+        offs = jnp.arange(k)[None, :]  # [1, K]
+        idx = jnp.minimum(starts[:, None] + offs, e - 1)
+        nbrs = dst_s[idx]
+        valid = (offs < counts[:, None]) & center_valid[:, None]
+        return nbrs.astype(jnp.int32), valid
+
+    kc = min(max(candidate_cap, k), e)
+    offs_c = jnp.arange(kc)[None, :]  # [1, KC]
+    idx_c = jnp.minimum(starts[:, None] + offs_c, e - 1)
+    cand = dst_s[idx_c]  # [B, KC]
+    cand_valid = offs_c < jnp.minimum(degrees, kc)[:, None]
+    # uniform scores on valid candidates, 2.0 on invalid: the K smallest
+    # scores are a uniform K-subset of the valid candidates
+    scores = jnp.where(
+        cand_valid, jax.random.uniform(rng, (b, kc)), 2.0
+    )
+    _, sel = jax.lax.top_k(-scores, k)  # [B, K]
+    nbrs = jnp.take_along_axis(cand, sel, axis=1)
+    valid = jnp.take_along_axis(cand_valid, sel, axis=1) & center_valid[:, None]
     return nbrs.astype(jnp.int32), valid
 
 
@@ -170,7 +197,10 @@ def spatial_mtp_loss(
     # uniform sample WITHOUT replacement among valid nodes: valid nodes get
     # score 1+U(0,1), padding U(0,1) — top-B picks random valid nodes first
     # (the reference permutes all N; it has no padding to avoid).
-    scores = graph.node_mask.astype(jnp.float32) + jax.random.uniform(rng, (n,))
+    k_centers, k_nbrs = jax.random.split(rng)
+    scores = graph.node_mask.astype(jnp.float32) + jax.random.uniform(
+        k_centers, (n,)
+    )
     _, centers = jax.lax.top_k(scores, b)
     center_valid = jnp.take(graph.node_mask, centers)
 
@@ -182,6 +212,7 @@ def spatial_mtp_loss(
         centers,
         center_valid,
         k,
+        rng=k_nbrs,
     )  # [B,K]
 
     x = jnp.concatenate(

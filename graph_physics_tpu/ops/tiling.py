@@ -136,6 +136,7 @@ def apply_to_graph(graph, tiling: EdgeTiling):
         prev=pad_nodes(graph.prev),
         next_data=pad_nodes(graph.next_data),
         deselected=pad_nodes(graph.deselected, False),
+        phi=pad_nodes(graph.phi),
     )
 
 

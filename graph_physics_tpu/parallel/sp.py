@@ -72,9 +72,9 @@ def shard_graph(
     LOCAL to their shard. Sender indices are GLOBAL (owner·N_s + local)
     in full mode, or combined-space ids in halo mode (see
     :func:`sp_gather`); in halo mode each shard's boundary nodes — those
-    any remote edge reads — are ordered first, and the static halo size is
-    returned via ``sharded.n_node``'s companion attribute ``halo_size``
-    (use :func:`make_sp_forward(halo_size=...)`).
+    any remote edge reads — are ordered first and the static halo size is
+    returned as a third element (build the model with
+    ``sp_halo_size=<that value>``).
     """
     n_valid = int(graph_np.n_node)
     pos = np.asarray(graph_np.pos)[:n_valid]
@@ -173,6 +173,7 @@ def shard_graph(
         prev=nodes_field(graph_np.prev),
         next_data=nodes_field(graph_np.next_data),
         deselected=nodes_field(graph_np.deselected),
+        phi=nodes_field(graph_np.phi),
         n_node=np.array([len(p) for p in parts], np.int32),
         n_edge=counts.astype(np.int32),
         traj_index=np.repeat(np.asarray(graph_np.traj_index)[None], num_shards),

@@ -60,6 +60,11 @@ def pack(stacked: MeshGraph) -> MeshGraph:
             if stacked.deselected is None
             else np.moveaxis(np.asarray(stacked.deselected), 0, 1)
         ),
+        phi=(
+            None
+            if stacked.phi is None
+            else np.moveaxis(np.asarray(stacked.phi), 0, 1)
+        ),
         faces=_shared(stacked.faces, "faces") if stacked.faces is not None else None,
         face_mask=(
             _shared(stacked.face_mask, "face_mask")
@@ -90,6 +95,7 @@ def single_of(packed: MeshGraph, b: int = 0) -> MeshGraph:
         prev=node_field(packed.prev),
         next_data=node_field(packed.next_data),
         deselected=node_field(packed.deselected),
+        phi=node_field(packed.phi),
         time=packed.time[b] if getattr(packed.time, "ndim", 0) else packed.time,
     )
 

@@ -232,3 +232,90 @@ class TestGraphNetBlock:
 
         g = jax.grad(f)(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_graphnet_gate_phi_conditioning():
+    """graph.phi conditions the aggregation gate (reference
+    layers.py:1091-1098): with use_gate, phi shifts gate logits through
+    the learned gate_pos direction; without phi the gate still applies."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_physics_tpu.models.layers import GraphNetBlock
+
+    n, e, h = 8, 14, 16
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, h))
+    eattr = jax.random.normal(jax.random.PRNGKey(1), (e, h))
+    senders = jnp.arange(e) % n
+    receivers = (jnp.arange(e) * 3) % n
+    emask = jnp.ones(e, bool)
+    phi = jnp.linspace(-2.0, 2.0, n)
+
+    blk = GraphNetBlock(hidden_size=h, use_gate=True)
+    params = blk.init(
+        jax.random.PRNGKey(2), x, eattr, senders, receivers, emask, None, phi
+    )
+    assert "gate_pos" in params["params"]
+
+    out_phi, _ = blk.apply(params, x, eattr, senders, receivers, emask, None, phi)
+    out_nophi, _ = blk.apply(params, x, eattr, senders, receivers, emask, None, None)
+    # zero-init gate_pos: phi has no effect until trained
+    np.testing.assert_allclose(np.asarray(out_phi), np.asarray(out_nophi), atol=1e-6)
+
+    p2 = jax.tree.map(lambda a: a, params)
+    p2["params"]["gate_pos"] = jnp.ones_like(p2["params"]["gate_pos"])
+    out2, _ = blk.apply(p2, x, eattr, senders, receivers, emask, None, phi)
+    assert not np.allclose(np.asarray(out2), np.asarray(out_phi), atol=1e-5)
+
+    # gradient flows into gate_pos when phi is provided
+    def loss(p):
+        o, _ = blk.apply(p, x, eattr, senders, receivers, emask, None, phi)
+        return jnp.sum(o**2)
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["params"]["gate_pos"])).max() > 0
+
+
+def test_epd_reads_graph_phi():
+    """EncodeProcessDecode wires graph.phi into its blocks when the gate
+    is active (reference processors.py:193)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from tests.helpers import tiny_graph
+
+    g = jax.tree.map(jnp.asarray, tiny_graph())
+    g = g.replace(phi=jnp.linspace(0.0, 1.0, g.x.shape[0]))
+    m = EncodeProcessDecode(
+        message_passing_num=2, node_input_size=4, edge_input_size=3,
+        output_size=2, hidden_size=16, use_gated_attention=True,
+    )
+    params = m.init(jax.random.PRNGKey(0), g)
+
+    # force a nonzero gate_pos so phi actually matters, then flip phi
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, a: (
+            jnp.ones_like(a) if any(
+                getattr(k, "key", None) == "gate_pos" for k in path
+            ) else a
+        ),
+        params,
+    )
+    out1 = m.apply(params, g)
+    out2 = m.apply(params, g.replace(phi=g.phi + 1.0))
+    assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+    # and with the gate off, phi is ignored entirely
+    m0 = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=4, edge_input_size=3,
+        output_size=2, hidden_size=16,
+    )
+    p0 = m0.init(jax.random.PRNGKey(0), g)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(p0, g)),
+        np.asarray(m0.apply(p0, g.replace(phi=None))),
+        atol=0,
+    )

@@ -172,3 +172,43 @@ def test_train_step_with_mtp():
     assert not np.allclose(np.asarray(before), np.asarray(after))
     # rollout path uses unwrapped model params
     assert "params" in model_params(s1.params)
+
+
+def test_star_tables_uniform_sampling():
+    """degree > K: kept neighbors are a uniform random subset WITHOUT
+    replacement (reference randperm(c)[:k], spatial_mtp_1hop.py:131-139)."""
+    # star: node 0 has 6 neighbors 1..6
+    senders = jnp.array([0] * 6 + [1, 2, 3, 4, 5, 6])
+    receivers = jnp.array([1, 2, 3, 4, 5, 6] + [0] * 6)
+    mask = jnp.ones(12, bool)
+    centers = jnp.array([0])
+    cvalid = jnp.array([True])
+    k = 3
+
+    freq = np.zeros(7)
+    n_draws = 400
+    for i in range(n_draws):
+        nbrs, valid = build_star_tables(
+            senders, receivers, mask, 7, centers, cvalid, k=k,
+            rng=jax.random.PRNGKey(i),
+        )
+        sel = np.asarray(nbrs[0])[np.asarray(valid[0])]
+        assert len(sel) == k and len(set(sel.tolist())) == k  # no replacement
+        assert set(sel.tolist()) <= {1, 2, 3, 4, 5, 6}
+        freq[sel] += 1
+    # each neighbor kept with p=k/6=0.5; 400 draws -> ~200 each (±4 sigma)
+    p = freq[1:] / n_draws
+    assert (np.abs(p - 0.5) < 0.1).all(), p
+
+
+def test_star_tables_sampling_keeps_all_when_under_cap():
+    """degree <= K: sampling keeps every neighbor (just reordered)."""
+    senders = jnp.array([0, 0, 1, 2])
+    receivers = jnp.array([1, 2, 0, 0])
+    mask = jnp.ones(4, bool)
+    nbrs, valid = build_star_tables(
+        senders, receivers, mask, 3, jnp.array([0]), jnp.array([True]), k=4,
+        rng=jax.random.PRNGKey(0),
+    )
+    got = set(np.asarray(nbrs[0])[np.asarray(valid[0])].tolist())
+    assert got == {1, 2}

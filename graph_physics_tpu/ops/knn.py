@@ -95,25 +95,67 @@ def radius_edges(
     budget: int,
     mask_a: Optional[jnp.ndarray] = None,
     mask_b: Optional[jnp.ndarray] = None,
+    k_per_node: int = 16,
+    max_block_elems: int = 1 << 22,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """All (a, b) pairs within ``radius``, packed to a static ``budget``.
+    """(a, b) pairs within ``radius``, packed to a static ``budget``.
 
     On-device replacement for the cKDTree radius search when world edges
     must be rediscovered inside a jitted rollout (SURVEY.md §7 hard part).
-    Returns (a_idx [budget], b_idx [budget], valid [budget]); pairs beyond
-    the budget are dropped deterministically (nearest kept first).
+    Returns (a_idx [budget], b_idx [budget], valid [budget]).
+
+    Scales to large meshes two ways (reference preprocessing.py:92-140
+    semantics, TPU-shaped):
+
+      * memory is bounded: distances are computed in row blocks of at most
+        ``max_block_elems`` entries (``lax.map`` over blocks), never the
+        full [N, M] matrix;
+      * selection is fair per receiver: each ``a`` keeps at most
+        ``k_per_node`` nearest in-radius partners, and the global budget is
+        filled in RANK order (every node's 1st-nearest pair before any
+        node's 2nd), so a tight budget cannot be monopolized by one dense
+        contact region starving distant ones.
     """
-    d2 = pairwise_sq_dists(pos_a, pos_b)
-    if mask_a is not None:
-        d2 = jnp.where(mask_a[:, None], d2, _BIG)
-    if mask_b is not None:
-        d2 = jnp.where(mask_b[None, :], d2, _BIG)
-    within = d2 <= radius * radius
-    # order all pairs by distance, take the closest `budget`
-    flat = jnp.where(within, d2, _BIG).reshape(-1)
-    neg, flat_idx = jax.lax.top_k(-flat, budget)
+    n, m = pos_a.shape[0], pos_b.shape[0]
+    k = min(k_per_node, m)
+    pa = pos_a.astype(jnp.float32)
+    pb = pos_b.astype(jnp.float32)
+    ma = jnp.ones(n, bool) if mask_a is None else mask_a
+    mb = jnp.ones(m, bool) if mask_b is None else mask_b
+
+    # row-block size: keep each [C, M] distance tile under max_block_elems
+    c = max(min(n, max(max_block_elems // max(m, 1), 8)), 1)
+    n_pad = ((n + c - 1) // c) * c
+    pa_p = jnp.pad(pa, ((0, n_pad - n), (0, 0)))
+    ma_p = jnp.pad(ma, (0, n_pad - n))
+    blocks = n_pad // c
+
+    def block_fn(args):
+        pa_c, ma_c = args
+        d2 = pairwise_sq_dists(pa_c, pb)
+        d2 = jnp.where(ma_c[:, None] & mb[None, :], d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, k)  # per-row k nearest
+        return idx.astype(jnp.int32), -neg
+
+    idx, d2 = jax.lax.map(
+        block_fn, (pa_p.reshape(blocks, c, -1), ma_p.reshape(blocks, c))
+    )
+    idx = idx.reshape(n_pad, k)[:n]  # [N, k] candidate b per a
+    d2 = d2.reshape(n_pad, k)[:n]
+
+    r2 = radius * radius
+    within = d2 <= r2
+    # rank-major score: monotone in (neighbor rank, then distance)
+    rank = jnp.arange(k, dtype=jnp.float32)[None, :]
+    score = jnp.where(within, rank * (2.0 * r2 + 1.0) + d2, _BIG)
+    flat = score.reshape(-1)
+    if flat.shape[0] < budget:
+        flat = jnp.pad(flat, (0, budget - flat.shape[0]), constant_values=_BIG)
+        idx_flat = jnp.pad(idx.reshape(-1), (0, budget - n * k))
+    else:
+        idx_flat = idx.reshape(-1)
+    neg, fi = jax.lax.top_k(-flat, budget)
     valid = (-neg) < _BIG / 2
-    m = pos_b.shape[0]
-    a_idx = (flat_idx // m).astype(jnp.int32)
-    b_idx = (flat_idx % m).astype(jnp.int32)
+    a_idx = jnp.minimum(fi // k, n - 1).astype(jnp.int32)
+    b_idx = idx_flat[fi].astype(jnp.int32)
     return a_idx, b_idx, valid

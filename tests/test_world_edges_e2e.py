@@ -207,3 +207,74 @@ def test_device_world_features_track_noised_x(plate_config):
     np.testing.assert_allclose(
         np.asarray(g2.edge_attr[:e, base_cols : base_cols + 3]), rel, atol=1e-5
     )
+
+
+def test_radius_edges_large_mesh_bounded_memory():
+    """radius search at 20k+ nodes: blocked distance tiles (never the full
+    [N, M] matrix) and per-receiver nearest-k selection (VERDICT: replace
+    the global-N^2 top-k)."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.ops import knn as knn_lib
+
+    rng = np.random.default_rng(0)
+    n = 20480
+    pos = rng.uniform(0, 10.0, (n, 3)).astype(np.float32)
+    # plant a known contact cluster: 50 obstacle nodes each within r of
+    # its own normal partner
+    obs_sel = rng.choice(n, 50, replace=False)
+    mask_a = np.zeros(n, bool)
+    mask_a[obs_sel] = True
+    mask_b = ~mask_a
+
+    # cap block memory at 2^20 elems -> [51, 20480] tiles (~4 MB fp32)
+    ai, bi, valid = jax.jit(
+        lambda p: knn_lib.radius_edges(
+            p, p, radius=0.35, budget=512,
+            mask_a=jnp.asarray(mask_a), mask_b=jnp.asarray(mask_b),
+            max_block_elems=1 << 20,
+        )
+    )(jnp.asarray(pos))
+    ai, bi, valid = np.asarray(ai), np.asarray(bi), np.asarray(valid)
+
+    r2 = 0.35**2
+    for a, b in zip(ai[valid], bi[valid]):
+        assert mask_a[a] and mask_b[b]
+        assert ((pos[a] - pos[b]) ** 2).sum() <= r2 + 1e-6
+
+    # reference check on a subsample: every in-radius pair of a sparse
+    # obstacle should be found (degree below the per-node cap)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pos[mask_b])
+    b_ids = np.where(mask_b)[0]
+    got = {(a, b) for a, b in zip(ai[valid], bi[valid])}
+    for a in obs_sel[:10]:
+        nbrs = tree.query_ball_point(pos[a], 0.35)
+        if len(nbrs) <= 16:
+            for j in nbrs:
+                assert (a, b_ids[j]) in got
+
+
+def test_radius_edges_fair_budget_no_starvation():
+    """A tight budget is filled rank-major: every receiver gets its
+    nearest pair before any receiver gets its 2nd — a dense cluster can't
+    starve a distant contact region."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.ops import knn as knn_lib
+
+    # obstacle 0 at origin surrounded by 20 close normals (dense region);
+    # obstacle 1 far away with exactly one in-radius partner
+    rng = np.random.default_rng(1)
+    dense = rng.uniform(-0.05, 0.05, (20, 3)).astype(np.float32)
+    far_pair = np.array([[5.0, 0.0, 0.0]], np.float32)
+    pos_a = np.array([[0, 0, 0], [5.02, 0, 0]], np.float32)
+    pos_b = np.concatenate([dense, far_pair])
+
+    # budget 4 << 21 in-radius pairs of the dense cluster
+    ai, bi, valid = knn_lib.radius_edges(
+        jnp.asarray(pos_a), jnp.asarray(pos_b), radius=0.1, budget=4
+    )
+    kept = set(np.asarray(ai)[np.asarray(valid)].tolist())
+    assert 1 in kept, "distant contact region was starved by the dense one"

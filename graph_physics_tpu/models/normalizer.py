@@ -94,10 +94,12 @@ def normalize(
             cnt = jnp.asarray(flat.shape[0], jnp.float32)
         ncalls = jnp.asarray(1.0, jnp.float32)
         if axis_name is not None:
+            # global statistics: the shards jointly form ONE global-view
+            # accumulation call, so sums are psum-ed but the call count
+            # stays 1 (matches the unsharded program exactly)
             s = jax.lax.psum(s, axis_name)
             s2 = jax.lax.psum(s2, axis_name)
             cnt = jax.lax.psum(cnt, axis_name)
-            ncalls = jax.lax.psum(ncalls, axis_name)
         allow = (state.num_accumulations < state.max_accumulations).astype(jnp.float32)
         state = state.replace(
             acc_sum=state.acc_sum + allow * s,

@@ -216,3 +216,195 @@ def unshard_nodes(arr: np.ndarray, order: np.ndarray, num_orig: int) -> np.ndarr
     valid = order >= 0
     out[order[valid]] = flat[valid]
     return out
+
+
+# ----------------------------------------------------------------------
+# sp TRAINING: loss + grads through the halo/full ICI gathers
+# ----------------------------------------------------------------------
+
+def shard_trajectory(frames_np, num_shards: int, halo: bool = False):
+    """Shard every frame of a stacked trajectory ([T, ...] MeshGraph).
+
+    The RCB partition is computed once from frame 0 (positions are static
+    per trajectory) and applied to all frames, so the sharded trajectory
+    is [S, T, ...] with consistent node order. Returns (sharded, order[,
+    halo_size])."""
+    import dataclasses as _dc
+
+    t_len = np.asarray(frames_np.x).shape[0]
+
+    def frame(i):
+        return jax.tree.map(
+            lambda a: None if a is None else np.asarray(a)[i], frames_np
+        )
+
+    out = [shard_graph(frame(i), num_shards, halo=halo) for i in range(t_len)]
+    order = out[0][1]
+    hb = out[0][2] if halo else None
+    per_frame = [o[0] for o in out]
+
+    def stack(*leaves):
+        if leaves[0] is None:
+            return None
+        return np.stack([np.asarray(l) for l in leaves], axis=1)  # [S, T, ...]
+
+    sharded = jax.tree.map(stack, *per_frame, is_leaf=lambda x: x is None)
+    if halo:
+        return sharded, order, hb
+    return sharded, order
+
+
+def _sp_masked_l2(graph, net_out, target, mask_types, axis_name: str):
+    """Global masked MSE under shard_map: per-shard numerator/denominator
+    psum-ed so the value (and its gradients) match the unsharded loss
+    exactly (training/loss.py l2_loss semantics)."""
+    from graph_physics_tpu.training import loss as loss_lib
+
+    m = loss_lib.node_loss_mask(graph, mask_types, graph.deselected)
+    err = (net_out.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    mf = m.astype(jnp.float32)[:, None]
+    num = jax.lax.psum(jnp.sum(err * mf), axis_name)
+    den = jax.lax.psum(
+        jnp.sum(mf) * err.shape[-1], axis_name
+    )
+    return num / jnp.maximum(den, 1.0)
+
+
+def make_sp_train_step(
+    simulator,
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    mask_types=None,
+):
+    """Jitted node-sharded train step: ``(state, sharded_graph, rng) ->
+    (state, metrics)`` — the TPU-native upgrade of the reference's METIS
+    sub-mesh training (SURVEY.md §2.4): ONE large mesh per step, nodes
+    sharded over 'sp', gradients flowing through the ICI sender gathers.
+
+    Contract: ``simulator`` built with ``axis_name=axis_name`` (normalizer
+    partial sums psum to global statistics) and its model with
+    ``sp_axis_name=axis_name`` (+ ``sp_halo_size`` for halo graphs);
+    ``sharded_graph`` from :func:`shard_graph` with a leading [S] axis.
+    Loss is the masked L2 (lightning_module.py:304-312); gradients are
+    psum-ed so every shard applies the identical AdamW update. Exact
+    parity with the single-device step: tests/test_parallel.py.
+    """
+    import optax
+
+    from graph_physics_tpu.training import loss as loss_lib
+    from graph_physics_tpu.training.step import TrainState
+
+    mt = tuple(
+        int(m) for m in (mask_types or loss_lib.DEFAULT_MASK_TYPES)
+    )
+
+    def local_body(state, graph, rng):
+        g = jax.tree.map(lambda a: a[0] if a is not None else None, graph)
+
+        def compute_loss(params, sim_state):
+            g_in, target_norm, _pre, new_state = simulator.prepare(
+                sim_state, g, is_training=True
+            )
+            net_out = simulator.apply_model(params, g_in)
+            loss = _sp_masked_l2(g, net_out, target_norm, mt, axis_name)
+            return loss, new_state
+
+        (loss, new_sim_state), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params, state.sim_state)
+        # no explicit grad psum: under check_vma=True replication tracking
+        # the AD transposes of the loss psum / sender all_gather already
+        # leave every shard holding the identical total gradient
+        # (parity-tested vs single device in tests/test_parallel.py)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            sim_state=new_sim_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        local_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=(P(), P()),
+        # vma tracking REQUIRED for sound AD through the psums (with
+        # check_vma=False the psum transpose double-counts shards)
+        check_vma=True,
+    )
+    return jax.jit(sharded)
+
+
+def make_sp_rollout(
+    simulator,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    previous_data_slice=None,
+    mask_types=None,
+):
+    """Node-sharded autoregressive rollout: ``(params, sim_state,
+    sharded_frames[S, T, ...]) -> (predictions [S, T, N_s, F], rmse)``.
+
+    Same state machine as training/rollout.make_rollout_fn (write-back of
+    the predicted output slice + previous-data delta, Dirichlet BC
+    overwrite from ground truth, lightning_module.py:375-409) with every
+    per-node op local to its shard; only the model's sender gathers and
+    the RMSE reduction cross the ICI.
+    """
+    from graph_physics_tpu.training import loss as loss_lib
+    from graph_physics_tpu.training.rollout import bc_mask
+
+    ois, oie = simulator.output_index_start, simulator.output_index_end
+    mt = tuple(int(m) for m in (mask_types or loss_lib.DEFAULT_MASK_TYPES))
+
+    def local_rollout(params, sim_state, frames):
+        f = jax.tree.map(lambda a: a[0] if a is not None else None, frames)
+
+        def body(carry, frame):
+            last_pred, last_prev = carry
+            x = frame.x
+            x = x.at[:, ois:oie].set(last_pred)
+            if previous_data_slice is not None:
+                ps, pe = previous_data_slice
+                x = x.at[:, ps:pe].set(last_prev)
+            g = frame.replace(x=x)
+            out = simulator.forward(params, sim_state, g, is_training=False)
+            predicted = out.outputs
+            target = frame.y
+            mask = bc_mask(g)[:, None]
+            predicted = jnp.where(mask, target, predicted)
+            new_prev = predicted - x[:, ois:oie]
+
+            valid = g.node_mask.astype(jnp.float32)[:, None]
+            sq_sum = jnp.sum((predicted - target) ** 2 * valid)
+            count = jnp.sum(valid) * predicted.shape[-1]
+            return (predicted, new_prev), (predicted, sq_sum, count)
+
+        init_pred = f.x[0, :, ois:oie].astype(jnp.float32)
+        if previous_data_slice is not None:
+            ps, pe = previous_data_slice
+            init_prev = f.x[0, :, ps:pe].astype(jnp.float32)
+        else:
+            init_prev = init_pred
+        _, (preds, sq_sums, counts) = jax.lax.scan(body, (init_pred, init_prev), f)
+        rmse = jnp.sqrt(
+            jax.lax.psum(jnp.sum(sq_sums), axis_name)
+            / jnp.maximum(jax.lax.psum(jnp.sum(counts), axis_name), 1.0)
+        )
+        return preds[None], rmse
+
+    sharded = jax.shard_map(
+        local_rollout,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name)),
+        out_specs=(P(axis_name), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

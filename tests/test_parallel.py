@@ -149,3 +149,122 @@ def test_dp_train_step_matches_single_device():
     np.testing.assert_allclose(
         float(m_plain["loss"]), float(m_dp["loss"]), rtol=1e-5
     )
+
+
+def _sp_sim_pair(n_shards, hb=None, mp=2, hidden=16):
+    """(single-device simulator, sp simulator) with identical params."""
+    from graph_physics_tpu.models.simulator import Simulator
+
+    kwargs = dict(
+        message_passing_num=mp, node_input_size=11, edge_input_size=3,
+        output_size=2, hidden_size=hidden,
+    )
+    sim_kwargs = dict(
+        node_input_size=11, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    model_single = EncodeProcessDecode(**kwargs)
+    model_sp = EncodeProcessDecode(
+        sp_axis_name="sp", sp_halo_size=hb, **kwargs
+    )
+    sim_single = Simulator(model=model_single, **sim_kwargs)
+    sim_sp = Simulator(model=model_sp, axis_name="sp", **sim_kwargs)
+    return sim_single, sim_sp
+
+
+@pytest.mark.parametrize("halo", [False, True])
+def test_sp_train_step_matches_single_device(halo):
+    """sp training (grads through the ICI gathers): one AdamW step over a
+    node-sharded mesh produces EXACTLY the single-device params + loss."""
+    import optax
+
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    g = tiny_graph(nx=10, ny=8)
+    n_shards = 4
+    if halo:
+        sharded, order, hb = sp.shard_graph(g, n_shards, halo=True)
+    else:
+        sharded, order = sp.shard_graph(g, n_shards)
+        hb = None
+    sim_single, sim_sp = _sp_sim_pair(n_shards, hb)
+    # SGD: params after one step differ by exactly lr*grad, so this is a
+    # gradient-parity test (AdamW's g/(sqrt(g^2)+eps) amplifies fp32
+    # summation-order noise on near-zero gradients into visible diffs)
+    opt = optax.sgd(1e-2)
+
+    g_j = jax.tree.map(jnp.asarray, g)
+    batch1 = jax.tree.map(lambda a: a[None], g_j)  # [1, N, ...]
+    state0 = init_train_state(sim_single, opt, jax.random.PRNGKey(0), batch1)
+
+    from graph_physics_tpu.training.loss import LossType
+
+    step_single = make_train_step(sim_single, opt, LossType.L2LOSS, donate=False)
+    s1, m1 = step_single(state0, batch1, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=1, sp=n_shards)
+    step_sp = sp.make_sp_train_step(sim_sp, opt, mesh)
+    s2, m2 = step_sp(state0, jax.tree.map(jnp.asarray, sharded), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # normalizer statistics are global and identical (incl. call count)
+    np.testing.assert_allclose(
+        float(s1.sim_state.output_norm.acc_count),
+        float(s2.sim_state.output_norm.acc_count),
+    )
+    np.testing.assert_allclose(
+        float(s1.sim_state.output_norm.num_accumulations),
+        float(s2.sim_state.output_norm.num_accumulations),
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.sim_state.output_norm.acc_sum),
+        np.asarray(s2.sim_state.output_norm.acc_sum),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_sp_rollout_matches_single_device():
+    """sp rollout: sharded autoregressive prediction == single device."""
+    from graph_physics_tpu.training.rollout import make_rollout_fn
+    from graph_physics_tpu.training.step import init_train_state
+    import optax
+
+    frames_list = [tiny_graph(nx=10, ny=8, frame=i) for i in range(4)]
+    frames = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *frames_list
+    )
+    n_shards = 4
+    sharded, order = sp.shard_trajectory(frames, n_shards)
+    sim_single, sim_sp = _sp_sim_pair(n_shards)
+
+    g_j = jax.tree.map(jnp.asarray, frames_list[0])
+    params = sim_single.init_params(jax.random.PRNGKey(0), g_j)
+    sim_state = sim_single.init_state()
+
+    rollout_single = make_rollout_fn(sim_single)
+    res = rollout_single(params, sim_state, jax.tree.map(jnp.asarray, frames))
+
+    mesh = make_mesh(dp=1, sp=n_shards)
+    rollout_sp = sp.make_sp_rollout(sim_sp, mesh)
+    preds_sh, rmse_sh = rollout_sp(
+        params, sim_state, jax.tree.map(jnp.asarray, sharded)
+    )
+
+    np.testing.assert_allclose(
+        float(res.rmse_all_rollout), float(rmse_sh), rtol=1e-5, atol=1e-6
+    )
+    # per-frame predictions agree after unsharding
+    n = frames_list[0].x.shape[0]
+    for t in range(4):
+        rec = sp.unshard_nodes(np.asarray(preds_sh[:, t]), order, n)
+        nvalid = int(frames_list[0].n_node)
+        np.testing.assert_allclose(
+            rec[:nvalid], np.asarray(res.predictions[t])[:nvalid],
+            rtol=1e-4, atol=1e-5,
+        )

@@ -158,6 +158,9 @@ class Trainer:
         self.manager = ckpt_lib.make_manager(
             self.ckpt_dir, best_metric=cfg.monitor_metric
         )
+        #: cached stacked validation trajectories (ground truth is static;
+        #: restacking every epoch cost O(val-set) host copies per call)
+        self._val_groups = None
         # constructed lazily in init_or_resume: a resumed run must reattach
         # to its original wandb run id, which lives in the checkpoint
         # metadata (reference lightning_module.py:560-573)
@@ -344,23 +347,31 @@ class Trainer:
         if self.cfg.max_val_trajectories is not None:
             n_traj = min(n_traj, self.cfg.max_val_trajectories)
 
-        # group trajectories by stacked-frame shape
-        groups: Dict[tuple, list] = {}
-        for t in range(n_traj):
-            frames = stack_frames(self.val_ds.trajectory_frames(t))
-            key = (frames.x.shape, frames.senders.shape)
-            groups.setdefault(key, []).append((t, frames))
+        # group trajectories by stacked-frame shape; stacked device arrays
+        # are built ONCE and reused every epoch (frames are ground truth)
+        if self._val_groups is None or self._val_groups[0] != n_traj:
+            groups: Dict[tuple, list] = {}
+            for t in range(n_traj):
+                frames = stack_frames(self.val_ds.trajectory_frames(t))
+                key = (frames.x.shape, frames.senders.shape)
+                groups.setdefault(key, []).append((t, frames))
+            prepared = []
+            for entries in groups.values():
+                ts = [t for t, _ in entries]
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *[f for _, f in entries],
+                )
+                frames0 = entries[ts.index(0)][1] if 0 in ts else None
+                prepared.append((ts, stacked, frames0))
+            self._val_groups = (n_traj, prepared)
 
         params = model_params(self.state.params)
         sq_sum = 0.0
         count = 0.0
         first_rmses = []
         val_losses = []
-        for entries in groups.values():
-            ts = [t for t, _ in entries]
-            stacked = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[f for _, f in entries]
-            )
+        for ts, stacked, frames0 in self._val_groups[1]:
             res = self.batched_rollout_fn(params, self.state.sim_state, stacked)
             sq_sum += float(np.sum(np.asarray(res.sq_sum)))
             count += float(np.sum(np.asarray(res.count)))
@@ -369,7 +380,6 @@ class Trainer:
             if 0 in ts and (self.cfg.save_val_xdmf or self.cfg.save_val_visualizations):
                 i0 = ts.index(0)
                 res0 = jax.tree.map(lambda a: a[i0], res)
-                frames0 = entries[i0][1]
                 if self.cfg.save_val_xdmf:
                     self._save_rollout_xdmf(res0, frames0, epoch)
                 if self.cfg.save_val_visualizations:

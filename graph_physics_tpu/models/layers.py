@@ -451,6 +451,50 @@ class TemporalAttention(nn.Module):
         return h_corr + mix
 
 
+def fused_path_ok(
+    tiling,
+    x,
+    edge_attr,
+    hidden_size: int,
+    dtype,
+    use_rope: bool,
+    use_gate: bool,
+    use_gated_mlp: bool,
+    sp_axis_name,
+    raw_edge: bool = False,
+) -> bool:
+    """Whether the fused Pallas GraphNetBlock applies to these inputs.
+
+    Shared by GraphNetBlock and EncodeProcessDecode so the processor's
+    skip-the-XLA-encoder decision can never diverge from the block's.
+    ``raw_edge``: edge_attr carries RAW features (the encoder is folded
+    into the kernel) rather than hidden-size ones.
+    """
+    from graph_physics_tpu.ops.fused_gnblock import LANES
+
+    t = tiling
+    return (
+        t is not None
+        and dtype == jnp.bfloat16  # the kernel computes in bf16
+        and not use_rope
+        and not use_gate
+        and not use_gated_mlp
+        and sp_axis_name is None
+        and x.ndim == 3
+        and edge_attr.ndim == 3
+        and x.shape[-1] == hidden_size
+        and LANES % hidden_size == 0
+        and (x.shape[1] * hidden_size) % LANES == 0
+        and x.shape[0] == t.num_nodes
+        and edge_attr.shape[0] == t.num_groups * t.edges_per_block
+        and (
+            edge_attr.shape[-1] <= hidden_size // 2
+            if raw_edge
+            else edge_attr.shape[-1] == hidden_size
+        )
+    )
+
+
 class GraphNetBlock(nn.Module):
     """Message-passing block with edge+node MLP updates and residuals.
 
@@ -479,27 +523,18 @@ class GraphNetBlock(nn.Module):
     #: blocked-CSR layout (ops/tiling.py) enabling the fused Pallas kernel
     #: on packed [N, B, H] inputs; static per topology. None = XLA path.
     tiling: Optional[Any] = None
+    #: last processor block: the fused kernel elides its dead edge-output
+    #: traffic (fwd eout write, bwd g_eout read); the caller must not use
+    #: the returned edge array
+    is_last_block: bool = False
     dtype: Dtype = jnp.float32
 
-    def _fused_ok(self, x: jnp.ndarray, edge_attr: jnp.ndarray) -> bool:
+    def _fused_ok(self, x, edge_attr, raw_edge: bool = False) -> bool:
         """Whether the fused Pallas path applies to these inputs."""
-        from graph_physics_tpu.ops.fused_gnblock import LANES
-
-        t = self.tiling
-        return (
-            t is not None
-            and self.dtype == jnp.bfloat16  # the kernel computes in bf16
-            and not self.use_rope
-            and not self.use_gate
-            and not self.use_gated_mlp
-            and self.sp_axis_name is None
-            and x.ndim == 3
-            and edge_attr.ndim == 3
-            and x.shape[-1] == self.hidden_size
-            and LANES % self.hidden_size == 0
-            and (x.shape[1] * self.hidden_size) % LANES == 0
-            and x.shape[0] == t.num_nodes
-            and edge_attr.shape[0] == t.num_groups * t.edges_per_block
+        return fused_path_ok(
+            self.tiling, x, edge_attr, self.hidden_size, self.dtype,
+            self.use_rope, self.use_gate, self.use_gated_mlp,
+            self.sp_axis_name, raw_edge=raw_edge,
         )
 
     def _gather_send(self, arr: jnp.ndarray, senders: jnp.ndarray) -> jnp.ndarray:
@@ -519,6 +554,7 @@ class GraphNetBlock(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
         pos: Optional[jnp.ndarray] = None,
         phi: Optional[jnp.ndarray] = None,
+        edge_encoder_params=None,  # folded edge encoder (fused path only)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = x.shape[0]
         if self.use_gated_mlp:
@@ -556,7 +592,8 @@ class GraphNetBlock(nn.Module):
                 name="node_block",
             )
 
-        if self._fused_ok(x, edge_attr):
+        fold = edge_encoder_params is not None
+        if self._fused_ok(x, edge_attr, raw_edge=fold):
             # materialize the MLP params (zero-row dummy: no compute), then
             # run the fused Pallas kernel on the same parameters
             _ = edge_block(jnp.zeros((0, 3 * self.hidden_size), self.dtype))
@@ -572,8 +609,15 @@ class GraphNetBlock(nn.Module):
                 activation=self.activation,
                 layer_norm=self.layer_norm,
                 interpret=jax.default_backend() != "tpu",
+                edge_encoder_params=edge_encoder_params,
+                last_block=self.is_last_block,
             )
             return x_new.astype(x.dtype), e_new.astype(edge_attr.dtype)
+        if fold:
+            raise ValueError(
+                "edge_encoder_params given but the fused path does not "
+                "apply to these inputs (processor/block decision mismatch)"
+            )
 
         x_send = self._gather_send(x, senders)
         x_recv = jnp.take(x, receivers, axis=0)

@@ -31,6 +31,7 @@ from graph_physics_tpu.models.layers import (
     GraphNetBlock,
     TemporalAttention,
     TransformerBlock,
+    fused_path_ok,
 )
 
 Dtype = Any
@@ -64,6 +65,7 @@ class EncodeProcessDecode(nn.Module):
             raise ValueError("rope_pos_dimension must be 2 or 3 when use_rope_embeddings=True.")
         x = graph.x.astype(self.dtype)
         edge_attr = graph.edge_attr.astype(self.dtype)
+        enc_params = None
         if not self.only_processor:
             x = MLP(
                 hidden_size=self.hidden_size,
@@ -72,12 +74,29 @@ class EncodeProcessDecode(nn.Module):
                 name="nodes_encoder",
             )(x)
             self.sow("intermediates", "node_encoding", x)
-            edge_attr = MLP(
+            edges_encoder = MLP(
                 hidden_size=self.hidden_size,
                 out_size=self.hidden_size,
                 dtype=self.dtype,
                 name="edges_encoder",
-            )(edge_attr)
+            )
+            # fused packed path: the edge encoder folds into block 0's
+            # Pallas kernels — the full-size encoded-edge array never
+            # round-trips HBM. Same predicate the blocks use, with the
+            # RAW edge feature width.
+            fold = fused_path_ok(
+                self.edge_tiling, x, edge_attr, self.hidden_size,
+                self.dtype, self.use_rope_embeddings,
+                self.use_gated_attention, self.use_gated_mlp,
+                self.sp_axis_name, raw_edge=True,
+            )
+            if fold:
+                _ = edges_encoder(
+                    jnp.zeros((0, edge_attr.shape[-1]), self.dtype)
+                )
+                enc_params = edges_encoder.variables["params"]
+            else:
+                edge_attr = edges_encoder(edge_attr)
 
         pos = graph.pos if self.use_rope_embeddings else None
         # φ-conditioned aggregation gating (reference processors.py:193 —
@@ -101,9 +120,21 @@ class EncodeProcessDecode(nn.Module):
                 sp_axis_name=self.sp_axis_name,
                 sp_halo_size=self.sp_halo_size,
                 tiling=self.edge_tiling,
+                # the final edge output is dead (only x feeds the decoder/
+                # temporal block) — the fused kernel skips its traffic
+                is_last_block=(i == self.message_passing_num - 1),
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, edge_attr, graph.senders, graph.receivers, graph.edge_mask, pos, phi)
+            )(
+                x,
+                edge_attr,
+                graph.senders,
+                graph.receivers,
+                graph.edge_mask,
+                pos,
+                phi,
+                edge_encoder_params=enc_params if i == 0 else None,
+            )
 
         if self.use_temporal_block:
             x = TemporalAttention(

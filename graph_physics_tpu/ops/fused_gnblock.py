@@ -34,7 +34,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,16 @@ class FusedBlockConfig:
     layer_norm: bool = True
     rms_eps: float = 1e-8
     interpret: bool = False  # Pallas interpreter (CPU tests)
+    #: >0: the edge ENCODER MLP is folded into this (first) block's kernels
+    #: — the e input is the raw [.., B*fe_pad] feature array and the huge
+    #: encoded-edge array never round-trips HBM (nor does its XLA fwd/bwd
+    #: run outside the kernel)
+    n_enc_layers: int = 0
+    #: raw features are channel-padded to fe_pad = F // enc_ratio
+    enc_ratio: int = 1
+    #: last block of the processor: its edge output is dead (only x feeds
+    #: the decoder) — skip the eout write (fwd) and the g_eout read (bwd)
+    last_block: bool = False
 
 
 # ----------------------------------------------------------------------
@@ -162,7 +172,9 @@ def _mlp_bwd(g_out_bf, inputs_bf16: Sequence[jnp.ndarray],
              pres, rms_res):
     """Backward through the dense chain (bf16 gradient flow, fp32 dot
     accumulation). Returns (grads wrt each first-layer input [bf16],
-    flat weight-grad list in _flatten_mlp order)."""
+    flat weight-grad list in _flatten_mlp order, gradient at the
+    first-layer pre-activation h0 [bf16] — for callers whose first layer
+    has a non-standard input view, e.g. the folded encoder)."""
     act = _act(cfg.activation)
     g = g_out_bf
     d_scale = None
@@ -198,7 +210,7 @@ def _mlp_bwd(g_out_bf, inputs_bf16: Sequence[jnp.ndarray],
         flat += [k, b_]
     if cfg.layer_norm:
         flat.append(d_scale)
-    return g_inputs, flat
+    return g_inputs, flat, g
 
 
 def _parse_weight_refs(refs, n_first: int, n_layers: int, layer_norm: bool):
@@ -222,13 +234,12 @@ def _parse_weight_refs(refs, n_first: int, n_layers: int, layer_norm: bool):
 # ----------------------------------------------------------------------
 
 def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
-                     xw_refs, e_ref):
+                     xw_refs):
     """Gathers shared by fwd and bwd. Returns rows-view tensors + one-hots."""
     k = lanes // LANES
     w_rows = wb * nb
     xw = jnp.concatenate([r[:] for r in xw_refs], axis=0)  # [W, lanes]
     xj = xj_ref[:]  # [NB, lanes]
-    e = e_ref[:]  # [Emax, lanes]
     sid = sidx_ref[0]  # [1, Emax]
     rid = ridx_ref[0]
     oh_sT = (
@@ -240,11 +251,47 @@ def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
     xs = _dot_t(oh_sT, xw).astype(jnp.bfloat16)  # [Emax, lanes]
     xr = _dot_t(oh_rN, xj).astype(jnp.bfloat16)
     # rows view: [M, k*128] -> [M*k, 128] is a row-major no-op
-    er = e.reshape(emax * k, LANES)
     xrr = xr.reshape(emax * k, LANES)
     xsr = xs.reshape(emax * k, LANES)
     xjr = xj.reshape(nb * k, LANES)
-    return k, xj, e, oh_sT, oh_rN, er, xrr, xsr, xjr
+    return k, xj, oh_sT, oh_rN, xrr, xsr, xjr
+
+
+def _encode_e_fwd(cfg, emax, lanes, e_ref, enc_refs, ones_k):
+    """Run the folded edge encoder: raw [Emax, lanes/r] -> hidden rows
+    view [Emax*k, 128].
+
+    The first layer maps each 128-lane raw slice through the [128, r*128]
+    block-diagonal kernel and concatenates along lanes — sample order is
+    preserved without any cross-lane row interleave (which Mosaic cannot
+    relayout); the [Emax, lanes] -> [Emax*k, 128] reshape afterwards is the
+    same row-major view the non-folded path uses.
+    """
+    r = cfg.enc_ratio
+    k = lanes // LANES
+    raw = e_ref[:]  # [Emax, lanes // r]
+    k_raw = (lanes // r) // LANES
+    enc_first, enc_mid, enc_b, enc_scale = enc_refs
+    w1 = enc_first[0][:]
+    # bf16 before the view change: _mlp_fwd casts immediately anyway, and
+    # Mosaic handles the [Emax, lanes] -> [Emax*k, 128] relayout in bf16
+    # (the same one the non-folded path does on e) but not in fp32
+    segs = [
+        _dot(raw[:, j * LANES : (j + 1) * LANES], w1).astype(jnp.bfloat16)
+        for j in range(k_raw)
+    ]  # each [Emax, r*128]
+    h0_2d = segs[0] if k_raw == 1 else jnp.concatenate(segs, axis=1)
+    h0 = h0_2d.reshape(emax * k, LANES)
+    out, res = _mlp_fwd(h0, enc_mid, enc_b, enc_scale, ones_k, _enc_cfg(cfg))
+    return raw, out, res  # out: [Emax*k, 128] bf16 hidden rows
+
+
+def _enc_cfg(cfg):
+    """Config view with the encoder's layer count (for _mlp_fwd/_mlp_bwd)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, n_edge_layers=cfg.n_enc_layers,
+                               n_node_layers=cfg.n_enc_layers)
 
 
 def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
@@ -253,22 +300,41 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
     rest = rest[wb:]
     e_ref = rest[0]
     rest = rest[1:]
+    enc_refs = None
+    if cfg.n_enc_layers:
+        enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
+            rest, 1, cfg.n_enc_layers, cfg.layer_norm)
+        enc_refs = (enc_first, enc_mid, enc_b, enc_scale)
     ew_first, ew_mid, ew_b, ew_scale, rest = _parse_weight_refs(
         rest, 3, cfg.n_edge_layers, cfg.layer_norm)
     nw_first, nw_mid, nw_b, nw_scale, rest = _parse_weight_refs(
         rest, 2, cfg.n_node_layers, cfg.layer_norm)
-    xout_ref, eout_ref = rest
+    if cfg.last_block:
+        (xout_ref,) = rest
+        eout_ref = None
+    else:
+        xout_ref, eout_ref = rest
 
     ones_k = _group_ones(cfg.feature_size)
-    k, xj, e, oh_sT, oh_rN, er, xrr, xsr, xjr = _common_prologue(
-        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs, e_ref)
+    k, xj, oh_sT, oh_rN, xrr, xsr, xjr = _common_prologue(
+        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
+
+    if enc_refs is not None:
+        _raw, er_rows, _enc_res = _encode_e_fwd(
+            cfg, emax, lanes, e_ref, enc_refs, ones_k)
+        er = er_rows
+        e = er_rows.reshape(emax, lanes)
+    else:
+        e = e_ref[:]  # [Emax, lanes]
+        er = e.reshape(emax * k, LANES)
 
     # edge MLP; first layer = e@Ke + xr@Kr + xs@Ks (concat order of the
     # reference: [edge_attr, x_recv, x_send], layers.py:1044-1060)
     h0 = _dot(er, ew_first[0][:]) + _dot(xrr, ew_first[1][:]) + _dot(xsr, ew_first[2][:])
     edge_upd, _ = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
     eh = edge_upd.reshape(emax, lanes)
-    eout_ref[:] = e + eh
+    if eout_ref is not None:
+        eout_ref[:] = e + eh
 
     agg = _dot(oh_rN, eh).astype(jnp.bfloat16)  # [NB, lanes] masked scatter
     aggr = agg.reshape(nb * k, LANES)
@@ -284,20 +350,43 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
     rest = rest[wb:]
     e_ref = rest[0]
     rest = rest[1:]
+    enc_refs = None
+    if cfg.n_enc_layers:
+        enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
+            rest, 1, cfg.n_enc_layers, cfg.layer_norm)
+        enc_refs = (enc_first, enc_mid, enc_b, enc_scale)
     ew_first, ew_mid, ew_b, ew_scale, rest = _parse_weight_refs(
         rest, 3, cfg.n_edge_layers, cfg.layer_norm)
     nw_first, nw_mid, nw_b, nw_scale, rest = _parse_weight_refs(
         rest, 2, cfg.n_node_layers, cfg.layer_norm)
-    g_xout_ref, g_eout_ref = rest[:2]
+    if cfg.last_block:
+        g_xout_ref = rest[0]
+        g_eout_ref = None
+        rest = rest[1:]
+    else:
+        g_xout_ref, g_eout_ref = rest[:2]
+        rest = rest[2:]
+    dx_ref, dxw_ref = rest[:2]
     rest = rest[2:]
-    dx_ref, dxw_ref, de_ref = rest[:3]
-    dw_refs = rest[3:]
+    if cfg.n_enc_layers:
+        de_ref = None  # raw edge features carry no gradient
+        dw_refs = rest
+    else:
+        de_ref = rest[0]
+        dw_refs = rest[1:]
 
     ones_k = _group_ones(cfg.feature_size)
-    k, xj, e, oh_sT, oh_rN, er, xrr, xsr, xjr = _common_prologue(
-        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs, e_ref)
+    k, xj, oh_sT, oh_rN, xrr, xsr, xjr = _common_prologue(
+        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
 
     # ---- recompute forward ----
+    if enc_refs is not None:
+        raw, er, enc_res = _encode_e_fwd(
+            cfg, emax, lanes, e_ref, enc_refs, ones_k)
+        e = er.reshape(emax, lanes)
+    else:
+        e = e_ref[:]
+        er = e.reshape(emax * k, LANES)
     h0 = _dot(er, ew_first[0][:]) + _dot(xrr, ew_first[1][:]) + _dot(xsr, ew_first[2][:])
     edge_upd, (e_pres, e_rms) = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
     eh = edge_upd.reshape(emax, lanes)
@@ -308,23 +397,51 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
 
     # ---- backward (bf16 gradient flow) ----
     g_xout = g_xout_ref[:]  # [NB, lanes] bf16
-    g_eout = g_eout_ref[:]  # [Emax, lanes] bf16
+    g_eout = g_eout_ref[:] if g_eout_ref is not None else None
     g_xout_r = g_xout.reshape(nb * k, LANES)
 
-    (g_xj_n, g_agg_r), dn_flat = _mlp_bwd(
+    (g_xj_n, g_agg_r), dn_flat, _ = _mlp_bwd(
         g_xout_r, [xjr, aggr], nw_first, nw_mid, nw_b, nw_scale, ones_k, cfg,
         n_pres, n_rms)
 
     # eh receives gradient from both the agg scatter and the edge residual
     g_agg = g_agg_r.reshape(nb, lanes)
-    g_eh = g_eout + _dot_t(oh_rN, g_agg).astype(jnp.bfloat16)
+    g_eh = _dot_t(oh_rN, g_agg).astype(jnp.bfloat16)
+    if g_eout is not None:
+        g_eh = g_eout + g_eh
     g_eh_r = g_eh.reshape(emax * k, LANES)
 
-    (g_e_mlp, g_xr_r, g_xs_r), de_flat = _mlp_bwd(
+    (g_e_mlp, g_xr_r, g_xs_r), de_flat, _ = _mlp_bwd(
         g_eh_r, [er, xrr, xsr], ew_first, ew_mid, ew_b, ew_scale, ones_k, cfg,
         e_pres, e_rms)
 
-    de_ref[:] = g_eout + g_e_mlp.reshape(emax, lanes)
+    # gradient wrt the residual-stream e (encoder output when folded):
+    # identity residual (g_eout) + edge-MLP first-layer backprop
+    g_e_total_r = g_e_mlp
+    if g_eout is not None:
+        g_e_total_r = g_e_total_r + g_eout.reshape(emax * k, LANES)
+    if de_ref is not None:
+        de_ref[:] = g_e_total_r.reshape(emax, lanes)
+
+    enc_flat: List[jnp.ndarray] = []
+    if enc_refs is not None:
+        enc_first, enc_mid, enc_b, enc_scale = enc_refs
+        _gi, enc_tail, g_h0_enc = _mlp_bwd(
+            g_e_total_r, [], [], enc_mid, enc_b, enc_scale, ones_k,
+            _enc_cfg(cfg), enc_res[0], enc_res[1])
+        # mirror the per-slice first layer: dW1 = Σ_j raw_jᵀ @ g_h0_j
+        r = cfg.enc_ratio
+        k_raw = (lanes // r) // LANES
+        g_h0_2d = g_h0_enc.reshape(emax, lanes)
+        d_enc_first = sum(
+            _dot_t(
+                raw[:, j * LANES : (j + 1) * LANES],
+                g_h0_2d[:, j * r * LANES : (j + 1) * r * LANES],
+            )
+            for j in range(k_raw)
+        )  # [128, r*128]
+        enc_flat = [d_enc_first] + enc_tail
+
     g_xr = g_xr_r.reshape(emax, lanes)
     g_xs = g_xs_r.reshape(emax, lanes)
     dx_ref[:] = (
@@ -334,7 +451,7 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
 
     # ---- weight-grad accumulation across all grid steps (fp32 VMEM) ----
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-    for ref, val in zip(dw_refs, de_flat + dn_flat):
+    for ref, val in zip(dw_refs, enc_flat + de_flat + dn_flat):
 
         @pl.when(is_first)
         def _(ref=ref):
@@ -382,9 +499,36 @@ def _flatten_mlp(params: dict, f_in_parts: int, bg: int, dtype,
     return out, n_dense
 
 
+def _flatten_encoder(params: dict, r: int, f: int, dtype, layer_norm: bool):
+    """Folded-encoder params -> flat packed list.
+
+    First kernel [fe, F] is zero-padded to [F//r, F] and expanded
+    block-diagonally to [LANES, r*LANES] (one raw 128-lane row produces r
+    hidden 128-lane rows); remaining layers pack like _flatten_mlp.
+    """
+    bg = LANES // f
+    fe_pad = f // r
+    n_dense = len([k for k in params if k.startswith("Dense_")])
+    k0 = params["Dense_0"]["kernel"].astype(dtype)  # [fe, F]
+    fe = k0.shape[0]
+    assert fe <= fe_pad, (fe, fe_pad)
+    k0p = jnp.zeros((fe_pad, f), dtype).at[:fe].set(k0)
+    blocks = LANES // fe_pad
+    eye = jnp.eye(blocks, dtype=dtype)
+    first = jnp.einsum("ab,ij->aibj", eye, k0p).reshape(LANES, blocks * f)
+    out = [first, _tile_vec(params["Dense_0"]["bias"].astype(jnp.float32), bg)]
+    for i in range(1, n_dense):
+        out.append(_kron_expand(params[f"Dense_{i}"]["kernel"].astype(dtype), bg))
+        out.append(_tile_vec(params[f"Dense_{i}"]["bias"].astype(jnp.float32), bg))
+    if layer_norm:
+        out.append(_tile_vec(params["RMSNorm_0"]["scale"].astype(jnp.float32), bg))
+    return out, n_dense
+
+
 def fused_gn_block(
     x: jnp.ndarray,  # [N, B, F] packed node features
     edge_attr: jnp.ndarray,  # [G*Emax, B, F] blocked packed edge features
+    #                          (raw [G*Emax, B, fe] with edge_encoder_params)
     edge_params: dict,  # flax params of the edge MLP (Dense_i, RMSNorm_0)
     node_params: dict,
     tiling: EdgeTiling,
@@ -393,12 +537,22 @@ def fused_gn_block(
     interpret: bool = False,
     lanes: int = 1024,
     lanes_bwd: int = 256,
+    edge_encoder_params: Optional[dict] = None,
+    last_block: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply one fused GraphNetBlock; returns (x', edge_attr').
 
     ``lanes`` / ``lanes_bwd`` pick the lane-tile width of the forward /
     backward kernels (backward holds ~3x the VMEM working set — the
     rematerialized layer pre-activations — so it runs narrower tiles).
+
+    ``edge_encoder_params`` folds the edge ENCODER MLP into this (first)
+    block: ``edge_attr`` is then the raw [G*Emax, B, fe] feature array and
+    the full-size encoded-edge array never exists in HBM (the encoder
+    runs in-kernel in both fwd and bwd; raw features get no cotangent).
+    ``last_block`` elides the dead edge-output traffic of the final block
+    (only x feeds the decoder): its fwd skips the eout write, its bwd the
+    g_eout read; the returned edge array is the (dead) input, unchanged.
     """
     n, b, f = x.shape
     assert LANES % f == 0, f"feature size {f} must divide {LANES}"
@@ -413,6 +567,12 @@ def fused_gn_block(
             l -= LANES
         return l
 
+    if edge_encoder_params is not None:
+        # the folded encoder adds its rematerialized pre-activations to
+        # the VMEM working set; narrower tiles keep it under the ~16 MB
+        # budget (throughput is insensitive to lane width — measured)
+        lanes = min(lanes, 512)
+        lanes_bwd = min(lanes_bwd, 128)
     lanes = _fit(lanes)
     lanes_bwd = _fit(lanes_bwd)
     assert n == tiling.num_nodes, (n, tiling.num_nodes)
@@ -422,8 +582,26 @@ def fused_gn_block(
     wb = tiling.window_blocks
     assert edge_attr.shape[0] == g_blocks * emax
 
+    # folded-encoder geometry: raw rows carry fe_pad = F/r channels per
+    # sample so every lane tile (fwd AND bwd) stays 128-aligned
+    r = 1
+    if edge_encoder_params is not None:
+        k_f, k_b = lanes // LANES, lanes_bwd // LANES
+        fe = edge_attr.shape[-1]
+        for cand in range(min(k_f, k_b), 0, -1):
+            if (k_f % cand == 0 and k_b % cand == 0 and f % cand == 0
+                    and f // cand >= fe):
+                r = cand
+                break
+        assert f // r >= fe, "raw edge features wider than hidden size"
+
     n_edge_layers = len([k for k in edge_params if k.startswith("Dense_")])
     n_node_layers = len([k for k in node_params if k.startswith("Dense_")])
+    n_enc_layers = 0
+    if edge_encoder_params is not None:
+        n_enc_layers = len(
+            [k for k in edge_encoder_params if k.startswith("Dense_")]
+        )
     cfg = FusedBlockConfig(
         feature_size=f,
         n_edge_layers=n_edge_layers,
@@ -431,14 +609,29 @@ def fused_gn_block(
         activation=activation,
         layer_norm=layer_norm,
         interpret=interpret,
+        n_enc_layers=n_enc_layers,
+        enc_ratio=r,
+        last_block=last_block,
     )
 
     dtype = jnp.bfloat16
     x2 = x.reshape(n, total_lanes).astype(dtype)
-    e2 = edge_attr.reshape(g_blocks * emax, total_lanes).astype(dtype)
+    enc_flat: list = []
+    if edge_encoder_params is not None:
+        fe = edge_attr.shape[-1]
+        fe_pad = f // r
+        raw = edge_attr.astype(dtype)
+        if fe < fe_pad:
+            raw = jnp.pad(raw, ((0, 0), (0, 0), (0, fe_pad - fe)))
+        e2 = raw.reshape(g_blocks * emax, total_lanes // r)
+        enc_flat, _ = _flatten_encoder(
+            edge_encoder_params, r, f, dtype, layer_norm)
+    else:
+        e2 = edge_attr.reshape(g_blocks * emax, total_lanes).astype(dtype)
 
     ew_flat, _ = _flatten_mlp(edge_params, 3, bg, dtype, layer_norm)
     nw_flat, _ = _flatten_mlp(node_params, 2, bg, dtype, layer_norm)
+    n_enc = len(enc_flat)
     n_ew = len(ew_flat)
 
     # [G, 1, Emax]: trailing dims match the block exactly (Mosaic tiling rule)
@@ -467,40 +660,53 @@ def fused_gn_block(
         group_spec = _vspec((1, 1, emax), lambda c, g, ws: (g, 0, 0))
         node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
         edge_spec = _vspec((emax, l), lambda c, g, ws: (g, c))
+        # raw (folded-encoder) edge blocks carry l/r lanes per chunk
+        edge_in_spec = _vspec((emax, l // r), lambda c, g, ws: (g, c))
         win_specs = [
             _vspec((nb, l), partial(lambda k, c, g, ws: (ws[g] + k, c), k))
             for k in range(wb)
         ]
-        weight_specs = [_const_spec(w) for w in ew_flat + nw_flat]
+        weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
         in_specs = ([group_spec, group_spec, node_spec] + win_specs
-                    + [edge_spec] + weight_specs)
+                    + [edge_in_spec] + weight_specs)
         dxw_spec = _vspec((wb * nb, l), lambda c, g, ws: (g, c))
         return grid, in_specs, node_spec, edge_spec, dxw_spec
 
-    def _fwd(x2, e2, ew_flat, nw_flat):
+    def _fwd(x2, e2, weights):
         grid, in_specs, node_spec, edge_spec, _ = _specs(lanes)
+        out_specs = [node_spec]
+        out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
+        if not last_block:
+            out_specs.append(edge_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype)
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[node_spec, edge_spec],
+            out_specs=out_specs,
         )
         kernel = partial(_fwd_kernel, cfg, wb, nb, emax, lanes)
-        xout, eout = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype),
-            ],
+            out_shape=out_shape,
+            # no cross-step state in the forward: let Mosaic pipeline the
+            # grid freely (the backward accumulates dw across steps and
+            # must stay sequential)
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
             interpret=interpret,
-        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *ew_flat, *nw_flat)
-        return xout, eout
+        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *weights)
+        if last_block:
+            return outs[0], e2  # dead edge output: hand back the input
+        return tuple(outs)
 
     @jax.custom_vjp
     def run(x2, e2, *weights):
-        ew = list(weights[:n_ew]); nw = list(weights[n_ew:])
-        return _fwd(x2, e2, ew, nw)
+        return _fwd(x2, e2, weights)
 
     def run_fwd(x2, e2, *weights):
         out = run(x2, e2, *weights)
@@ -508,39 +714,49 @@ def fused_gn_block(
 
     def run_bwd(res, g):
         x2, e2, weights = res
-        ew = list(weights[:n_ew]); nw = list(weights[n_ew:])
         g_xout, g_eout = g
         g_xout = g_xout.astype(dtype)
-        g_eout = g_eout.astype(dtype)
 
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
-                     for w in ew + nw]
+                     for w in weights]
         grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(lanes_bwd)
+        cot_specs = [node_spec]  # g_xout
+        cots = [g_xout]
+        if not last_block:
+            cot_specs.append(edge_spec)
+            cots.append(g_eout.astype(dtype))
+        out_specs = [node_spec, dxw_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
+        ]
+        if n_enc == 0:
+            out_specs.append(edge_spec)  # de
+            out_shape.append(
+                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype)
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=in_specs + [node_spec, edge_spec],  # g_xout, g_eout
-            out_specs=[
-                node_spec,  # dx_main
-                dxw_spec,
-                edge_spec,  # de
-            ] + [_const_spec(s) for s in dw_shapes],
+            in_specs=in_specs + cot_specs,
+            out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
         )
         kernel = partial(_bwd_kernel, cfg, wb, nb, emax, lanes_bwd)
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype),
-            ] + dw_shapes,
+            out_shape=out_shape + dw_shapes,
             interpret=interpret,
-        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *ew, *nw,
-          g_xout, g_eout)
-        dx_main, dxw, de = outs[:3]
+        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *weights, *cots)
+        dx_main, dxw = outs[0], outs[1]
+        if n_enc == 0:
+            de = outs[2]
+            dws = outs[3:]
+        else:
+            de = jnp.zeros_like(e2)  # raw features carry no gradient
+            dws = outs[2:]
         # fp32 in-kernel accumulators -> cotangent dtype must match primal
-        dws = [dw.astype(w.dtype) for dw, w in zip(outs[3:], ew + nw)]
+        dws = [dw.astype(w.dtype) for dw, w in zip(dws, weights)]
         # block-granular scatter-add of the window contributions
         dxw_blocks = dxw.reshape(g_blocks * wb, nb, total_lanes)
         dx_extra = jax.ops.segment_sum(
@@ -551,8 +767,11 @@ def fused_gn_block(
 
     run.defvjp(run_fwd, run_bwd)
 
-    xout2, eout2 = run(x2, e2, *ew_flat, *nw_flat)
-    return xout2.reshape(n, b, f), eout2.reshape(g_blocks * emax, b, f)
+    xout2, eout2 = run(x2, e2, *enc_flat, *ew_flat, *nw_flat)
+    xout = xout2.reshape(n, b, f)
+    if last_block:
+        return xout, edge_attr  # dead edge stream, unchanged
+    return xout, eout2.reshape(g_blocks * emax, b, f)
 
 
 # ----------------------------------------------------------------------

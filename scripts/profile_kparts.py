@@ -174,14 +174,14 @@ def make_variant(stage, lanes):
             )(win_start, sidx, ridx, x2, *([x2] * WB), e2, wmat)
             return (xo, eo), None
 
-        (x2, e2), _ = jax.lax.scan(body, (x2, e2), None, length=10)
+        (x2, e2), _ = jax.lax.scan(body, (x2, e2), None, length=50)
         return x2.astype(jnp.float32).ravel()[0] + e2.astype(jnp.float32).ravel()[0]
 
     return run10
 
 
-for lanes in (128, 256, 512):
-    for stage in ["d", "dwide", "e", "ewide"]:
+for lanes in (128, 512, 1024, 2048, 4096):
+    for stage in ["a"]:
         try:
             f = make_variant(stage, lanes)
             _ = float(f(x2, e2))
@@ -190,6 +190,6 @@ for lanes in (128, 256, 512):
                 t0 = time.perf_counter()
                 _ = float(f(x2, e2))
                 best = min(best, time.perf_counter() - t0)
-            print(f"lanes={lanes} stage={stage}: {best/10*1e3:7.3f} ms/block", flush=True)
+            print(f"lanes={lanes} stage={stage}: {best/50*1e3:7.3f} ms/block", flush=True)
         except Exception as ex:
             print(f"lanes={lanes} stage={stage}: FAIL {str(ex)[:120]}", flush=True)

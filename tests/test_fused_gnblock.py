@@ -227,3 +227,183 @@ def test_fused_matches_production_block():
     np.testing.assert_allclose(e_f_orig,
                                np.asarray(e_ref, np.float32),
                                rtol=0.1, atol=0.1)
+
+
+def test_fused_block_folded_encoder_matches():
+    """edge_encoder_params folds the encoder MLP into the kernel: fwd and
+    grads match (XLA bf16 MLP encode -> fused block)."""
+    from graph_physics_tpu.models.layers import MLP
+
+    f, b = 32, 4
+    pos, ei = _toy_graph(nx=12, ny=8)
+    senders, receivers = ei
+    t = tiling_lib.build_edge_tiling(senders, receivers, len(pos), node_block=128)
+    n = t.num_nodes
+    fe = 3
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (n, b, f), jnp.float32) * 0.5
+    e_raw = jnp.asarray(
+        t.expand_edges(
+            np.asarray(
+                jax.random.normal(
+                    jax.random.fold_in(key, 1), (senders.shape[0], b, fe)
+                )
+            )
+        )
+    )
+
+    enc = MLP(hidden_size=f, out_size=f, dtype=jnp.bfloat16)
+    enc_params = enc.init(jax.random.fold_in(key, 2), jnp.zeros((1, fe)))["params"]
+    ep = _params(jax.random.fold_in(key, 3), f, 3)
+    np_ = _params(jax.random.fold_in(key, 4), f, 2)
+
+    cot_x = jax.random.normal(jax.random.fold_in(key, 5), (n, b, f))
+    cot_e = jax.random.normal(jax.random.fold_in(key, 6), (e_raw.shape[0], b, f))
+
+    def enc_ref(p, h):
+        # dtype-faithful mirror of the kernel's encoder flow (bf16
+        # activations, fp32 dot accumulation / RMS statistics) — a flax
+        # MLP differs by 1-ulp rounding, which relu gates then amplify
+        import math as _m
+
+        def dense(z, kern):
+            return jax.lax.dot_general(
+                z.astype(jnp.bfloat16), kern.astype(jnp.bfloat16),
+                dimension_numbers=(((z.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+
+        n_dense = len([k for k in p if k.startswith("Dense_")])
+        h = dense(h, p["Dense_0"]["kernel"]) + p["Dense_0"]["bias"].astype(jnp.bfloat16)
+        for i in range(1, n_dense):
+            h = dense(jax.nn.relu(h), p[f"Dense_{i}"]["kernel"])
+            h = h + p[f"Dense_{i}"]["bias"].astype(jnp.bfloat16)
+        sq = h * h
+        gs = jnp.sum(sq.astype(jnp.float32), -1, keepdims=True)
+        rms = jnp.sqrt(gs + 1e-24) / _m.sqrt(f)
+        inv = 1.0 / (rms + 1e-8)
+        return h * inv.astype(jnp.bfloat16) * p["RMSNorm_0"]["scale"].astype(jnp.bfloat16)
+
+    def loss_ref(x, e_raw, enc_params, ep, np_):
+        e_enc = enc_ref(enc_params, e_raw.astype(jnp.bfloat16))
+        xo, eo = fused_gn_block(x, e_enc, ep, np_, t, interpret=True)
+        return jnp.sum(xo.astype(jnp.float32) * cot_x) + jnp.sum(
+            eo.astype(jnp.float32) * cot_e)
+
+    def loss_folded(x, e_raw, enc_params, ep, np_):
+        xo, eo = fused_gn_block(
+            x, e_raw, ep, np_, t, interpret=True,
+            edge_encoder_params=enc_params)
+        return jnp.sum(xo.astype(jnp.float32) * cot_x) + jnp.sum(
+            eo.astype(jnp.float32) * cot_e)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 2, 3, 4))(
+        x, e_raw, enc_params, ep, np_)
+    v_fld, g_fld = jax.value_and_grad(loss_folded, argnums=(0, 2, 3, 4))(
+        x, e_raw, enc_params, ep, np_)
+
+    np.testing.assert_allclose(float(v_fld), float(v_ref), rtol=0.02)
+    for tr, tf, name in zip(g_ref, g_fld, ["dx", "enc_w", "edge_w", "node_w"]):
+        for a, c in zip(jax.tree.leaves(tr), jax.tree.leaves(tf)):
+            a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(c / scale, a / scale, atol=0.04,
+                                       err_msg=name)
+
+
+def test_fused_block_last_block_matches():
+    """last_block skips the dead edge-output traffic; x output and grads
+    through x match the full block exactly when eout is unused."""
+    f, b = 32, 4
+    pos, ei = _toy_graph(nx=12, ny=8)
+    senders, receivers = ei
+    t = tiling_lib.build_edge_tiling(senders, receivers, len(pos), node_block=128)
+    n = t.num_nodes
+
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, (n, b, f), jnp.float32) * 0.5
+    e_blocked = jnp.asarray(
+        t.expand_edges(
+            np.asarray(
+                jax.random.normal(
+                    jax.random.fold_in(key, 1), (senders.shape[0], b, f)
+                )
+            )
+        )
+    )
+    ep = _params(jax.random.fold_in(key, 2), f, 3)
+    np_ = _params(jax.random.fold_in(key, 3), f, 2)
+    cot_x = jax.random.normal(jax.random.fold_in(key, 4), (n, b, f))
+
+    def loss(last, x, e, ep, np_):
+        xo, eo = fused_gn_block(x, e, ep, np_, t, interpret=True,
+                                last_block=last)
+        return jnp.sum(xo.astype(jnp.float32) * cot_x)
+
+    v0, g0 = jax.value_and_grad(loss, argnums=(1, 2, 3, 4))(False, x, e_blocked, ep, np_)
+    v1, g1 = jax.value_and_grad(loss, argnums=(1, 2, 3, 4))(True, x, e_blocked, ep, np_)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for tr, tf in zip(g0, g1):
+        for a, c in zip(jax.tree.leaves(tr), jax.tree.leaves(tf)):
+            np.testing.assert_allclose(
+                np.asarray(c, np.float32), np.asarray(a, np.float32),
+                rtol=1e-3, atol=1e-5)
+
+
+def test_epd_fused_folded_matches_xla():
+    """Full EncodeProcessDecode with tiling (folded encoder + last-block
+    elision) vs the plain XLA path, same params, packed batch."""
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.ops.tiling import apply_to_graph
+    from tests.helpers import tiny_graph
+
+    f, b = 32, 4
+    g = tiny_graph(nx=14, ny=10)
+    t = tiling_lib.build_edge_tiling(
+        np.asarray(g.senders), np.asarray(g.receivers), g.x.shape[0],
+        edge_mask=np.asarray(g.edge_mask), node_block=128)
+    gt = apply_to_graph(g, t)
+
+    key = jax.random.PRNGKey(5)
+    def packed(graph):
+        e = graph.senders.shape[0]
+        n = graph.x.shape[0]
+        x = jax.random.normal(key, (n, b, 4), jnp.float32) * 0.5
+        ea = jax.random.normal(jax.random.fold_in(key, 1), (e, b, 3)) * 0.5
+        return graph.replace(x=jnp.asarray(x), edge_attr=jnp.asarray(ea))
+
+    # shared per-edge features: build on the original graph, expand into
+    # the blocked layout so both paths see identical inputs
+    gp = packed(jax.tree.map(jnp.asarray, g))
+    ea_blocked = jnp.asarray(t.expand_edges(np.asarray(gp.edge_attr)))
+    n_pad = t.num_nodes
+    x_pad = jnp.zeros((n_pad, b, 4)).at[: gp.x.shape[0]].set(gp.x)
+    gt = jax.tree.map(jnp.asarray, gt)
+    gt = gt.replace(x=x_pad, edge_attr=ea_blocked)
+
+    kwargs = dict(
+        message_passing_num=3, node_input_size=4, edge_input_size=3,
+        output_size=2, hidden_size=f, dtype=jnp.bfloat16,
+    )
+    m_xla = EncodeProcessDecode(**kwargs)
+    m_fused = EncodeProcessDecode(edge_tiling=t, **kwargs)
+    params = m_xla.init(jax.random.fold_in(key, 2), gp)
+    # identical param trees: the fused model reuses them directly
+    out_xla = m_xla.apply(params, gp)
+    out_fused = m_fused.apply(params, gt)
+
+    n_real = int(g.n_node)
+    a = np.asarray(out_xla, np.float32)[:n_real]
+    c = np.asarray(out_fused, np.float32)[:n_real]
+    np.testing.assert_allclose(c, a, rtol=0.15, atol=0.15)
+    # and gradients flow through the folded path to every param incl. the
+    # folded encoder's
+    def loss(p):
+        return jnp.sum(m_fused.apply(p, gt).astype(jnp.float32)[:n_real] ** 2)
+
+    grads = jax.grad(loss)(params)
+    enc_g = grads["params"]["edges_encoder"]
+    assert max(
+        float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(enc_g)
+    ) > 0

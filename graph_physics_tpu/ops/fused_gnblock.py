@@ -193,12 +193,13 @@ def _mlp_bwd(g_out_bf, inputs_bf16: Sequence[jnp.ndarray],
         )
         g = g_u * inv.astype(jnp.bfloat16) - v * corr
 
-    zs = [act(p) for p in pres[:-1]]  # post-activations feeding layer i+1
     d_kerns = [None] * len(kern_refs)
     d_biases = [None] * len(bias_refs)
     for i in reversed(range(len(kern_refs))):
         d_biases[i + 1] = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
-        d_kerns[i] = _dot_t(zs[i], g)
+        # recompute act(pres[i]) at use: shortest possible liveness (the
+        # full zs list held n_layers-1 extra edge-row tensors in VMEM)
+        d_kerns[i] = _dot_t(act(pres[i]), g)
         g = _dot_bt(g, kern_refs[i][:]).astype(jnp.bfloat16)
         g = g * _act_grad(cfg.activation, pres[i])
     d_biases[0] = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)

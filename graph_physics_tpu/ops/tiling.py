@@ -115,6 +115,8 @@ def apply_to_graph(graph, tiling: EdgeTiling):
         if a is None or pad_n == 0:
             return a
         a = np.asarray(a)
+        if pad_n < 0:  # trim bucket-padding rows
+            return a[:n_new]
         pad = np.full((pad_n,) + a.shape[1:], fill, a.dtype)
         return np.concatenate([a, pad], axis=0)
 

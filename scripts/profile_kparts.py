@@ -114,6 +114,26 @@ def make_variant(stage, lanes):
             xout_ref[:] = xj + hn.astype(jnp.bfloat16)
             eout_ref[:] = e + eh
             return
+        if stage == "e2x":
+            for _rep in range(2):
+                er = e.reshape(EMAX * k, LANES)
+                xrr = xr.reshape(EMAX * k, LANES)
+                xsr = xs.reshape(EMAX * k, LANES)
+                h = _dot(er, w_ref[:]) + _dot(xrr, w_ref[:]) + _dot(xsr, w_ref[:])
+                for _ in range(3):
+                    h = _dot(jax.nn.relu(h).astype(jnp.bfloat16), w_ref[:])
+                eh2 = h.astype(jnp.bfloat16).reshape(EMAX, lanes)
+                agg2 = _dot(oh_rN, eh2).astype(jnp.bfloat16)
+                xjr2 = xj.reshape(128 * k, LANES)
+                aggr2 = agg2.reshape(128 * k, LANES)
+                hn = _dot(xjr2, w_ref[:]) + _dot(aggr2, w_ref[:])
+                for _ in range(3):
+                    hn = _dot(jax.nn.relu(hn).astype(jnp.bfloat16), w_ref[:])
+                xj = (xj + hn.astype(jnp.bfloat16).reshape(128, lanes)).astype(jnp.bfloat16)
+                e = (e + eh2).astype(jnp.bfloat16)
+            xout_ref[:] = xj
+            eout_ref[:] = e
+            return
         # e: + node MLP
         if stage in ("f32rms", "bf16rms"):
             ones = _group_ones(F)
@@ -180,8 +200,8 @@ def make_variant(stage, lanes):
     return run10
 
 
-for lanes in (128, 512, 1024, 2048, 4096):
-    for stage in ["a"]:
+for lanes in (256, 1024):
+    for stage in ["a", "e", "e2x"]:
         try:
             f = make_variant(stage, lanes)
             _ = float(f(x2, e2))

@@ -196,8 +196,9 @@ def build_mesh_graph(
     n_pad = n_pad or padding.bucket_size(n)
     e_pad = e_pad or padding.bucket_size(e)
 
-    # Receiver-sorted edge invariant: the fused TPU scatter kernel
-    # (ops/pallas_segment.py) requires edges sorted by receiver with
+    # Receiver-sorted edge invariant: the fused TPU GraphNetBlock kernel
+    # (ops/fused_gnblock.py via ops/tiling.py) requires edges sorted by
+    # receiver with
     # padding edges last (they point at node n_pad-1 and are masked).
     # Stable sort keeps valid edges ahead of padding on equal keys, so the
     # "valid edges are a prefix" property is preserved.

@@ -17,12 +17,16 @@ from graph_physics_tpu.training.step import init_train_state, make_multi_step
 
 orig = fg.fused_gn_block
 
-def run(batch, lanes, lanes_bwd, inner=100, trials=6, budget=120):
+def run(batch, lanes, lanes_bwd, inner=100, trials=6, budget=120, node_block=128):
     def patched(*a, **k):
         k["lanes"] = lanes
         k["lanes_bwd"] = lanes_bwd
         return orig(*a, **k)
     fg.fused_gn_block = patched
+    import graph_physics_tpu.ops.tiling as tl
+    orig_build = tl.build_edge_tiling.__wrapped__ if hasattr(tl.build_edge_tiling, "__wrapped__") else tl.build_edge_tiling
+    import functools
+    tl.build_edge_tiling = functools.partial(orig_build, node_block=node_block) if node_block != 128 else orig_build
     import graph_physics_tpu.models.layers as layers_mod
     # layers.py imports inside the function, so patching the module attr works
     try:
@@ -44,7 +48,7 @@ def run(batch, lanes, lanes_bwd, inner=100, trials=6, budget=120):
             best = min(best, time.perf_counter() - t0)
             n += 1
         gps = inner * batch / best
-        print(f"B={batch:4d} lanes={lanes:5d} lanes_bwd={lanes_bwd:5d}: "
+        print(f"B={batch:4d} lanes={lanes:5d} lanes_bwd={lanes_bwd:5d} nb={node_block}: "
               f"{best/inner*1e3:7.2f} ms/step  {gps:8.0f} graph-steps/s", flush=True)
         return gps
     except Exception as e:
@@ -56,5 +60,5 @@ def run(batch, lanes, lanes_bwd, inner=100, trials=6, budget=120):
 if __name__ == "__main__":
     import sys
     for spec in sys.argv[1:]:
-        b, l, lb = map(int, spec.split(","))
-        run(b, l, lb)
+        parts = list(map(int, spec.split(",")))
+        run(*parts[:3], node_block=parts[3] if len(parts) > 3 else 128)

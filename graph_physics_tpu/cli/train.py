@@ -46,6 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--packed", action="store_true",
                    help="trajectory-major [N,B,F] batching (TPU fast gathers)")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas GraphNetBlocks (requires --packed "
+                        "--bf16, epd model, static per-trajectory topology)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
@@ -142,6 +145,18 @@ def main(argv=None):
         os.path.basename(args.training_parameters_path)
     )[0]
 
+    if args.fused:
+        if not (args.packed and args.bf16):
+            raise SystemExit("--fused requires --packed and --bf16")
+        if world_host is not None:
+            raise SystemExit(
+                "--fused is incompatible with world edges (per-frame topology)"
+            )
+        if param["dataset"].get("new_edges_ratio", 0):
+            raise SystemExit(
+                "--fused is incompatible with new_edges_ratio (per-frame topology)"
+            )
+
     tcfg = TrainerConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -159,6 +174,7 @@ def main(argv=None):
         accumulate_grad_batches=args.accumulate_grad_batches,
         packed=args.packed,
         steps_per_dispatch=args.steps_per_dispatch,
+        fused=args.fused,
     )
 
     num_steps = max(

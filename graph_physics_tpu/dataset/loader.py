@@ -45,10 +45,13 @@ class BatchLoader:
         device_put: bool = True,
         sharding=None,
         packed: bool = False,
+        frame_transform=None,
     ):
         """``packed=True``: batches are built from frames of ONE trajectory
         (shared topology) and emitted in the [N, B, F] trajectory-major
-        layout (training/packed.py) — the TPU-efficient gather path."""
+        layout (training/packed.py) — the TPU-efficient gather path.
+        ``frame_transform``: host-side per-frame graph hook applied before
+        stacking (e.g. the fused-kernel blocked-layout conversion)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,6 +60,7 @@ class BatchLoader:
         self.device_put = device_put
         self.sharding = sharding
         self.packed = packed
+        self.frame_transform = frame_transform
         self._rng = np.random.default_rng(seed)
 
     def _batched_indices(self, shuffle: Optional[bool] = None) -> List[List[int]]:
@@ -97,6 +101,8 @@ class BatchLoader:
         try:
             for chunk in batches:
                 frames = [self.ds[i] for i in chunk]
+                if self.frame_transform is not None:
+                    frames = [self.frame_transform(f) for f in frames]
                 batch = stack_batch(frames)
                 if self.packed:
                     from graph_physics_tpu.training.packed import pack

@@ -248,3 +248,21 @@ class Simulator:
         self, state: SimulatorState, graph: MeshGraph, net_out: jnp.ndarray
     ) -> jnp.ndarray:
         return self.build_outputs_from_pre(state, net_out, self.pre_target(graph))
+
+
+def clone_with_model(sim: "Simulator", model: nn.Module) -> "Simulator":
+    """Simulator copy wrapping a different (parameter-compatible) model —
+    used by the fused training path to swap in per-topology tiled models
+    while sharing one parameter/optimizer state."""
+    return Simulator(
+        node_input_size=sim.node_input_size,
+        edge_input_size=sim.edge_input_size or 0,
+        output_size=sim.output_size,
+        feature_index_start=sim.feature_index_start,
+        feature_index_end=sim.feature_index_end,
+        output_index_start=sim.output_index_start,
+        output_index_end=sim.output_index_end,
+        node_type_index=sim.node_type_index,
+        model=model,
+        axis_name=sim.axis_name,
+    )

@@ -1,0 +1,131 @@
+"""Fused-kernel training support: per-trajectory edge tilings.
+
+The fused Pallas GraphNetBlock (ops/fused_gnblock.py) needs a static
+blocked-CSR layout per topology. Mesh topology is static per TRAJECTORY
+(the datasets cache k-hop per trajectory for the same reason), so this
+module caches one :class:`~graph_physics_tpu.ops.tiling.EdgeTiling` per
+trajectory, converts frames into the blocked layout inside the loader
+thread, and hands the Trainer a per-topology (simulator, train-step)
+clone — all clones share ONE parameter/optimizer state (the tiling only
+changes the kernel schedule, not the parameters).
+
+Trajectories whose meshes aren't tileable even after an RCM reorder fall
+back to the XLA path transparently (their frames pass through
+unconverted and the generic train step runs).
+
+Not compatible with per-frame topology churn: world edges and random
+extra edges change the edge set every frame — the Trainer refuses the
+combination.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from graph_physics_tpu.core.graph import MeshGraph
+from graph_physics_tpu.ops import tiling as tiling_lib
+
+
+class FusedTopologyManager:
+    """Per-trajectory tiling cache + frame converter + step-fn cache."""
+
+    def __init__(self, node_block: int = 128, max_window_blocks: int = 8):
+        self.node_block = node_block
+        self.max_window_blocks = max_window_blocks
+        #: traj id -> (tiling or None, rcm permutation or None)
+        self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray]]] = {}
+        #: traj id -> (simulator clone, jitted step_fn)
+        self._steps: Dict[Any, Tuple[Any, Any]] = {}
+
+    # -- host-side frame conversion (runs in the loader thread) ---------
+    def _tiling_for(self, g: MeshGraph):
+        key = int(np.asarray(g.traj_index))
+        if key in self._tilings:
+            return key, self._tilings[key]
+        n_valid = int(g.n_node)
+        e_valid = int(g.n_edge)
+        send = np.asarray(g.senders)[:e_valid]
+        recv = np.asarray(g.receivers)[:e_valid]
+        t = tiling_lib.build_edge_tiling(
+            send, recv, n_valid,
+            node_block=self.node_block,
+            max_window_blocks=self.max_window_blocks,
+        )
+        perm = None
+        if t is None:
+            # non-banded node order: reorder with reverse Cuthill-McKee
+            perm = tiling_lib.rcm_order(send, recv, n_valid)
+            inv = np.argsort(perm)
+            t = tiling_lib.build_edge_tiling(
+                inv[send], inv[recv], n_valid,
+                node_block=self.node_block,
+                max_window_blocks=self.max_window_blocks,
+            )
+            if t is None:
+                perm = None  # not tileable: XLA fallback for this topology
+        self._tilings[key] = (t, perm)
+        return key, (t, perm)
+
+    def transform_frame(self, g: MeshGraph) -> MeshGraph:
+        """Convert one host-side frame into the blocked layout (no-op for
+        untileable topologies)."""
+        _, (t, perm) = self._tiling_for(g)
+        if t is None:
+            return g
+        if perm is not None:
+            g = _permute_nodes(g, perm)
+        return tiling_lib.apply_to_graph(g, t)
+
+    # -- device-side step selection (runs in the train loop) ------------
+    def step_for(self, batch: MeshGraph, base_sim, make_step: Callable):
+        """(simulator, step_fn) for this batch's topology.
+
+        ``make_step(simulator)`` builds the jitted train step; results are
+        cached per trajectory so each topology compiles once.
+        """
+        key = int(np.asarray(batch.traj_index))
+        hit = self._steps.get(key)
+        if hit is not None:
+            return hit
+        t, _perm = self._tilings.get(key, (None, None))
+        if t is None or not hasattr(base_sim.model, "edge_tiling"):
+            entry = (base_sim, make_step(base_sim))
+        else:
+            from graph_physics_tpu.models.simulator import clone_with_model
+
+            sim = clone_with_model(base_sim, base_sim.model.clone(edge_tiling=t))
+            entry = (sim, make_step(sim))
+        self._steps[key] = entry
+        return entry
+
+
+def _permute_nodes(g: MeshGraph, perm: np.ndarray) -> MeshGraph:
+    """Apply a node permutation (old id at position i = perm[i]) to every
+    node-indexed array of a host-side frame; valid nodes stay a prefix."""
+    n_valid = len(perm)
+    full = np.concatenate([perm, np.arange(n_valid, g.x.shape[0])])
+    inv = np.argsort(full)
+
+    def nodes(a):
+        return None if a is None else np.asarray(a)[full]
+
+    return g.replace(
+        x=nodes(g.x),
+        pos=nodes(g.pos),
+        node_type=nodes(g.node_type),
+        node_mask=nodes(g.node_mask),
+        senders=inv[np.asarray(g.senders)].astype(np.int32),
+        receivers=inv[np.asarray(g.receivers)].astype(np.int32),
+        y=nodes(g.y),
+        prev=nodes(g.prev),
+        next_data=nodes(g.next_data),
+        deselected=nodes(g.deselected),
+        phi=nodes(g.phi),
+        faces=(
+            None
+            if g.faces is None
+            else inv[np.asarray(g.faces)].astype(np.int32)
+        ),
+    )

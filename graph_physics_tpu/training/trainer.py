@@ -72,6 +72,13 @@ class TrainerConfig:
     #: fuse K optimizer steps into one XLA dispatch (lax.scan over K
     #: stacked batches) — amortizes host→device latency
     steps_per_dispatch: int = 1
+    #: run GraphNetBlocks through the fused Pallas kernel: per-trajectory
+    #: blocked-CSR tilings built host-side, one (model, step) clone per
+    #: topology sharing the single param/opt state (training/fused.py).
+    #: Requires packed batching and a static per-trajectory topology (no
+    #: world edges / random extra edges). epd models only; untileable
+    #: topologies fall back to the XLA path per trajectory.
+    fused: bool = False
 
 
 class Trainer:
@@ -113,21 +120,34 @@ class Trainer:
         )
         self.mtp = mtp
         self.multi_step = None
-        self.train_step = make_train_step(
-            simulator,
-            self.optimizer,
-            loss_fn,
-            gradient_method=gradient_method,
-            num_steps=self.num_steps,
-            device_preprocess=device_preprocess,
-            mtp=mtp,
-        )
+
+        def _build_step(sim):
+            return make_train_step(
+                sim,
+                self.optimizer,
+                loss_fn,
+                gradient_method=gradient_method,
+                num_steps=self.num_steps,
+                device_preprocess=device_preprocess,
+                mtp=mtp,
+            )
+
+        self._build_step = _build_step
+        self.train_step = _build_step(simulator)
         if cfg.steps_per_dispatch > 1:
             from graph_physics_tpu.training.step import make_multi_step
 
             self.multi_step = make_multi_step(
                 self.train_step, unroll=cfg.steps_per_dispatch
             )
+        self._fused_mgr = None
+        self._fused_multi = {}
+        if cfg.fused:
+            if not cfg.packed:
+                raise ValueError("TrainerConfig.fused requires packed=True")
+            from graph_physics_tpu.training.fused import FusedTopologyManager
+
+            self._fused_mgr = FusedTopologyManager()
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,
@@ -190,6 +210,9 @@ class Trainer:
             shuffle=False,
             device_put=False,
             packed=self.cfg.packed,
+            frame_transform=(
+                self._fused_mgr.transform_frame if self._fused_mgr else None
+            ),
         )
         return next(iter(loader))
 
@@ -231,6 +254,9 @@ class Trainer:
                 seed=cfg.seed + epoch,
                 sharding=self.sharding,
                 packed=cfg.packed,
+                frame_transform=(
+                    self._fused_mgr.transform_frame if self._fused_mgr else None
+                ),
             )
             t_epoch = time.time()
             n_batches = 0
@@ -241,7 +267,12 @@ class Trainer:
             def run_single(batch):
                 nonlocal n_batches, loss_sum
                 rng_local = self._next_rng()
-                self.state, metrics = self.train_step(self.state, batch, rng_local)
+                step_fn = self.train_step
+                if self._fused_mgr is not None:
+                    _, step_fn = self._fused_mgr.step_for(
+                        batch, self.sim, self._build_step
+                    )
+                self.state, metrics = step_fn(self.state, batch, rng_local)
                 n_batches += 1
                 step = int(self.state.step)
                 loss_sum += float(metrics["loss"])
@@ -255,10 +286,25 @@ class Trainer:
                 nonlocal pending, n_batches, loss_sum
                 k = cfg.steps_per_dispatch
                 if self.multi_step is not None and len(pending) == k:
+                    multi_fn = self.multi_step
+                    if self._fused_mgr is not None:
+                        # per-topology multi-step over the tiled clone
+                        from graph_physics_tpu.training.step import (
+                            make_multi_step,
+                        )
+
+                        key = int(np.asarray(pending[0].traj_index))
+                        multi_fn = self._fused_multi.get(key)
+                        if multi_fn is None:
+                            _, step_fn = self._fused_mgr.step_for(
+                                pending[0], self.sim, self._build_step
+                            )
+                            multi_fn = make_multi_step(step_fn, unroll=k)
+                            self._fused_multi[key] = multi_fn
                     super_batch = jax.tree.map(
                         lambda *xs: jnp.stack(xs), *pending
                     )
-                    self.state, ms = self.multi_step(
+                    self.state, ms = multi_fn(
                         self.state, super_batch, self._next_rng()
                     )
                     n_batches += k
@@ -281,10 +327,18 @@ class Trainer:
                 if self.multi_step is None:
                     run_single(batch)
                 else:
-                    if pending and jax.tree.map(jnp.shape, pending[0].x) != jax.tree.map(
-                        jnp.shape, batch.x
+                    topo_changed = (
+                        self._fused_mgr is not None
+                        and pending
+                        and int(np.asarray(pending[0].traj_index))
+                        != int(np.asarray(batch.traj_index))
+                    )
+                    if pending and (
+                        topo_changed
+                        or jax.tree.map(jnp.shape, pending[0].x)
+                        != jax.tree.map(jnp.shape, batch.x)
                     ):
-                        flush(force=True)  # bucket changed
+                        flush(force=True)  # bucket/topology changed
                     pending.append(batch)
                     flush()
                 if profiling and n_batches >= 4:

@@ -1,0 +1,98 @@
+"""Per-family train-step throughput on the TPU (transformer/transolver
+coverage beyond bench.py's headline EPD number). Prints one JSON line per
+family; results recorded in BASELINE.md."""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.models.processors import (
+        EncodeTransformDecode,
+        TransolverProcessor,
+    )
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.training import schedule
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.packed import pack
+    from graph_physics_tpu.training.step import (
+        NoiseConfig,
+        init_train_state,
+        make_multi_step,
+        make_train_step,
+    )
+
+    traj = synthetic.make_trajectory(48, 40, num_steps=3)
+    pos = traj["mesh_pos"][0]
+    nt = traj["node_type"][0, :, 0]
+    x = np.concatenate(
+        [traj["velocity"][0], nt[:, None].astype(np.float32),
+         np.zeros((len(pos), 1), np.float32)], -1,
+    )
+    ei = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
+    g = mesh_lib.build_mesh_graph(x, pos, nt, ei, y=traj["velocity"][1])
+
+    def bench(name, model, batch=64, inner=100, packed=True):
+        sim = Simulator(
+            node_input_size=2 + 9, edge_input_size=0, output_size=2,
+            feature_index_start=0, feature_index_end=2,
+            output_index_start=0, output_index_end=2, node_type_index=2,
+            model=model,
+        )
+        opt = schedule.make_optimizer(1e-3, warmup=100, num_steps=10000)
+        noise = NoiseConfig(starts=(0,), ends=(2,), scales=(0.02,))
+        step = make_train_step(sim, opt, LossType.L2LOSS, noise, num_steps=10000)
+        batch_graph = jax.tree.map(
+            lambda a: np.stack([np.asarray(a)] * batch), g
+        )
+        if packed:
+            batch_graph = pack(batch_graph)
+        state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
+        multi = make_multi_step(step, unroll=inner)
+        rng = jax.random.PRNGKey(1)
+        state, m = multi(state, batch_graph, rng)
+        _ = float(np.asarray(m["loss"])[-1])
+        best = float("inf")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rng, k = jax.random.split(rng)
+            t0 = time.perf_counter()
+            state, m = multi(state, batch_graph, k)
+            _ = float(np.asarray(m["loss"])[-1])
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": f"{name}_graph_steps_per_sec_per_chip",
+            "value": round(inner * batch / best, 2),
+            "unit": "graphs/s",
+        }), flush=True)
+
+    bench("transformer", EncodeTransformDecode(
+        message_passing_num=10, node_input_size=2 + 9, output_size=2,
+        hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+    ))
+    # Transolver consumes [B, N, F] stacked batches (its physics attention
+    # adds its own batch dim; the packed [N, B, F] layout doesn't apply)
+    bench("transolver", TransolverProcessor(
+        message_passing_num=4, node_input_size=2 + 9, output_size=2,
+        hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
+    ), batch=16, packed=False)
+
+
+if __name__ == "__main__":
+    main()

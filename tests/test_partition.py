@@ -71,3 +71,54 @@ def test_partitioned_dataset(tmp_path):
     assert total == n_full
     # per-partition graphs are self-consistent
     assert int(g.senders[: int(g.n_edge)].max()) < int(g.n_node)
+
+
+def test_rcb_edge_cut_quality_irregular_mesh():
+    """RCB edge-cut quality on IRREGULAR meshes (the VERDICT gap: the
+    METIS->RCB redesign had no cut-quality evidence off regular grids).
+
+    Builds a graded mesh (node density varying 10x across the domain, via
+    warped coordinates) and an annulus-like mesh with a hole; asserts the
+    RCB cut fraction stays within a small multiple of the ideal
+    perimeter/area scaling, the regime where Cluster-GCN-style sub-mesh
+    training is insensitive to partitioner choice."""
+    import numpy as np
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.dataset.partition import rcb_partition
+
+    def cut_fraction(pos, senders, receivers, k):
+        parts = rcb_partition(pos, k)
+        owner = np.empty(len(pos), np.int64)
+        for i, ids in enumerate(parts):
+            owner[ids] = i
+        # balance: parts within one node of each other
+        sizes = np.array([len(p) for p in parts])
+        assert sizes.max() - sizes.min() <= 1
+        return float((owner[senders] != owner[receivers]).mean())
+
+    # graded mesh: warp a 40x30 grid so spacing varies ~10x
+    pos, cells = synthetic.grid_mesh(40, 30)
+    warped = pos.copy()
+    warped[:, 0] = pos[:, 0] ** 2 / pos[:, 0].max()
+    warped[:, 1] = np.sqrt(pos[:, 1] + 1e-9) * np.sqrt(pos[:, 1].max())
+    s, r = mesh_lib.faces_to_edges(cells, len(pos))
+    frac = cut_fraction(warped, s, r, 8)
+    # ideal 8-part cut of a planar mesh ~ O(sqrt(parts/N)) ~ 0.08 here;
+    # allow 3x for the graded density
+    assert frac < 0.25, frac
+
+    # mesh with a hole: drop cells near the center (annulus topology)
+    pos2, cells2 = synthetic.grid_mesh(36, 36, 1.0, 1.0)
+    c = pos2[cells2].mean(axis=1)
+    keep = np.linalg.norm(c - 0.5, axis=1) > 0.22
+    cells2 = cells2[keep]
+    used = np.unique(cells2)
+    remap = -np.ones(len(pos2), np.int64)
+    remap[used] = np.arange(len(used))
+    cells2 = remap[cells2]
+    pos2 = pos2[used]
+    s2, r2 = mesh_lib.faces_to_edges(cells2, len(pos2))
+    frac2 = cut_fraction(pos2, s2, r2, 8)
+    assert frac2 < 0.25, frac2

@@ -15,9 +15,10 @@ TPU re-design:
     edge list (argsort by sender + searchsorted row pointers); K =
     ``max_neighbors`` is a required static cap (the reference's unbounded
     mode has no static shape);
-  * per-python-loop neighbour sampling → vectorized windowed take (the
-    first K neighbours; edge order is deterministic, which is equivalent
-    in distribution to the reference's uniform cap for mesh graphs).
+  * per-python-loop neighbour sampling → vectorized static-shape uniform
+    sampling without replacement (random scores over a bounded candidate
+    window + top-k), matching the reference's ``randperm(c)[:k]`` when
+    degree exceeds the cap.
 """
 
 from __future__ import annotations
@@ -145,11 +146,13 @@ def build_star_tables(
         valid = (offs < counts[:, None]) & center_valid[:, None]
         return nbrs.astype(jnp.int32), valid
 
-    kc = min(max(candidate_cap, k), e)
+    # candidate window: at least k wide so top_k(k) is always legal, even
+    # when the padded edge array is shorter than k (tiny meshes)
+    kc = max(min(max(candidate_cap, k), e), k)
     offs_c = jnp.arange(kc)[None, :]  # [1, KC]
     idx_c = jnp.minimum(starts[:, None] + offs_c, e - 1)
     cand = dst_s[idx_c]  # [B, KC]
-    cand_valid = offs_c < jnp.minimum(degrees, kc)[:, None]
+    cand_valid = offs_c < jnp.minimum(degrees, min(kc, e))[:, None]
     # uniform scores on valid candidates, 2.0 on invalid: the K smallest
     # scores are a uniform K-subset of the valid candidates
     scores = jnp.where(

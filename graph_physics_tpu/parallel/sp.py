@@ -77,6 +77,15 @@ def shard_graph(
     ``sp_halo_size=<that value>``).
     """
     n_valid = int(graph_np.n_node)
+    # prefix invariant (core/graph.py): shard_graph slices the first
+    # n_edge entries — a blocked-layout graph (ops/tiling.apply_to_graph)
+    # interleaves padding per group and must not be passed here
+    emask = np.asarray(graph_np.edge_mask)
+    if not emask[: int(graph_np.n_edge)].all():
+        raise ValueError(
+            "shard_graph requires the valid-edges-are-a-prefix invariant; "
+            "got a graph with interleaved edge padding (blocked layout?)"
+        )
     pos = np.asarray(graph_np.pos)[:n_valid]
     parts = rcb_partition(pos, num_shards)
 
@@ -255,18 +264,17 @@ def shard_trajectory(frames_np, num_shards: int, halo: bool = False):
 
 
 def _sp_masked_l2(graph, net_out, target, mask_types, axis_name: str):
-    """Global masked MSE under shard_map: per-shard numerator/denominator
-    psum-ed so the value (and its gradients) match the unsharded loss
-    exactly (training/loss.py l2_loss semantics)."""
-    from graph_physics_tpu.training import loss as loss_lib
+    """Global masked MSE under shard_map: the SAME num/den computation as
+    the single-device l2_loss (training/loss.masked_l2_parts — single
+    source of the masking semantics), psum-ed across shards before the
+    divide so value and gradients match the unsharded loss exactly."""
+    from graph_physics_tpu.training.loss import masked_l2_parts
 
-    m = loss_lib.node_loss_mask(graph, mask_types, graph.deselected)
-    err = (net_out.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-    mf = m.astype(jnp.float32)[:, None]
-    num = jax.lax.psum(jnp.sum(err * mf), axis_name)
-    den = jax.lax.psum(
-        jnp.sum(mf) * err.shape[-1], axis_name
+    num, den = masked_l2_parts(
+        graph, net_out, target, mask_types, graph.deselected
     )
+    num = jax.lax.psum(num, axis_name)
+    den = jax.lax.psum(den, axis_name)
     return num / jnp.maximum(den, 1.0)
 
 

@@ -153,6 +153,7 @@ def get_dynamic_world_edges(param: Dict[str, Any]):
 
     budget = wp.get("edge_budget", 1024)
     return DynamicWorldEdges(
+        k_per_node=wp.get("k_per_node", 16),
         world_pos_start=wp["world_pos_index_start"],
         world_pos_end=wp["world_pos_index_end"],
         radius=wp.get("radius", 0.03),

@@ -91,6 +91,14 @@ class FusedTopologyManager:
             return hit
         t, _perm = self._tilings.get(key, (None, None))
         if t is None or not hasattr(base_sim.model, "edge_tiling"):
+            print(
+                f"[fused] trajectory {key}: fused kernel inactive "
+                + ("(untileable topology)" if hasattr(
+                    base_sim.model, "edge_tiling") else "(model has no "
+                   "edge_tiling support)")
+                + "; running the XLA path",
+                flush=True,
+            )
             entry = (base_sim, make_step(base_sim))
         else:
             from graph_physics_tpu.models.simulator import clone_with_model

@@ -22,6 +22,7 @@ from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from graph_physics_tpu.core.graph import MeshGraph
@@ -88,10 +89,26 @@ def _smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
 # data-space losses (normalized Δ)
 # ----------------------------------------------------------------------
 
+def masked_l2_parts(graph, network_output, target, mask_types=DEFAULT_MASK_TYPES,
+                    deselected=None):
+    """(numerator, denominator) of the masked MSE — the single source of
+    the L2 masking semantics, shared by :func:`l2_loss` and the sp
+    training loss (which psums the parts across shards before dividing)."""
+    m = node_loss_mask(graph, mask_types, deselected)
+    err = (network_output.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    mf = m.astype(jnp.float32)
+    mb = mf.reshape(mf.shape + (1,) * (err.ndim - mf.ndim))
+    num = jnp.sum(err * mb)
+    den = jnp.sum(mf) * int(np.prod(err.shape[mf.ndim:]))
+    return num, den
+
+
 def l2_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndarray:
     """Masked MSE on normalized targets (loss.py:37-75)."""
-    m = node_loss_mask(inp.graph, mask_types, inp.deselected)
-    return _masked_mean((inp.network_output - inp.target) ** 2, m)
+    num, den = masked_l2_parts(
+        inp.graph, inp.network_output, inp.target, mask_types, inp.deselected
+    )
+    return num / jnp.maximum(den, 1.0)
 
 
 def cosine_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndarray:

@@ -76,6 +76,9 @@ class DynamicWorldEdges:
     world_pos_end: int = struct.field(pytree_node=False)
     radius: float = struct.field(pytree_node=False)
     budget: int = struct.field(pytree_node=False)  # per direction
+    #: per-receiver nearest-partner cap of the radius search (ops/knn.py);
+    #: raise for very dense contact regions (>k in-radius partners per node)
+    k_per_node: int = struct.field(pytree_node=False, default=16)
 
 
 def _apply_dynamic_world_edges(g: MeshGraph, cfg: DynamicWorldEdges) -> MeshGraph:
@@ -86,7 +89,8 @@ def _apply_dynamic_world_edges(g: MeshGraph, cfg: DynamicWorldEdges) -> MeshGrap
     obs = ((t == NodeType.OBSTACLE) | (t == NodeType.HANDLE)) & g.node_mask
     nrm = (t == NodeType.NORMAL) & g.node_mask
     a_idx, b_idx, valid = radius_edges(
-        wp, wp, cfg.radius, cfg.budget, mask_a=obs, mask_b=nrm
+        wp, wp, cfg.radius, cfg.budget, mask_a=obs, mask_b=nrm,
+        k_per_node=cfg.k_per_node,
     )
     e_pad = g.senders.shape[0]
     off = e_pad - 2 * cfg.budget

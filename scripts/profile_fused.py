@@ -43,7 +43,20 @@ def main():
     from __graft_entry__ import _cylinder_setup
     from graph_physics_tpu.ops import tiling as tiling_lib
     from graph_physics_tpu.ops.fused_gnblock import fused_gn_block
-    from tests.test_fused_gnblock import _params
+    def _params(key, f, n_in_parts, n_layers=4):
+        import numpy as _np
+        ks = jax.random.split(key, 2 * n_layers + 1)
+        pd = {}
+        fan_in = n_in_parts * f
+        for i in range(n_layers):
+            pd[f"Dense_{i}"] = {
+                "kernel": jax.random.normal(ks[2 * i], (fan_in, f), jnp.float32)
+                * (1.0 / _np.sqrt(fan_in)),
+                "bias": jax.random.normal(ks[2 * i + 1], (f,)) * 0.1,
+            }
+            fan_in = f
+        pd["RMSNorm_0"] = {"scale": 1.0 + 0.1 * jax.random.normal(ks[-1], (f,))}
+        return pd
 
     B, F = 128, 32
     sim, opt, _u, g = _cylinder_setup(nx=48, ny=40, hidden=F, mp_steps=5, batch=B, packed=True)

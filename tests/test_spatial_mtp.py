@@ -212,3 +212,18 @@ def test_star_tables_sampling_keeps_all_when_under_cap():
     )
     got = set(np.asarray(nbrs[0])[np.asarray(valid[0])].tolist())
     assert got == {1, 2}
+
+
+def test_star_tables_sampling_k_exceeds_edge_count():
+    """k larger than the padded edge array must not crash the sampling
+    path (regression: top_k(k) with k > len(scores))."""
+    senders = jnp.array([0, 0, 1, 2])
+    receivers = jnp.array([1, 2, 0, 0])
+    mask = jnp.ones(4, bool)
+    nbrs, valid = build_star_tables(
+        senders, receivers, mask, 3, jnp.array([0]), jnp.array([True]), k=6,
+        rng=jax.random.PRNGKey(0),
+    )
+    assert nbrs.shape == (1, 6)
+    got = set(np.asarray(nbrs[0])[np.asarray(valid[0])].tolist())
+    assert got == {1, 2}

@@ -57,7 +57,12 @@ def save_checkpoint(
     step: int,
     metadata: Optional[Dict[str, Any]] = None,
     metrics: Optional[Dict[str, float]] = None,
+    wait: bool = True,
 ) -> None:
+    """Save; with ``wait=False`` the disk write runs in orbax's background
+    thread (the device->host copy happens synchronously inside ``save``,
+    so donated state buffers stay safe) — callers must
+    ``manager.wait_until_finished()`` before restoring or exiting."""
     args = ocp.args.Composite(
         state=ocp.args.StandardSave(state),
         **(
@@ -67,7 +72,8 @@ def save_checkpoint(
         ),
     )
     manager.save(step, args=args, metrics=metrics)
-    manager.wait_until_finished()
+    if wait:
+        manager.wait_until_finished()
 
 
 def restore_checkpoint(

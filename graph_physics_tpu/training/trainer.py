@@ -226,6 +226,7 @@ class Trainer:
             mtp=self.mtp,
         )
         if resume:
+            self.manager.wait_until_finished()
             state, meta = ckpt_lib.restore_checkpoint(self.manager, state)
             if meta:
                 self.run_metadata.update(meta)
@@ -369,10 +370,13 @@ class Trainer:
             )
 
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0 or epoch == cfg.epochs - 1:
+                # async: disk write overlaps the next epoch; fit() waits
+                # before returning
                 ckpt_lib.save_checkpoint(
                     self.manager,
                     self.state,
                     int(self.state.step),
+                    wait=False,
                     # run id round-trips through the checkpoint so resumed
                     # runs reattach to the same wandb run
                     # (lightning_module.py:560-573 parity)
@@ -388,6 +392,7 @@ class Trainer:
                         else None
                     ),
                 )
+        self.manager.wait_until_finished()
         return self.state
 
     # ------------------------------------------------------------------

@@ -462,3 +462,44 @@ def test_trainer_fused_path(tmp_path):
     lf = [m["train_loss_epoch"] for m in mf if "train_loss_epoch" in m][-1]
     lx = [m["train_loss_epoch"] for m in mx if "train_loss_epoch" in m][-1]
     assert abs(lf - lx) / max(abs(lx), 1e-6) < 0.05, (lf, lx)
+
+
+def test_trainer_fused_multi_step_dispatch(tmp_path):
+    """fused + steps_per_dispatch>1: batches group per topology (flush on
+    trajectory change), each topology gets its own multi-step, loss sane."""
+    import json
+
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.trainer import Trainer, TrainerConfig
+
+    h5, meta = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=2, nx=8, ny=6, num_steps=9,
+        meta_path=str(tmp_path / "meta.json"),
+    )
+    fc = FrameConfig(targets=("velocity",))
+    model = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=11, edge_input_size=3,
+        output_size=2, hidden_size=32, dtype=jnp.bfloat16,
+    )
+    sim = Simulator(
+        node_input_size=11, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+        model=model,
+    )
+    cfg = TrainerConfig(
+        epochs=1, batch_size=4, warmup=2, packed=True, fused=True,
+        steps_per_dispatch=2,
+        out_dir=str(tmp_path / "runs"), run_name="r",
+    )
+    tr = Trainer(sim, H5Dataset(h5, meta, fc), None, LossType.L2LOSS, cfg)
+    tr.fit()
+    assert len(tr._fused_mgr._tilings) == 2
+    assert len(tr._fused_multi) >= 1  # per-topology multi-steps built
+    mf = [json.loads(l) for l in open(tmp_path / "runs" / "r" / "r.metrics.jsonl")]
+    loss = [m["train_loss_epoch"] for m in mf if "train_loss_epoch" in m][-1]
+    assert np.isfinite(loss) and loss > 0

@@ -254,7 +254,28 @@ class Attention(nn.Module):
     rope_base: float = 10000.0
     sp_axis_name: Optional[str] = None
     sp_halo_size: Optional[int] = None
+    #: blocked-CSR layout (ops/tiling.py): runs the edge attention through
+    #: the fused Pallas kernel on packed bf16 inputs (None = XLA path)
+    tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
+
+    def _fused_attn_ok(self, x, senders, kv, return_attention) -> bool:
+        from graph_physics_tpu.ops.fused_gnblock import LANES
+
+        t = self.tiling
+        dh = self.hidden_size // self.num_heads
+        return (
+            t is not None
+            and senders is not None
+            and kv is None
+            and not return_attention
+            and self.sp_axis_name is None
+            and self.dtype == jnp.bfloat16
+            and x.ndim == 3
+            and x.shape[0] == t.num_nodes
+            and LANES % dh == 0
+            and (x.shape[1] * self.hidden_size) % LANES == 0
+        )
 
     @nn.compact
     def __call__(
@@ -294,7 +315,18 @@ class Attention(nn.Module):
             k = apply_spatial_rope(k, pos[:, : self.pos_dimension], inv)
 
         attn_weights = None
-        if senders is not None:
+        if senders is not None and self._fused_attn_ok(
+            x, senders, kv, return_attention
+        ):
+            from graph_physics_tpu.ops.fused_edge_attention import (
+                fused_edge_attention,
+            )
+
+            y = fused_edge_attention(
+                q, k, v, self.tiling,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(self.dtype)
+        elif senders is not None:
             y = ea.edge_attention(
                 q, k, v, senders, receivers, edge_mask,
                 return_weights=return_attention,
@@ -351,6 +383,8 @@ class TransformerBlock(nn.Module):
     use_silu: bool = False
     sp_axis_name: Optional[str] = None
     sp_halo_size: Optional[int] = None
+    #: blocked-CSR layout enabling the fused Pallas edge-attention kernel
+    tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -374,6 +408,7 @@ class TransformerBlock(nn.Module):
             rope_base=self.rope_base,
             sp_axis_name=self.sp_axis_name,
             sp_halo_size=self.sp_halo_size,
+            tiling=self.tiling,
             dtype=self.dtype,
             name="attention",
         )(

@@ -169,6 +169,9 @@ class EncodeTransformDecode(nn.Module):
     remat: bool = False
     sp_axis_name: Optional[str] = None
     sp_halo_size: Optional[int] = None
+    #: blocked-CSR edge layout (ops/tiling.py) — runs the edge attention
+    #: through the fused Pallas kernel on packed bf16 batches
+    edge_tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -204,6 +207,7 @@ class EncodeTransformDecode(nn.Module):
                 use_silu=self.use_silu,
                 sp_axis_name=self.sp_axis_name,
                 sp_halo_size=self.sp_halo_size,
+                tiling=self.edge_tiling,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(

@@ -1,0 +1,273 @@
+"""Fused Pallas edge attention — the transformer-path hot kernel.
+
+The XLA path (ops/edge_attention.py: gather q/k/v per edge → SDDMM →
+segment softmax → segment-sum SpMM) runs its scatters at ~80 GB/s on TPU
+(dynamic-index scatter serializes row updates); on the transformer
+workload those gathers/scatters are ~half the step. This kernel replaces
+them with the blocked-CSR one-hot MXU contractions of
+:mod:`graph_physics_tpu.ops.tiling` — the same layout the fused
+GraphNetBlock uses — one grid step per (lane-chunk, receiver node block):
+
+  gather   q_e = oh_rNᵀ @ q_block,  k_e/v_e = oh_sTᵀ @ window
+  SDDMM    per-(sample, head) dot via a dh-group-ones contraction
+  softmax  exp(logit − global_shift) — ANY per-receiver-constant shift
+           cancels in num/den, so one scalar shift per tile is exact —
+           then per-receiver denominators via oh_rN @ p
+  SpMM     out = (oh_rN @ (p · v_e)) / denom
+
+Backward is a second kernel (custom VJP, rematerializes from q/k/v):
+g_q is receiver-block local; g_k/g_v are emitted per-(block, window) and
+reduced with the same XLA segment-sum epilogue as the GraphNetBlock's
+window gradients. The q/k/v projections stay in XLA (dense matmuls are
+already MXU-efficient).
+
+Spec parity: ops/edge_attention.edge_attention (padded edges contribute
+nothing; receivers with no valid incoming edges return zeros), which
+itself replaces the reference's DGL bsddmm/bspmm path
+(graphphysics/models/layers.py:493-556).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graph_physics_tpu.ops.fused_gnblock import LANES, _dot, _dot_t
+from graph_physics_tpu.ops.tiling import EdgeTiling
+
+
+def _dh_group_ones(dh: int) -> jnp.ndarray:
+    """[LANES, LANES] bf16: 1 where i//dh == j//dh (per-head lane sums)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    return ((i // dh) == (j // dh)).astype(jnp.bfloat16)
+
+
+def _grouped_dot(a_bf, b_bf, ones_dh, emax, lanes):
+    """Per-dh-group Σ a·b, broadcast back to every lane of the group.
+
+    a, b: [Emax, lanes] bf16. Returns fp32 [Emax*k, LANES] rows view.
+    """
+    k = lanes // LANES
+    prod = (a_bf * b_bf).reshape(emax * k, LANES)
+    return _dot(prod, ones_dh)  # fp32 [rows, 128]
+
+
+def _attn_common(cfg_dh, wb, nb, emax, lanes, sidx_ref, ridx_ref,
+                 qj_ref, kw_refs, vw_refs):
+    k = lanes // LANES
+    w_rows = wb * nb
+    sid = sidx_ref[0]
+    rid = ridx_ref[0]
+    oh_sT = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_rows, emax), 0) == sid
+    ).astype(jnp.bfloat16)
+    oh_rN = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, emax), 0) == rid
+    ).astype(jnp.bfloat16)
+    kw = jnp.concatenate([r[:] for r in kw_refs], axis=0)
+    vw = jnp.concatenate([r[:] for r in vw_refs], axis=0)
+    qj = qj_ref[:]
+    qe = _dot_t(oh_rN, qj).astype(jnp.bfloat16)  # [Emax, lanes]
+    ke = _dot_t(oh_sT, kw).astype(jnp.bfloat16)
+    ve = _dot_t(oh_sT, vw).astype(jnp.bfloat16)
+
+    ones_dh = _dh_group_ones(cfg_dh)
+    logits = _grouped_dot(qe, ke, ones_dh, emax, lanes) / math.sqrt(cfg_dh)
+    # ANY constant shift cancels per softmax group; one scalar per tile
+    # keeps exp in fp32 range exactly like the per-receiver max would
+    shift = jnp.max(logits)
+    # padded slots (sentinel sid -> all-zero one-hot column) produce
+    # logits 0; they must contribute nothing to denominators: their oh_rN
+    # column is zero too, so the oh_rN contraction drops them already.
+    p = jnp.exp(logits - shift).astype(jnp.bfloat16)  # [rows, 128]
+    p2 = p.reshape(emax, lanes)
+    denom = _dot(oh_rN, p2)  # fp32 [nb, lanes] per-receiver Σp
+    return k, oh_sT, oh_rN, qj, qe, ke, ve, p2, denom
+
+
+def _fwd_kernel(dh, wb, nb, emax, lanes,
+                win_start_ref, sidx_ref, ridx_ref, qj_ref, *rest):
+    kw_refs = rest[:wb]
+    vw_refs = rest[wb : 2 * wb]
+    out_ref = rest[2 * wb]
+
+    _k, _oh_sT, oh_rN, _qj, _qe, _ke, ve, p2, denom = _attn_common(
+        dh, wb, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs, vw_refs)
+
+    num = _dot(oh_rN, (p2 * ve).astype(jnp.bfloat16))  # fp32 [nb, lanes]
+    out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
+    out_ref[:] = out.astype(jnp.bfloat16)
+
+
+def _bwd_kernel(dh, wb, nb, emax, lanes,
+                win_start_ref, sidx_ref, ridx_ref, qj_ref, *rest):
+    kw_refs = rest[:wb]
+    vw_refs = rest[wb : 2 * wb]
+    g_out_ref = rest[2 * wb]
+    dq_ref, dkw_ref, dvw_ref = rest[2 * wb + 1 :]
+
+    k, oh_sT, oh_rN, _qj, qe, ke, ve, p2, denom = _attn_common(
+        dh, wb, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs, vw_refs)
+
+    inv_denom = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+    g_out = g_out_ref[:].astype(jnp.bfloat16)  # [nb, lanes]
+    g_num = (g_out * inv_denom.astype(jnp.bfloat16))  # [nb, lanes]
+    # per-edge gather of g_out[r]/denom[r]; then
+    # d v_e = alpha_e·g_out[r] = (p/denom[r])·g_out[r] = p2·g_num_e
+    g_num_e = _dot_t(oh_rN, g_num).astype(jnp.bfloat16)  # [Emax, lanes]
+    g_ve = (p2 * g_num_e).astype(jnp.bfloat16)
+
+    ones_dh = _dh_group_ones(dh)
+    # softmax bwd with out = Σ_e alpha_e v_e, alpha = softmax(l):
+    #   Ā_e = d out/d alpha_e = Σ_dh v_e·g_out[r]
+    #   g_l_e = alpha_e (Ā_e − Σ_e' alpha_e' Ā_e')
+    g_out_e = _dot_t(oh_rN, g_out).astype(jnp.bfloat16)  # [Emax, lanes]
+    abar = _grouped_dot(ve, g_out_e, ones_dh, emax, lanes)  # fp32 rows
+    abar2 = abar.reshape(emax, lanes).astype(jnp.bfloat16)
+    # Σ_e alpha Ā per receiver lane = inv_denom · Σ_e p Ā
+    s_r = _dot(oh_rN, (p2 * abar2).astype(jnp.bfloat16)) * inv_denom
+    s_e = _dot_t(oh_rN, s_r.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    inv_e = _dot_t(oh_rN, inv_denom.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    g_logit = (p2 * inv_e) * (abar2 - s_e)  # [Emax, lanes] = alpha(Ā−S)
+    g_logit = (g_logit / math.sqrt(dh)).astype(jnp.bfloat16)
+
+    # d q[r] = Σ_e g_logit k_e ; d k[s] = Σ_e g_logit q_e
+    dq_ref[:] = _dot(oh_rN, (g_logit * ke).astype(jnp.bfloat16)).astype(
+        jnp.bfloat16)
+    dkw_ref[:] = _dot(oh_sT, (g_logit * qe).astype(jnp.bfloat16)).astype(
+        jnp.bfloat16)
+    dvw_ref[:] = _dot(oh_sT, g_ve).astype(jnp.bfloat16)
+
+
+def fused_edge_attention(
+    q: jnp.ndarray,  # [N, B, h, dh] packed
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    tiling: EdgeTiling,
+    interpret: bool = False,
+    lanes: int = 1024,
+    lanes_bwd: int = 512,
+) -> jnp.ndarray:
+    """Edge-masked multi-head attention on the blocked layout.
+
+    Node arrays must be padded/ordered per ``tiling`` (apply_to_graph);
+    the edge set is taken from the tiling's local indices (padded slots
+    have sentinel indices and contribute nothing). Returns [N, B, h, dh].
+    """
+    n, b, h, dh = q.shape
+    hid = h * dh
+    total_lanes = b * hid
+    assert n == tiling.num_nodes, (n, tiling.num_nodes)
+    assert LANES % dh == 0, f"head dim {dh} must divide {LANES}"
+    assert total_lanes % LANES == 0
+
+    def _fit(l):
+        l = max(min(l, total_lanes), LANES)
+        while total_lanes % l != 0:
+            l -= LANES
+        return l
+
+    lanes = _fit(lanes)
+    lanes_bwd = _fit(lanes_bwd)
+    g_blocks = tiling.num_groups
+    emax = tiling.edges_per_block
+    nb = tiling.node_block
+    wb = tiling.window_blocks
+
+    dtype = jnp.bfloat16
+    q2 = q.reshape(n, total_lanes).astype(dtype)
+    k2 = k.reshape(n, total_lanes).astype(dtype)
+    v2 = v.reshape(n, total_lanes).astype(dtype)
+
+    sidx = jnp.asarray(tiling.sidx)[:, None, :]
+    ridx = jnp.asarray(tiling.ridx)[:, None, :]
+    win_start = jnp.asarray(tiling.win_start)
+    blk_node = jnp.asarray(
+        (tiling.win_start[:, None].astype(np.int64)
+         + np.arange(wb)[None, :]).reshape(-1).astype(np.int32)
+    )
+
+    def _vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def _specs(l):
+        grid = (total_lanes // l, g_blocks)
+        group_spec = _vspec((1, 1, emax), lambda c, g, ws: (g, 0, 0))
+        node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
+        win_specs = [
+            _vspec((nb, l), partial(lambda kk, c, g, ws: (ws[g] + kk, c), kk))
+            for kk in range(wb)
+        ]
+        dw_spec = _vspec((wb * nb, l), lambda c, g, ws: (g, c))
+        return grid, group_spec, node_spec, win_specs, dw_spec
+
+    def _fwd(q2, k2, v2):
+        grid, group_spec, node_spec, win_specs, _ = _specs(lanes)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[group_spec, group_spec, node_spec]
+            + win_specs + win_specs,
+            out_specs=[node_spec],
+        )
+        kernel = partial(_fwd_kernel, dh, wb, nb, emax, lanes)
+        (out,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((n, total_lanes), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb))
+        return out
+
+    @jax.custom_vjp
+    def run(q2, k2, v2):
+        return _fwd(q2, k2, v2)
+
+    def run_fwd(q2, k2, v2):
+        return run(q2, k2, v2), (q2, k2, v2)
+
+    def run_bwd(res, g_out):
+        q2, k2, v2 = res
+        grid, group_spec, node_spec, win_specs, dw_spec = _specs(lanes_bwd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[group_spec, group_spec, node_spec]
+            + win_specs + win_specs + [node_spec],  # g_out
+            out_specs=[node_spec, dw_spec, dw_spec],
+        )
+        kernel = partial(_bwd_kernel, dh, wb, nb, emax, lanes_bwd)
+        dq, dkw, dvw = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
+            ],
+            interpret=interpret,
+        )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb),
+          g_out.astype(dtype))
+
+        def reduce_windows(dw):
+            blocks = dw.reshape(g_blocks * wb, nb, total_lanes)
+            return jax.ops.segment_sum(
+                blocks, blk_node, num_segments=n // nb
+            ).reshape(n, total_lanes).astype(dtype)
+
+        return dq, reduce_windows(dkw), reduce_windows(dvw)
+
+    run.defvjp(run_fwd, run_bwd)
+    out2 = run(q2, k2, v2)
+    return out2.reshape(n, b, h, dh)

@@ -48,7 +48,7 @@ def main():
     ei = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
     g = mesh_lib.build_mesh_graph(x, pos, nt, ei, y=traj["velocity"][1])
 
-    def bench(name, model, batch=64, inner=100, packed=True):
+    def bench(name, model, batch=64, inner=100, packed=True, graph=None):
         sim = Simulator(
             node_input_size=2 + 9, edge_input_size=0, output_size=2,
             feature_index_start=0, feature_index_end=2,
@@ -59,7 +59,8 @@ def main():
         noise = NoiseConfig(starts=(0,), ends=(2,), scales=(0.02,))
         step = make_train_step(sim, opt, LossType.L2LOSS, noise, num_steps=10000)
         batch_graph = jax.tree.map(
-            lambda a: np.stack([np.asarray(a)] * batch), g
+            lambda a: np.stack([np.asarray(a)] * batch),
+            g if graph is None else graph,
         )
         if packed:
             batch_graph = pack(batch_graph)
@@ -82,16 +83,40 @@ def main():
             "unit": "graphs/s",
         }), flush=True)
 
-    bench("transformer", EncodeTransformDecode(
-        message_passing_num=10, node_input_size=2 + 9, output_size=2,
-        hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
-    ))
+    import sys as _sys
+
+    only = _sys.argv[1] if len(_sys.argv) > 1 else None
+
+    def want(name):
+        return only is None or only in name
+
+    if want("transformer_xla"):
+        bench("transformer", EncodeTransformDecode(
+            message_passing_num=10, node_input_size=2 + 9, output_size=2,
+            hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+        ))
+
+    # fused Pallas edge attention over the blocked tiling
+    from graph_physics_tpu.ops import tiling as tiling_lib
+
+    t = tiling_lib.build_edge_tiling(
+        np.asarray(g.senders), np.asarray(g.receivers), int(g.n_node),
+        edge_mask=np.asarray(g.edge_mask))
+    g_tiled = tiling_lib.apply_to_graph(g, t)
+    if not want("transformer_fused"):
+        t = None
+    if t is not None:
+        bench("transformer_fused", EncodeTransformDecode(
+            message_passing_num=10, node_input_size=2 + 9, output_size=2,
+            hidden_size=64, num_heads=4, dtype=jnp.bfloat16, edge_tiling=t,
+        ), graph=g_tiled)
     # Transolver consumes [B, N, F] stacked batches (its physics attention
     # adds its own batch dim; the packed [N, B, F] layout doesn't apply)
-    bench("transolver", TransolverProcessor(
-        message_passing_num=4, node_input_size=2 + 9, output_size=2,
-        hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
-    ), batch=16, packed=False)
+    if want("transolver"):
+        bench("transolver", TransolverProcessor(
+            message_passing_num=4, node_input_size=2 + 9, output_size=2,
+            hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
+        ), batch=16, packed=False)
 
 
 if __name__ == "__main__":

@@ -167,8 +167,22 @@ class Trainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # batch axis over 'dp'; everything else replicated
+            packed = cfg.packed
+
+            # batch axis over 'dp'. Stacked layout: axis 0 of every leaf.
+            # Packed layout ([N, B, F] node / [E, B, F] edge arrays): the
+            # batch is axis 1 of the >=3-D leaves; topology arrays,
+            # masks and scalars are shared across the batch -> replicate
+            # (GSPMD keeps any mixed input sharding correct).
             def spec_for(leaf):
+                if packed:
+                    if leaf.ndim >= 3:
+                        return NamedSharding(
+                            mesh, P(None, "dp", *([None] * (leaf.ndim - 2)))
+                        )
+                    return NamedSharding(mesh, P())
+                if leaf.ndim == 0:
+                    return NamedSharding(mesh, P())
                 return NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
 
             self._mesh = mesh

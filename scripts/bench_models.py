@@ -106,10 +106,12 @@ def main():
     if not want("transformer_fused"):
         t = None
     if t is not None:
+        import os as _os
+        bt = int(_os.environ.get("BM_TF_BATCH", "64"))
         bench("transformer_fused", EncodeTransformDecode(
             message_passing_num=10, node_input_size=2 + 9, output_size=2,
             hidden_size=64, num_heads=4, dtype=jnp.bfloat16, edge_tiling=t,
-        ), graph=g_tiled)
+        ), graph=g_tiled, batch=bt)
     # Transolver consumes [B, N, F] stacked batches (its physics attention
     # adds its own batch dim; the packed [N, B, F] layout doesn't apply)
     if want("transolver"):

@@ -166,6 +166,59 @@ def radius_world_edges(
     return np.stack([send, recv]).astype(np.int32)
 
 
+def budget_world_pairs(
+    wedges: np.ndarray, world_pos: np.ndarray, budget: int
+) -> np.ndarray:
+    """Rank-fair, SYMMETRIC world-edge budgeting for the host path.
+
+    When the discovered world edges exceed ``budget`` directed slots, trim
+    on undirected *pairs* — both directions of a pair are kept or dropped
+    together, preserving the reference's ``to_undirected`` invariant
+    (graphphysics/dataset/preprocessing.py:114-140) — and rank pairs
+    per-endpoint by distance (rank-major, distance-minor, matching the
+    on-device scoring in ops/knn.radius_edges) so overflow drops each
+    node's farthest partners first rather than whole regions in
+    generation order. Warns with the drop count (no silent caps).
+    """
+    if wedges.shape[1] <= budget:
+        return wedges
+    import warnings
+
+    s, r = np.asarray(wedges[0], np.int64), np.asarray(wedges[1], np.int64)
+    u, v = np.minimum(s, r), np.maximum(s, r)
+    pairs = np.unique(np.stack([u, v], axis=1), axis=0)
+    p = pairs.shape[0]
+    keep_n = budget // 2
+    d = np.linalg.norm(
+        np.asarray(world_pos, np.float64)[pairs[:, 0]]
+        - np.asarray(world_pos, np.float64)[pairs[:, 1]],
+        axis=1,
+    )
+
+    def _ranks(endpoint: np.ndarray) -> np.ndarray:
+        order = np.lexsort((d, endpoint))
+        grp = np.r_[True, endpoint[order][1:] != endpoint[order][:-1]]
+        starts = np.flatnonzero(grp)
+        sizes = np.diff(np.r_[starts, p])
+        within = np.arange(p) - np.repeat(starts, sizes)
+        rk = np.empty(p, np.int64)
+        rk[order] = within
+        return rk
+
+    rank = np.maximum(_ranks(pairs[:, 0]), _ranks(pairs[:, 1]))
+    sel = np.lexsort((d, rank))[:keep_n]
+    kept = pairs[sel]
+    warnings.warn(
+        f"world-edge budget exceeded: kept {keep_n} of {p} pairs "
+        f"({2 * (p - keep_n)} directed edges dropped rank-fairly; raise "
+        "world_pos_parameters.edge_budget to keep all)",
+        stacklevel=2,
+    )
+    return np.concatenate(
+        [kept.T, kept.T[::-1]], axis=1
+    ).astype(np.int32)
+
+
 # ----------------------------------------------------------------------
 # assembly
 # ----------------------------------------------------------------------

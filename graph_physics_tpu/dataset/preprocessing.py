@@ -321,9 +321,11 @@ class FrameBuilder:
             wedges = mesh_lib.radius_world_edges(
                 x[:, ws:we], ctx.node_type, cfg.world.radius, exclude_edges=ei
             )
-            budget = cfg.world.edge_budget
-            if wedges.shape[1] > budget:
-                wedges = wedges[:, :budget]
+            # rank-fair symmetric trim (both directions of a pair kept or
+            # dropped together) — never a silent positional cut
+            wedges = mesh_lib.budget_world_pairs(
+                wedges, x[:, ws:we], cfg.world.edge_budget
+            )
             ei = np.concatenate([ei, wedges], axis=1)
 
         if train and cfg.new_edges_ratio > 0 and rng is not None:

@@ -275,6 +275,10 @@ class Attention(nn.Module):
             and x.shape[0] == t.num_nodes
             and LANES % dh == 0
             and (x.shape[1] * self.hidden_size) % LANES == 0
+            # the graph's edge array must BE the tiling's blocked edge set
+            # (mirrors fused_path_ok): a non-blocked graph whose padded
+            # node count merely coincides must not take the fused path
+            and senders.shape[0] == t.num_groups * t.edges_per_block
         )
 
     @nn.compact

@@ -82,7 +82,13 @@ def _attn_common(cfg_dh, wb, nb, emax, lanes, sidx_ref, ridx_ref,
     ones_dh = _dh_group_ones(cfg_dh)
     logits = _grouped_dot(qe, ke, ones_dh, emax, lanes) / math.sqrt(cfg_dh)
     # ANY constant shift cancels per softmax group; one scalar per tile
-    # keeps exp in fp32 range exactly like the per-receiver max would
+    # keeps exp in fp32 range exactly like the per-receiver max would.
+    # CAVEAT (known edge case): if some receiver's whole logit group sits
+    # more than ~88 below the TILE max, its exp underflows to 0 in fp32
+    # and that receiver outputs zeros where the XLA path would return the
+    # correct softmax. RMSNorm-bounded q/k keep the spread ~O(sqrt(dh))
+    # (~8-30), far from the cliff; if unnormalized inputs are ever fed
+    # here, switch to a per-receiver shift via an oh_rN max-reduction.
     shift = jnp.max(logits)
     # padded slots (sentinel sid -> all-zero one-hot column) produce
     # logits 0; they must contribute nothing to denominators: their oh_rN

@@ -236,7 +236,15 @@ def _parse_weight_refs(refs, n_first: int, n_layers: int, layer_norm: bool):
 
 def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
                      xw_refs):
-    """Gathers shared by fwd and bwd. Returns rows-view tensors + one-hots."""
+    """One-hot builds shared by fwd and bwd.
+
+    Node features are NOT gathered to edge rows here: both kernels commute
+    the gather through the first-layer kernels instead (pre-multiply the
+    [node, lanes] tiles by Kr/Ks, THEN gather — ``gather(x) @ K ==
+    gather(x @ K)`` since the one-hot contraction selects/sums rows), which
+    replaces per-EDGE-row first-layer matmuls with per-NODE-row ones
+    (~6x fewer rows on mesh graphs).
+    """
     k = lanes // LANES
     w_rows = wb * nb
     xw = jnp.concatenate([r[:] for r in xw_refs], axis=0)  # [W, lanes]
@@ -249,13 +257,24 @@ def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
     oh_rN = (
         jax.lax.broadcasted_iota(jnp.int32, (nb, emax), 0) == rid
     ).astype(jnp.bfloat16)  # [NB, Emax]
-    xs = _dot_t(oh_sT, xw).astype(jnp.bfloat16)  # [Emax, lanes]
-    xr = _dot_t(oh_rN, xj).astype(jnp.bfloat16)
-    # rows view: [M, k*128] -> [M*k, 128] is a row-major no-op
-    xrr = xr.reshape(emax * k, LANES)
-    xsr = xs.reshape(emax * k, LANES)
     xjr = xj.reshape(nb * k, LANES)
-    return k, xj, oh_sT, oh_rN, xrr, xsr, xjr
+    xwr = xw.reshape(w_rows * k, LANES)
+    return k, xj, xw, oh_sT, oh_rN, xjr, xwr
+
+
+def _predot_gather(oh, vals_2d, kref, k):
+    """``gather(vals) @ K`` computed as ``gather(vals @ K)``.
+
+    Pre-multiplies in the rows view (node rows — cheap), casts the fp32
+    partial to bf16 (the only precision difference vs the post-gather
+    order: partial sums round to bf16 before the final h0 add), gathers in
+    the 2-D lane view with fp32 MXU accumulation. Returns the [rows_out,
+    lanes] bf16 gathered pre-dot; reshape to the rows view at the caller.
+    """
+    m = vals_2d.shape[0]
+    pre = _dot(vals_2d.reshape(m * k, LANES), kref[:]).astype(jnp.bfloat16)
+    pre2 = pre.reshape(m, k * LANES)
+    return _dot_t(oh, pre2).astype(jnp.bfloat16)
 
 
 def _encode_e_fwd(cfg, emax, lanes, e_ref, enc_refs, ones_k):
@@ -317,7 +336,7 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
         xout_ref, eout_ref = rest
 
     ones_k = _group_ones(cfg.feature_size)
-    k, xj, oh_sT, oh_rN, xrr, xsr, xjr = _common_prologue(
+    k, xj, xw, oh_sT, oh_rN, xjr, xwr = _common_prologue(
         cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
 
     if enc_refs is not None:
@@ -330,8 +349,13 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
         er = e.reshape(emax * k, LANES)
 
     # edge MLP; first layer = e@Ke + xr@Kr + xs@Ks (concat order of the
-    # reference: [edge_attr, x_recv, x_send], layers.py:1044-1060)
-    h0 = _dot(er, ew_first[0][:]) + _dot(xrr, ew_first[1][:]) + _dot(xsr, ew_first[2][:])
+    # reference: [edge_attr, x_recv, x_send], layers.py:1044-1060).
+    # The xr/xs terms are computed gather-after-pre-dot (node rows, not
+    # edge rows — see _predot_gather).
+    hr = _predot_gather(oh_rN, xj, ew_first[1], k)  # [Emax, lanes] bf16
+    hs = _predot_gather(oh_sT, xw, ew_first[2], k)
+    h0 = (_dot(er, ew_first[0][:])
+          + hr.reshape(emax * k, LANES) + hs.reshape(emax * k, LANES))
     edge_upd, _ = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
     eh = edge_upd.reshape(emax, lanes)
     if eout_ref is not None:
@@ -377,7 +401,7 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
         dw_refs = rest[1:]
 
     ones_k = _group_ones(cfg.feature_size)
-    k, xj, oh_sT, oh_rN, xrr, xsr, xjr = _common_prologue(
+    k, xj, xw, oh_sT, oh_rN, xjr, xwr = _common_prologue(
         cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
 
     # ---- recompute forward ----
@@ -388,7 +412,10 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
     else:
         e = e_ref[:]
         er = e.reshape(emax * k, LANES)
-    h0 = _dot(er, ew_first[0][:]) + _dot(xrr, ew_first[1][:]) + _dot(xsr, ew_first[2][:])
+    hr = _predot_gather(oh_rN, xj, ew_first[1], k)
+    hs = _predot_gather(oh_sT, xw, ew_first[2], k)
+    h0 = (_dot(er, ew_first[0][:])
+          + hr.reshape(emax * k, LANES) + hs.reshape(emax * k, LANES))
     edge_upd, (e_pres, e_rms) = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
     eh = edge_upd.reshape(emax, lanes)
     agg = _dot(oh_rN, eh).astype(jnp.bfloat16)
@@ -412,9 +439,21 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
         g_eh = g_eout + g_eh
     g_eh_r = g_eh.reshape(emax * k, LANES)
 
-    (g_e_mlp, g_xr_r, g_xs_r), de_flat, _ = _mlp_bwd(
-        g_eh_r, [er, xrr, xsr], ew_first, ew_mid, ew_b, ew_scale, ones_k, cfg,
+    # backprop through the edge MLP wrt the er input only; the xr/xs
+    # first-layer terms are handled below via P = oh @ g_h0 (the scatter
+    # commuted through Kr/Ks — one [node-rows] matmul replaces the
+    # [edge-rows] dW/dx pair, and P is shared between dW and dx)
+    (g_e_mlp,), de_flat, g_h0 = _mlp_bwd(
+        g_eh_r, [er], ew_first[:1], ew_mid, ew_b, ew_scale, ones_k, cfg,
         e_pres, e_rms)
+    g_h0_2d = g_h0.reshape(emax, lanes)  # bf16
+    p_r = _dot(oh_rN, g_h0_2d).astype(jnp.bfloat16)  # [NB, lanes]
+    p_s = _dot(oh_sT, g_h0_2d).astype(jnp.bfloat16)  # [W, lanes]
+    p_r_rows = p_r.reshape(nb * k, LANES)
+    p_s_rows = p_s.reshape(wb * nb * k, LANES)
+    d_kr = _dot_t(xjr, p_r_rows)  # [128, 128] fp32
+    d_ks = _dot_t(xwr, p_s_rows)
+    de_flat = [de_flat[0], d_kr, d_ks] + de_flat[1:]
 
     # gradient wrt the residual-stream e (encoder output when folded):
     # identity residual (g_eout) + edge-MLP first-layer backprop
@@ -443,12 +482,14 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
         )  # [128, r*128]
         enc_flat = [d_enc_first] + enc_tail
 
-    g_xr = g_xr_r.reshape(emax, lanes)
-    g_xs = g_xs_r.reshape(emax, lanes)
+    # dx contribution of the Kr path: (oh_rN @ g_h0) @ Krᵀ (pre-scattered
+    # P reused); same for the sender windows with Ks
+    g_x_kr = _dot_bt(p_r_rows, ew_first[1][:]).astype(jnp.bfloat16)
     dx_ref[:] = (
-        g_xout + g_xj_n.reshape(nb, lanes) + _dot(oh_rN, g_xr).astype(jnp.bfloat16)
+        g_xout + g_xj_n.reshape(nb, lanes) + g_x_kr.reshape(nb, lanes)
     )
-    dxw_ref[:] = _dot(oh_sT, g_xs).astype(jnp.bfloat16)
+    dxw_ref[:] = _dot_bt(p_s_rows, ew_first[2][:]).astype(
+        jnp.bfloat16).reshape(wb * nb, lanes)
 
     # ---- weight-grad accumulation across all grid steps (fp32 VMEM) ----
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -805,13 +846,18 @@ def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
         out = dense_f32(h, k)
         return out.astype(cd) if is_bf else out
 
-    def mlp(parts, params):
+    def mlp(parts, params, extra_h0=()):
+        """``extra_h0``: pre-dotted first-layer contributions (already in
+        cd — mirrors the kernel's gather-after-pre-dot order, where the
+        xr/xs partials round to bf16 before the h0 sum)."""
         n_dense = len([k for k in params if k.startswith("Dense_")])
         k0 = params["Dense_0"]["kernel"]
-        splits = np.cumsum([p.shape[-1] for p in parts])[:-1]
-        k0_parts = jnp.split(k0, splits, axis=0)
-        # first-layer parts summed in fp32 BEFORE the cd cast (kernel order)
+        splits = np.cumsum([p.shape[-1] for p in parts])
+        k0_parts = jnp.split(k0, splits, axis=0)  # leftover rows → extras
+        # first-layer raw parts summed in fp32 BEFORE the cd cast
         h = sum(dense_f32(p, kp) for p, kp in zip(parts, k0_parts))
+        for ex in extra_h0:
+            h = h + ex.astype(jnp.float32)
         if is_bf:
             h = h.astype(cd)
         h = h + params["Dense_0"]["bias"].astype(h.dtype)
@@ -836,11 +882,18 @@ def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
     r_valid = rid < tiling.node_block
     xc = x.astype(cd)
     ec = edge_attr.astype(cd)
-    xs = jnp.where(s_valid[:, None, None], xc[jnp.clip(glob_s, 0, n - 1)],
-                   jnp.zeros((), cd))
-    xr = jnp.where(r_valid[:, None, None], xc[jnp.clip(glob_r, 0, n - 1)],
-                   jnp.zeros((), cd))
-    eh = mlp([ec, xr, xs], edge_params)
+    # gather-after-pre-dot, mirroring the kernel (_predot_gather): the
+    # x@Kr / x@Ks partials are computed per NODE, rounded to cd, and THEN
+    # gathered to edge rows
+    ek0 = edge_params["Dense_0"]["kernel"]
+    f_e = ec.shape[-1]
+    x_kr = dense(xc, ek0[f_e : f_e + f])
+    x_ks = dense(xc, ek0[f_e + f :])
+    hs = jnp.where(s_valid[:, None, None],
+                   x_ks[jnp.clip(glob_s, 0, n - 1)], jnp.zeros((), x_ks.dtype))
+    hr = jnp.where(r_valid[:, None, None],
+                   x_kr[jnp.clip(glob_r, 0, n - 1)], jnp.zeros((), x_kr.dtype))
+    eh = mlp([ec], edge_params, extra_h0=(hr, hs))
     agg = jax.ops.segment_sum(
         jnp.where(r_valid[:, None, None], eh.astype(jnp.float32), 0.0),
         jnp.clip(glob_r, 0, n - 1), num_segments=n).astype(cd)

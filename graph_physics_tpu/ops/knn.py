@@ -97,7 +97,8 @@ def radius_edges(
     mask_b: Optional[jnp.ndarray] = None,
     k_per_node: int = 16,
     max_block_elems: int = 1 << 22,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """(a, b) pairs within ``radius``, packed to a static ``budget``.
 
     On-device replacement for the cKDTree radius search when world edges
@@ -158,4 +159,11 @@ def radius_edges(
     valid = (-neg) < _BIG / 2
     a_idx = jnp.minimum(fi // k, n - 1).astype(jnp.int32)
     b_idx = idx_flat[fi].astype(jnp.int32)
+    if with_stats:
+        # nodes whose k-th (last) candidate is still in radius MAY have
+        # lost in-radius partners to the per-node cap — dense-contact
+        # workloads should monitor this and raise k_per_node when nonzero
+        # (deviation from the reference's keep-all cKDTree query_pairs)
+        capped_nodes = jnp.sum(within[:, -1].astype(jnp.int32))
+        return a_idx, b_idx, valid, capped_nodes
     return a_idx, b_idx, valid

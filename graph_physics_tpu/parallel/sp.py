@@ -63,6 +63,7 @@ def shard_graph(
     graph_np,  # host-side MeshGraph (numpy), UNBATCHED
     num_shards: int,
     halo: bool = False,
+    parts=None,  # precomputed RCB parts (list of index arrays) to reuse
 ) -> Tuple[MeshGraph, np.ndarray]:
     """Reorder + shard a padded MeshGraph for 'sp' execution.
 
@@ -86,8 +87,9 @@ def shard_graph(
             "shard_graph requires the valid-edges-are-a-prefix invariant; "
             "got a graph with interleaved edge padding (blocked layout?)"
         )
-    pos = np.asarray(graph_np.pos)[:n_valid]
-    parts = rcb_partition(pos, num_shards)
+    if parts is None:
+        pos = np.asarray(graph_np.pos)[:n_valid]
+        parts = rcb_partition(pos, num_shards)
 
     e_valid_pre = int(graph_np.n_edge)
     send_pre = np.asarray(graph_np.senders)[:e_valid_pre]
@@ -234,10 +236,10 @@ def unshard_nodes(arr: np.ndarray, order: np.ndarray, num_orig: int) -> np.ndarr
 def shard_trajectory(frames_np, num_shards: int, halo: bool = False):
     """Shard every frame of a stacked trajectory ([T, ...] MeshGraph).
 
-    The RCB partition is computed once from frame 0 (positions are static
-    per trajectory) and applied to all frames, so the sharded trajectory
-    is [S, T, ...] with consistent node order. Returns (sharded, order[,
-    halo_size])."""
+    The RCB partition is computed ONCE from frame 0's positions and passed
+    to every frame's shard_graph call, so the sharded trajectory is
+    [S, T, ...] with consistent node order even if positions drift over
+    time (deforming meshes). Returns (sharded, order[, halo_size])."""
     import dataclasses as _dc
 
     t_len = np.asarray(frames_np.x).shape[0]
@@ -247,7 +249,14 @@ def shard_trajectory(frames_np, num_shards: int, halo: bool = False):
             lambda a: None if a is None else np.asarray(a)[i], frames_np
         )
 
-    out = [shard_graph(frame(i), num_shards, halo=halo) for i in range(t_len)]
+    f0 = frame(0)
+    parts0 = rcb_partition(
+        np.asarray(f0.pos)[: int(f0.n_node)], num_shards
+    )
+    out = [
+        shard_graph(frame(i), num_shards, halo=halo, parts=parts0)
+        for i in range(t_len)
+    ]
     order = out[0][1]
     hb = out[0][2] if halo else None
     per_frame = [o[0] for o in out]

@@ -150,7 +150,31 @@ def make_train_step(
                 )
                 return total, terms
 
-            if graph.x.ndim == 3:
+            if simulator.is_packed(graph):
+                # packed [N, B, F] fast path: topology is SHARED across the
+                # batch, so vmap over axis 1 of the field leaves only, with
+                # the (unbatched) connectivity closed over — per-sample
+                # masked means match the stacked path exactly.
+                desel = inp.deselected
+                desel_ax = 1 if (desel is not None and desel.ndim == 2) else None
+
+                def per_sample(tgt, out, out_p, tgt_p, dsel):
+                    i = LossInputs(
+                        graph=graph,
+                        target=tgt,
+                        network_output=out,
+                        network_output_physical=out_p,
+                        target_physical=tgt_p,
+                        deselected=dsel,
+                    )
+                    return per_graph(i)
+
+                totals, terms = jax.vmap(
+                    per_sample, in_axes=(1, 1, 1, 1, desel_ax)
+                )(inp.target, inp.network_output, out_phys, tgt_phys, desel)
+                total = jnp.mean(totals)
+                terms = [jnp.mean(t) for t in terms]
+            elif graph.x.ndim == 3:
                 totals, terms = jax.vmap(per_graph)(inp)
                 total = jnp.mean(totals)
                 terms = [jnp.mean(t) for t in terms]

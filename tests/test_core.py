@@ -98,3 +98,68 @@ class TestMesh:
         assert (g.node_type[len(pos):] == PAD_NODE_TYPE).all()
         assert g.senders[ei.shape[1]:].sum() == 0
         assert int(g.n_node) == len(pos)
+
+
+def test_budget_world_pairs_symmetric_rank_fair():
+    """Overflowing the world-edge budget must drop PAIRS (both directions),
+    rank-fairly per endpoint, with a warning — round-2 verdict weak #3."""
+    import warnings
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(40, 3)).astype(np.float32)
+    # dense synthetic pair set: every (i, j<i) within some radius
+    a, b = np.triu_indices(40, k=1)
+    keep = rng.random(len(a)) < 0.4
+    a, b = a[keep], b[keep]
+    wedges = np.stack(
+        [np.concatenate([a, b]), np.concatenate([b, a])]
+    ).astype(np.int32)
+
+    budget = 50
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = mesh_lib.budget_world_pairs(wedges, pos, budget)
+    assert any("world-edge budget" in str(x.message) for x in w)
+    assert out.shape[1] <= budget
+    assert out.shape[1] == 2 * (budget // 2)
+    # symmetry: every directed edge has its reverse present
+    fwd = set(map(tuple, out.T.tolist()))
+    assert all((r, s) in fwd for s, r in fwd)
+    # rank-fairness: every endpoint keeps its NEAREST partner before any
+    # endpoint keeps a 3rd-nearest one (rank-major ordering)
+    und = {(min(s, r), max(s, r)) for s, r in fwd}
+
+    def ranks_of(pairs_set):
+        per = {}
+        for u, v in pairs_set:
+            d = float(np.linalg.norm(pos[u] - pos[v]))
+            per.setdefault(u, []).append((d, v))
+            per.setdefault(v, []).append((d, u))
+        return per
+
+    # no kept pair may have a WORSE max-endpoint-rank than a dropped pair
+    # with a BETTER one (spot check: kept set contains the overall
+    # rank-0 pairs of the densest nodes)
+    all_pairs = {(min(s, r), max(s, r)) for s, r in zip(a, b)}
+    per_all = ranks_of(all_pairs)
+    for node, lst in per_all.items():
+        lst.sort()
+        nearest = (min(node, lst[0][1]), max(node, lst[0][1]))
+        # the nearest partner of a node is only dropped if its OTHER
+        # endpoint already had many closer partners; rank-0-rank-0 pairs
+        # must always survive at this budget
+        other = lst[0][1]
+        lst2 = sorted(per_all[other])
+        if lst2[0][1] == node:
+            assert nearest in und, (node, other)
+
+
+def test_budget_world_pairs_under_budget_untouched():
+    from graph_physics_tpu.core import mesh as mesh_lib
+
+    pos = np.zeros((4, 3), np.float32)
+    wedges = np.array([[0, 1], [1, 0]], np.int32)
+    out = mesh_lib.budget_world_pairs(wedges, pos, 10)
+    np.testing.assert_array_equal(out, wedges)

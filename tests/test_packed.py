@@ -168,3 +168,72 @@ def test_packed_loader(tmp_path):
         # packed layout: node axis first, shared [N] node_type
         assert b.node_type.ndim == 1
         assert b.x.shape[1] == 3
+
+
+def test_packed_multiloss_matches_stacked():
+    """MultiLoss (physics terms) under the packed fast path.
+
+    Round-2 verdict repro: [N, B, F] packed graphs also have x.ndim == 3,
+    so the stacked vmap-over-axis-0 path crashed on the unbatched topology
+    leaves. The packed branch must vmap field leaves over axis 1 instead
+    and match the stacked per-sample means (reference semantics:
+    lightning_module.py:278-302 + utils/loss.py:429-482).
+    """
+    from graph_physics_tpu.training.loss import LossType, MultiLoss
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    sim, opt, _ = make_setup(noise_scale=0.0)
+    loss_fn = MultiLoss(
+        [
+            LossType.L2LOSS,
+            LossType.GRADIENTL2LOSS,
+            LossType.DIVERGENCEL2LOSS,
+            LossType.CONVECTIONL2LOSS,
+        ],
+        [1.0, 0.1, 0.05, 0.05],
+    )
+    step_fn = make_train_step(
+        sim, opt, loss_fn, None, gradient_method="finite_diff",
+        num_steps=10, donate=False,
+    )
+    b = stacked_batch(3)
+    bj = jax.tree.map(jnp.asarray, b)
+    p = jax.tree.map(jnp.asarray, pk.pack(b))
+    state_s = init_train_state(sim, opt, jax.random.PRNGKey(0), bj)
+    state_p = init_train_state(sim, opt, jax.random.PRNGKey(0), p)
+    _, ms = step_fn(state_s, bj, jax.random.PRNGKey(1))
+    _, mp_ = step_fn(state_p, p, jax.random.PRNGKey(1))
+    assert np.isfinite(float(mp_["loss"]))
+    np.testing.assert_allclose(
+        float(mp_["loss"]), float(ms["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for k in ms:
+        if k.startswith("loss_term"):
+            np.testing.assert_allclose(
+                float(mp_[k]), float(ms[k]), rtol=1e-5, atol=1e-6, err_msg=k
+            )
+
+
+def test_packed_multiloss_wls_gradient():
+    """least_squares (WLS) gradient method also works packed (faces shared)."""
+    from graph_physics_tpu.training.loss import LossType, MultiLoss
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    sim, opt, _ = make_setup(noise_scale=0.0)
+    loss_fn = MultiLoss(
+        [LossType.L2LOSS, LossType.GRADIENTL2LOSS], [1.0, 0.1]
+    )
+    step_fn = make_train_step(
+        sim, opt, loss_fn, None, gradient_method="least_squares",
+        num_steps=10, donate=False,
+    )
+    b = stacked_batch(2)
+    bj = jax.tree.map(jnp.asarray, b)
+    p = jax.tree.map(jnp.asarray, pk.pack(b))
+    state_s = init_train_state(sim, opt, jax.random.PRNGKey(0), bj)
+    state_p = init_train_state(sim, opt, jax.random.PRNGKey(0), p)
+    _, ms = step_fn(state_s, bj, jax.random.PRNGKey(1))
+    _, mp_ = step_fn(state_p, p, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(mp_["loss"]), float(ms["loss"]), rtol=1e-5, atol=1e-6
+    )

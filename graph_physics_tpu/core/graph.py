@@ -75,6 +75,15 @@ class MeshGraph:
     traj_index: Optional[jnp.ndarray] = None  # [] int32
     time: Optional[jnp.ndarray] = None  # [] f32 physical time of the frame
 
+    # --- fused-kernel runtime indices ---
+    #: ``(win_start [G], sidx [G, Emax], ridx [G, Emax])`` int32 — the
+    #: blocked-CSR local indices of this frame's topology
+    #: (ops/tiling.apply_to_graph). Carried as RUNTIME pytree leaves so a
+    #: jitted fused train step compiles once per shape bucket and serves
+    #: every same-bucket topology (real datasets have ~1000 distinct
+    #: meshes; baking indices in as constants would recompile per mesh).
+    tiling_idx: Optional[Any] = None
+
     # ------------------------------------------------------------------
     @property
     def num_nodes(self) -> int:

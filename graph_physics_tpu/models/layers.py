@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from graph_physics_tpu.ops import edge_attention as ea
 from graph_physics_tpu.ops import segment
+from graph_physics_tpu.ops.fused_gnblock import LANES as LANES_
 
 Dtype = Any
 
@@ -292,6 +293,7 @@ class Attention(nn.Module):
         pos: Optional[jnp.ndarray] = None,
         kv: Optional[jnp.ndarray] = None,
         return_attention: bool = False,
+        tiling_idx=None,  # runtime (win_start, sidx, ridx) of the graph
     ) -> jnp.ndarray:
         if self.use_rope_embeddings and pos is None:
             raise ValueError("RoPE embeddings require positional information.")
@@ -329,6 +331,7 @@ class Attention(nn.Module):
             y = fused_edge_attention(
                 q, k, v, self.tiling,
                 interpret=jax.default_backend() != "tpu",
+                tiling_idx=tiling_idx,
             ).astype(self.dtype)
         elif senders is not None:
             y = ea.edge_attention(
@@ -400,6 +403,7 @@ class TransformerBlock(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
         node_mask: Optional[jnp.ndarray] = None,
         pos: Optional[jnp.ndarray] = None,
+        tiling_idx=None,
     ) -> jnp.ndarray:
         attn_out = Attention(
             hidden_size=self.hidden_size,
@@ -422,6 +426,7 @@ class TransformerBlock(nn.Module):
             edge_mask,
             node_mask,
             pos,
+            tiling_idx=tiling_idx,
         )
         x = x + attn_out
         ff = GatedMLPBlock(
@@ -431,8 +436,32 @@ class TransformerBlock(nn.Module):
             use_silu=self.use_silu,
             dtype=self.dtype,
             name="gated_mlp",
-        )(RMSNorm(self.hidden_size, dtype=self.dtype, name="norm2")(x))
-        return x + ff
+        )
+        norm2 = RMSNorm(self.hidden_size, dtype=self.dtype, name="norm2")
+        h = self.hidden_size
+        if (
+            self.tiling is not None
+            and self.dtype == jnp.bfloat16
+            and x.ndim == 3
+            and LANES_ % h == 0
+            and (x.shape[1] * h) % LANES_ == 0
+            and x.shape[0] % 128 == 0
+        ):
+            # fused Pallas FFN: norm2 + the whole gated block in one
+            # kernel pair (ops/fused_ffn); params materialized via
+            # zero-row dummies, exactly like the GraphNetBlock fused path
+            _ = ff(jnp.zeros((0, h), self.dtype))
+            _ = norm2(jnp.zeros((0, h), self.dtype))
+            from graph_physics_tpu.ops.fused_ffn import fused_gated_ffn
+
+            return fused_gated_ffn(
+                x.astype(self.dtype),
+                ff.variables["params"],
+                activation="silu" if self.use_silu else "gelu",
+                interpret=jax.default_backend() != "tpu",
+                norm2_scale=norm2.variables["params"]["scale"],
+            ).astype(x.dtype)
+        return x + ff(norm2(x))
 
 
 class TemporalAttention(nn.Module):
@@ -594,6 +623,7 @@ class GraphNetBlock(nn.Module):
         pos: Optional[jnp.ndarray] = None,
         phi: Optional[jnp.ndarray] = None,
         edge_encoder_params=None,  # folded edge encoder (fused path only)
+        tiling_idx=None,  # runtime (win_start, sidx, ridx) of the graph
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = x.shape[0]
         if self.use_gated_mlp:
@@ -650,6 +680,7 @@ class GraphNetBlock(nn.Module):
                 interpret=jax.default_backend() != "tpu",
                 edge_encoder_params=edge_encoder_params,
                 last_block=self.is_last_block,
+                tiling_idx=tiling_idx,
             )
             return x_new.astype(x.dtype), e_new.astype(edge_attr.dtype)
         if fold:

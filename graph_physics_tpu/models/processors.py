@@ -134,6 +134,7 @@ class EncodeProcessDecode(nn.Module):
                 pos,
                 phi,
                 edge_encoder_params=enc_params if i == 0 else None,
+                tiling_idx=graph.tiling_idx,
             )
 
         if self.use_temporal_block:
@@ -217,6 +218,7 @@ class EncodeTransformDecode(nn.Module):
                 graph.edge_mask,
                 graph.node_mask,
                 pos,
+                tiling_idx=graph.tiling_idx,
             )
 
         if self.use_temporal_block:

@@ -60,10 +60,10 @@ def _grouped_dot(a_bf, b_bf, ones_dh, emax, lanes):
     return _dot(prod, ones_dh)  # fp32 [rows, 128]
 
 
-def _attn_common(cfg_dh, wb, nb, emax, lanes, sidx_ref, ridx_ref,
+def _attn_common(cfg_dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref,
                  qj_ref, kw_refs, vw_refs):
     k = lanes // LANES
-    w_rows = wb * nb
+    w_rows = wb * wu
     sid = sidx_ref[0]
     rid = ridx_ref[0]
     oh_sT = (
@@ -99,21 +99,22 @@ def _attn_common(cfg_dh, wb, nb, emax, lanes, sidx_ref, ridx_ref,
     return k, oh_sT, oh_rN, qj, qe, ke, ve, p2, denom
 
 
-def _fwd_kernel(dh, wb, nb, emax, lanes,
+def _fwd_kernel(dh, wb, wu, nb, emax, lanes,
                 win_start_ref, sidx_ref, ridx_ref, qj_ref, *rest):
     kw_refs = rest[:wb]
     vw_refs = rest[wb : 2 * wb]
     out_ref = rest[2 * wb]
 
     _k, _oh_sT, oh_rN, _qj, _qe, _ke, ve, p2, denom = _attn_common(
-        dh, wb, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs, vw_refs)
+        dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs,
+        vw_refs)
 
     num = _dot(oh_rN, (p2 * ve).astype(jnp.bfloat16))  # fp32 [nb, lanes]
     out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
     out_ref[:] = out.astype(jnp.bfloat16)
 
 
-def _bwd_kernel(dh, wb, nb, emax, lanes,
+def _bwd_kernel(dh, wb, wu, nb, emax, lanes,
                 win_start_ref, sidx_ref, ridx_ref, qj_ref, *rest):
     kw_refs = rest[:wb]
     vw_refs = rest[wb : 2 * wb]
@@ -121,7 +122,8 @@ def _bwd_kernel(dh, wb, nb, emax, lanes,
     dq_ref, dkw_ref, dvw_ref = rest[2 * wb + 1 :]
 
     k, oh_sT, oh_rN, _qj, qe, ke, ve, p2, denom = _attn_common(
-        dh, wb, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs, vw_refs)
+        dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs,
+        vw_refs)
 
     inv_denom = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     g_out = g_out_ref[:].astype(jnp.bfloat16)  # [nb, lanes]
@@ -161,6 +163,7 @@ def fused_edge_attention(
     interpret: bool = False,
     lanes: int = 1024,
     lanes_bwd: int = 512,
+    tiling_idx=None,  # runtime (win_start, sidx, ridx) — see fused_gn_block
 ) -> jnp.ndarray:
     """Edge-masked multi-head attention on the blocked layout.
 
@@ -187,19 +190,25 @@ def fused_edge_attention(
     emax = tiling.edges_per_block
     nb = tiling.node_block
     wb = tiling.window_blocks
+    wu = tiling.window_unit
 
     dtype = jnp.bfloat16
     q2 = q.reshape(n, total_lanes).astype(dtype)
     k2 = k.reshape(n, total_lanes).astype(dtype)
     v2 = v.reshape(n, total_lanes).astype(dtype)
 
-    sidx = jnp.asarray(tiling.sidx)[:, None, :]
-    ridx = jnp.asarray(tiling.ridx)[:, None, :]
-    win_start = jnp.asarray(tiling.win_start)
-    blk_node = jnp.asarray(
-        (tiling.win_start[:, None].astype(np.int64)
-         + np.arange(wb)[None, :]).reshape(-1).astype(np.int32)
-    )
+    if tiling_idx is not None:
+        win_in, sidx_in, ridx_in = tiling_idx
+        win_start = jnp.asarray(win_in, jnp.int32)
+        sidx = jnp.asarray(sidx_in, jnp.int32)[:, None, :]
+        ridx = jnp.asarray(ridx_in, jnp.int32)[:, None, :]
+    else:
+        sidx = jnp.asarray(tiling.sidx)[:, None, :]
+        ridx = jnp.asarray(tiling.ridx)[:, None, :]
+        win_start = jnp.asarray(tiling.win_start)
+    blk_node = (
+        win_start[:, None].astype(jnp.int32) + jnp.arange(wb, dtype=jnp.int32)
+    ).reshape(-1)
 
     def _vspec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -209,10 +218,10 @@ def fused_edge_attention(
         group_spec = _vspec((1, 1, emax), lambda c, g, ws: (g, 0, 0))
         node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
         win_specs = [
-            _vspec((nb, l), partial(lambda kk, c, g, ws: (ws[g] + kk, c), kk))
+            _vspec((wu, l), partial(lambda kk, c, g, ws: (ws[g] + kk, c), kk))
             for kk in range(wb)
         ]
-        dw_spec = _vspec((wb * nb, l), lambda c, g, ws: (g, c))
+        dw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
         return grid, group_spec, node_spec, win_specs, dw_spec
 
     def _fwd(q2, k2, v2):
@@ -224,7 +233,7 @@ def fused_edge_attention(
             + win_specs + win_specs,
             out_specs=[node_spec],
         )
-        kernel = partial(_fwd_kernel, dh, wb, nb, emax, lanes)
+        kernel = partial(_fwd_kernel, dh, wb, wu, nb, emax, lanes)
         (out,) = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -253,23 +262,23 @@ def fused_edge_attention(
             + win_specs + win_specs + [node_spec],  # g_out
             out_specs=[node_spec, dw_spec, dw_spec],
         )
-        kernel = partial(_bwd_kernel, dh, wb, nb, emax, lanes_bwd)
+        kernel = partial(_bwd_kernel, dh, wb, wu, nb, emax, lanes_bwd)
         dq, dkw, dvw = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
             ],
             interpret=interpret,
         )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb),
           g_out.astype(dtype))
 
         def reduce_windows(dw):
-            blocks = dw.reshape(g_blocks * wb, nb, total_lanes)
+            blocks = dw.reshape(g_blocks * wb, wu, total_lanes)
             return jax.ops.segment_sum(
-                blocks, blk_node, num_segments=n // nb
+                blocks, blk_node, num_segments=n // wu
             ).reshape(n, total_lanes).astype(dtype)
 
         return dq, reduce_windows(dkw), reduce_windows(dvw)

@@ -141,6 +141,24 @@ def _rms_fwd(pre_bf: jnp.ndarray, ones_k: jnp.ndarray, scale: jnp.ndarray,
 # shared MLP fwd/bwd (operating on the [rows, 128] view)
 # ----------------------------------------------------------------------
 
+def _rms_bwd(g_bf, v_bf, u_bf, inv_f32, scale_f32, ones_k, f: int,
+             eps: float):
+    """VJP of :func:`_rms_fwd` wrt the pre-norm input ``v``.
+
+    Returns (g_input_bf16, d_scale_f32 [1, 128]). ``u = v·inv`` with
+    ``inv = 1/(rms+eps)``; same numerics as the inline block the MLP
+    backward uses.
+    """
+    scale = scale_f32.astype(jnp.bfloat16)
+    d_scale = jnp.sum((g_bf * u_bf).astype(jnp.float32), axis=0, keepdims=True)
+    g_u = g_bf * scale
+    dot_gv = _dot(g_u * v_bf, ones_k)
+    rms = 1.0 / inv_f32 - eps
+    safe_rms = jnp.maximum(rms, 1e-30)
+    corr = (dot_gv * (inv_f32 * inv_f32) / (f * safe_rms)).astype(jnp.bfloat16)
+    return g_u * inv_f32.astype(jnp.bfloat16) - v_bf * corr, d_scale
+
+
 def _mlp_fwd(h0_f32, kern_refs, bias_refs, scale_ref, ones_k, cfg):
     """Dense chain + optional RMSNorm tail. ``h0_f32`` is the first-layer
     pre-activation WITHOUT bias (fp32 from the MXU). Activations flow in
@@ -234,8 +252,8 @@ def _parse_weight_refs(refs, n_first: int, n_layers: int, layer_norm: bool):
 # kernels
 # ----------------------------------------------------------------------
 
-def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
-                     xw_refs):
+def _common_prologue(cfg, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref,
+                     xj_ref, xw_refs):
     """One-hot builds shared by fwd and bwd.
 
     Node features are NOT gathered to edge rows here: both kernels commute
@@ -246,7 +264,7 @@ def _common_prologue(cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref,
     (~6x fewer rows on mesh graphs).
     """
     k = lanes // LANES
-    w_rows = wb * nb
+    w_rows = wb * wu
     xw = jnp.concatenate([r[:] for r in xw_refs], axis=0)  # [W, lanes]
     xj = xj_ref[:]  # [NB, lanes]
     sid = sidx_ref[0]  # [1, Emax]
@@ -314,8 +332,8 @@ def _enc_cfg(cfg):
                                n_node_layers=cfg.n_enc_layers)
 
 
-def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
-                win_start_ref, sidx_ref, ridx_ref, xj_ref, *rest):
+def _fwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
+                lanes: int, win_start_ref, sidx_ref, ridx_ref, xj_ref, *rest):
     xw_refs = rest[:wb]
     rest = rest[wb:]
     e_ref = rest[0]
@@ -337,7 +355,7 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
 
     ones_k = _group_ones(cfg.feature_size)
     k, xj, xw, oh_sT, oh_rN, xjr, xwr = _common_prologue(
-        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
+        cfg, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
 
     if enc_refs is not None:
         _raw, er_rows, _enc_res = _encode_e_fwd(
@@ -369,8 +387,8 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
     xout_ref[:] = xj + node_upd.reshape(nb, lanes)
 
 
-def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
-                win_start_ref, sidx_ref, ridx_ref, xj_ref, *rest):
+def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
+                lanes: int, win_start_ref, sidx_ref, ridx_ref, xj_ref, *rest):
     xw_refs = rest[:wb]
     rest = rest[wb:]
     e_ref = rest[0]
@@ -402,7 +420,7 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
 
     ones_k = _group_ones(cfg.feature_size)
     k, xj, xw, oh_sT, oh_rN, xjr, xwr = _common_prologue(
-        cfg, wb, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
+        cfg, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref, xj_ref, xw_refs)
 
     # ---- recompute forward ----
     if enc_refs is not None:
@@ -450,7 +468,7 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
     p_r = _dot(oh_rN, g_h0_2d).astype(jnp.bfloat16)  # [NB, lanes]
     p_s = _dot(oh_sT, g_h0_2d).astype(jnp.bfloat16)  # [W, lanes]
     p_r_rows = p_r.reshape(nb * k, LANES)
-    p_s_rows = p_s.reshape(wb * nb * k, LANES)
+    p_s_rows = p_s.reshape(wb * wu * k, LANES)
     d_kr = _dot_t(xjr, p_r_rows)  # [128, 128] fp32
     d_ks = _dot_t(xwr, p_s_rows)
     de_flat = [de_flat[0], d_kr, d_ks] + de_flat[1:]
@@ -489,7 +507,7 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, nb: int, emax: int, lanes: int,
         g_xout + g_xj_n.reshape(nb, lanes) + g_x_kr.reshape(nb, lanes)
     )
     dxw_ref[:] = _dot_bt(p_s_rows, ew_first[2][:]).astype(
-        jnp.bfloat16).reshape(wb * nb, lanes)
+        jnp.bfloat16).reshape(wb * wu, lanes)
 
     # ---- weight-grad accumulation across all grid steps (fp32 VMEM) ----
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -581,8 +599,15 @@ def fused_gn_block(
     lanes_bwd: int = 256,
     edge_encoder_params: Optional[dict] = None,
     last_block: bool = False,
+    tiling_idx: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply one fused GraphNetBlock; returns (x', edge_attr').
+
+    ``tiling_idx``: optional runtime ``(win_start, sidx, ridx)`` arrays
+    (graph.tiling_idx). When given they are used as TRACED inputs instead
+    of the tiling's host constants, so one jitted program serves every
+    topology of the same shape bucket; ``tiling`` then only supplies the
+    static geometry (node_block/window_blocks/edges_per_block/...).
 
     ``lanes`` / ``lanes_bwd`` pick the lane-tile width of the forward /
     backward kernels (backward holds ~3x the VMEM working set — the
@@ -622,6 +647,7 @@ def fused_gn_block(
     emax = tiling.edges_per_block
     nb = tiling.node_block
     wb = tiling.window_blocks
+    wu = tiling.window_unit
     assert edge_attr.shape[0] == g_blocks * emax
 
     # folded-encoder geometry: raw rows carry fe_pad = F/r channels per
@@ -677,16 +703,22 @@ def fused_gn_block(
     n_ew = len(ew_flat)
 
     # [G, 1, Emax]: trailing dims match the block exactly (Mosaic tiling rule)
-    sidx = jnp.asarray(tiling.sidx)[:, None, :]
-    ridx = jnp.asarray(tiling.ridx)[:, None, :]
-    win_start = jnp.asarray(tiling.win_start)
-    # node BLOCK of each (g, window-block) pair: the dxw reduction epilogue
-    # scatter-adds whole [nb, lanes] blocks (contiguous - vectorizes) rather
-    # than individual rows
-    blk_node = jnp.asarray(
-        (tiling.win_start[:, None].astype(np.int64)
-         + np.arange(wb)[None, :]).reshape(-1).astype(np.int32)
-    )
+    if tiling_idx is not None:
+        win_in, sidx_in, ridx_in = tiling_idx
+        assert sidx_in.shape == (g_blocks, emax), (sidx_in.shape, g_blocks, emax)
+        win_start = jnp.asarray(win_in, jnp.int32)
+        sidx = jnp.asarray(sidx_in, jnp.int32)[:, None, :]
+        ridx = jnp.asarray(ridx_in, jnp.int32)[:, None, :]
+    else:
+        sidx = jnp.asarray(tiling.sidx)[:, None, :]
+        ridx = jnp.asarray(tiling.ridx)[:, None, :]
+        win_start = jnp.asarray(tiling.win_start)
+    # window UNIT of each (g, window-block) pair: the dxw reduction
+    # epilogue scatter-adds whole [wu, lanes] blocks (contiguous -
+    # vectorizes) rather than individual rows
+    blk_node = (
+        win_start[:, None].astype(jnp.int32) + jnp.arange(wb, dtype=jnp.int32)
+    ).reshape(-1)
 
     # PrefetchScalarGridSpec index maps receive (c, g, win_start_ref)
     def _vspec(shape, imap):
@@ -705,13 +737,13 @@ def fused_gn_block(
         # raw (folded-encoder) edge blocks carry l/r lanes per chunk
         edge_in_spec = _vspec((emax, l // r), lambda c, g, ws: (g, c))
         win_specs = [
-            _vspec((nb, l), partial(lambda k, c, g, ws: (ws[g] + k, c), k))
+            _vspec((wu, l), partial(lambda k, c, g, ws: (ws[g] + k, c), k))
             for k in range(wb)
         ]
         weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
         in_specs = ([group_spec, group_spec, node_spec] + win_specs
                     + [edge_in_spec] + weight_specs)
-        dxw_spec = _vspec((wb * nb, l), lambda c, g, ws: (g, c))
+        dxw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
         return grid, in_specs, node_spec, edge_spec, dxw_spec
 
     def _fwd(x2, e2, weights):
@@ -729,7 +761,7 @@ def fused_gn_block(
             in_specs=in_specs,
             out_specs=out_specs,
         )
-        kernel = partial(_fwd_kernel, cfg, wb, nb, emax, lanes)
+        kernel = partial(_fwd_kernel, cfg, wb, wu, nb, emax, lanes)
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -770,7 +802,7 @@ def fused_gn_block(
         out_specs = [node_spec, dxw_spec]
         out_shape = [
             jax.ShapeDtypeStruct((n, total_lanes), dtype),
-            jax.ShapeDtypeStruct((g_blocks * wb * nb, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
         ]
         if n_enc == 0:
             out_specs.append(edge_spec)  # de
@@ -783,7 +815,7 @@ def fused_gn_block(
             in_specs=in_specs + cot_specs,
             out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
         )
-        kernel = partial(_bwd_kernel, cfg, wb, nb, emax, lanes_bwd)
+        kernel = partial(_bwd_kernel, cfg, wb, wu, nb, emax, lanes_bwd)
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -800,9 +832,9 @@ def fused_gn_block(
         # fp32 in-kernel accumulators -> cotangent dtype must match primal
         dws = [dw.astype(w.dtype) for dw, w in zip(dws, weights)]
         # block-granular scatter-add of the window contributions
-        dxw_blocks = dxw.reshape(g_blocks * wb, nb, total_lanes)
+        dxw_blocks = dxw.reshape(g_blocks * wb, wu, total_lanes)
         dx_extra = jax.ops.segment_sum(
-            dxw_blocks, blk_node, num_segments=n // nb
+            dxw_blocks, blk_node, num_segments=n // wu
         ).reshape(n, total_lanes)
         dx = dx_main.astype(jnp.float32) + dx_extra.astype(jnp.float32)
         return (dx.astype(dtype), de, *dws)
@@ -876,7 +908,7 @@ def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
     sid = jnp.asarray(tiling.sidx).reshape(-1)
     rid = jnp.asarray(tiling.ridx).reshape(-1)
     gids = jnp.repeat(jnp.arange(g_blocks), emax)
-    glob_s = jnp.asarray(tiling.win_start)[gids] * tiling.node_block + sid
+    glob_s = jnp.asarray(tiling.win_start)[gids] * tiling.window_unit + sid
     glob_r = gids * tiling.node_block + rid
     s_valid = sid < tiling.window_rows
     r_valid = rid < tiling.node_block

@@ -54,12 +54,19 @@ class EdgeTiling:
     #: [G, Emax] int32 — receiver index local to the group's node block;
     #: sentinel (= node_block) on padded slots.
     ridx: np.ndarray
-    #: [G] int32 — first node block of each group's sender window.
+    #: [G] int32 — first window UNIT of each group's sender window.
     win_start: np.ndarray
     node_block: int
     window_blocks: int
     edges_per_block: int
     num_nodes: int  # padded node count (multiple of node_block)
+    #: rows per window block. Windows are aligned/advanced at this
+    #: granularity (win_start counts window_units, windows span
+    #: window_blocks * window_unit rows). Finer units (64) hug the
+    #: adjacency band more tightly than whole node blocks (128): on
+    #: banded meshes the sender window shrinks ~33%, cutting every
+    #: w_rows-proportional kernel cost (sender gathers, P_s, dxw).
+    window_unit: int = 128
 
     @property
     def num_groups(self) -> int:
@@ -67,7 +74,7 @@ class EdgeTiling:
 
     @property
     def window_rows(self) -> int:
-        return self.window_blocks * self.node_block
+        return self.window_blocks * self.window_unit
 
     def expand_edges(self, edge_vals: np.ndarray, fill=0):
         """Re-order a per-edge array [E, ...] into the blocked layout
@@ -103,7 +110,7 @@ def apply_to_graph(graph, tiling: EdgeTiling):
     new_send = np.zeros(tiling.perm.shape[0], np.int32)
     new_recv = np.full(tiling.perm.shape[0], n_new - 1, np.int32)
     new_send[valid] = (
-        tiling.win_start[gids[valid]].astype(np.int64) * tiling.node_block
+        tiling.win_start[gids[valid]].astype(np.int64) * tiling.window_unit
         + tiling.sidx.reshape(-1)[valid]
     )
     new_recv[valid] = (
@@ -139,6 +146,14 @@ def apply_to_graph(graph, tiling: EdgeTiling):
         next_data=pad_nodes(graph.next_data),
         deselected=pad_nodes(graph.deselected, False),
         phi=pad_nodes(graph.phi),
+        # runtime copies of the blocked-CSR indices: jitted fused steps
+        # take them as inputs, so one compile serves every topology of
+        # the same shape bucket
+        tiling_idx=(
+            tiling.win_start.astype(np.int32),
+            tiling.sidx.astype(np.int32),
+            tiling.ridx.astype(np.int32),
+        ),
     )
 
 
@@ -169,14 +184,18 @@ def build_edge_tiling(
     node_block: int = 128,
     max_window_blocks: int = 8,
     edge_pad_multiple: int = 16,
+    window_unit: int = 64,
+    window_blocks_multiple: int = 1,
 ) -> Optional[EdgeTiling]:
     """Build the blocked-CSR layout, or None when the topology doesn't fit.
 
     ``None`` is returned when any group's sender window would exceed
-    ``max_window_blocks`` blocks (badly-ordered mesh — reorder with
-    :func:`rcm_order` first) so callers can fall back to the XLA path.
-    Padded edges (``edge_mask`` False) are dropped — they re-enter as
-    padded slots of the blocked layout.
+    ``max_window_blocks * node_block`` rows (badly-ordered mesh — reorder
+    with :func:`rcm_order` first) so callers can fall back to the XLA
+    path. Padded edges (``edge_mask`` False) are dropped — they re-enter
+    as padded slots of the blocked layout. ``window_unit`` sets the sender
+    window granularity (must divide ``node_block``); 64 hugs the adjacency
+    band ~33% tighter than 128 on typical meshes.
     """
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
@@ -200,7 +219,8 @@ def build_edge_tiling(
     e_max = int(counts.max()) if counts.size else 0
     e_max = max(_round_up(max(e_max, 1), edge_pad_multiple), edge_pad_multiple)
 
-    # sender windows per group, aligned to node blocks
+    # sender windows per group, aligned to window units
+    assert node_block % window_unit == 0, (node_block, window_unit)
     starts = np.zeros(n_groups, np.int64)
     widths = np.zeros(n_groups, np.int64)
     offs = np.concatenate([[0], np.cumsum(counts)])
@@ -210,18 +230,22 @@ def build_edge_tiling(
             starts[g] = 0
             widths[g] = 1
             continue
-        lo = int(seg.min()) // node_block
-        hi = int(seg.max()) // node_block
+        lo = int(seg.min()) // window_unit
+        hi = int(seg.max()) // window_unit
         starts[g] = lo
         widths[g] = hi - lo + 1
     wb = int(widths.max()) if n_groups else 1
-    if wb > max_window_blocks:
+    # quantize wb so near-identical meshes share a shape bucket (the extra
+    # window blocks read unused rows; sentinel sidx keeps them inert) —
+    # bounded by the array itself so window reads stay in range
+    wb = min(_round_up(wb, window_blocks_multiple), n_pad // window_unit)
+    if wb * window_unit > max_window_blocks * node_block:
         return None
     # clamp windows to the array end so BlockSpec reads stay in bounds
-    max_start = max(n_groups - wb, 0)
+    max_start = max(n_pad // window_unit - wb, 0)
     starts = np.minimum(starts, max_start)
 
-    win_rows = wb * node_block
+    win_rows = wb * window_unit
     perm = np.full(n_groups * e_max, -1, np.int64)
     sidx = np.full((n_groups, e_max), win_rows, np.int64)  # sentinel
     ridx = np.full((n_groups, e_max), node_block, np.int64)  # sentinel
@@ -231,7 +255,7 @@ def build_edge_tiling(
             continue
         sl = slice(offs[g], offs[g + 1])
         perm[g * e_max : g * e_max + k] = orig_ids[sl]
-        sidx[g, :k] = s[sl] - starts[g] * node_block
+        sidx[g, :k] = s[sl] - starts[g] * window_unit
         ridx[g, :k] = r[sl] - g * node_block
 
     return EdgeTiling(
@@ -243,4 +267,5 @@ def build_edge_tiling(
         window_blocks=wb,
         edges_per_block=e_max,
         num_nodes=n_pad,
+        window_unit=window_unit,
     )

@@ -29,15 +29,44 @@ from graph_physics_tpu.ops import tiling as tiling_lib
 
 
 class FusedTopologyManager:
-    """Per-trajectory tiling cache + frame converter + step-fn cache."""
+    """Per-trajectory tiling cache + frame converter + step-fn cache.
 
-    def __init__(self, node_block: int = 128, max_window_blocks: int = 8):
+    Steps are cached per SHAPE BUCKET, not per trajectory: the blocked-CSR
+    indices ride the graph as runtime inputs (MeshGraph.tiling_idx), so
+    one compiled program serves every topology whose tiling has the same
+    static geometry. ``edge_pad_multiple`` / ``window_blocks_multiple``
+    quantize that geometry so real datasets (~1000 distinct meshes) land
+    in a handful of buckets instead of recompiling per mesh.
+    """
+
+    def __init__(self, node_block: int = 128, max_window_blocks: int = 8,
+                 edge_pad_multiple: int = 64, window_blocks_multiple: int = 2):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
+        self.edge_pad_multiple = edge_pad_multiple
+        self.window_blocks_multiple = window_blocks_multiple
         #: traj id -> (tiling or None, rcm permutation or None)
         self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray]]] = {}
-        #: traj id -> (simulator clone, jitted step_fn)
+        #: shape-bucket key -> (simulator clone, jitted step_fn)
         self._steps: Dict[Any, Tuple[Any, Any]] = {}
+
+    def key_for(self, batch: MeshGraph):
+        """Shape-bucket key of a (converted) batch's topology — for outer
+        caches (e.g. the Trainer's multi-step cache) that must share
+        entries exactly when step_for does."""
+        traj = int(np.asarray(batch.traj_index))
+        if traj not in self._tilings:
+            return traj  # unseen here: degrade to per-trajectory keying
+        t, _perm = self._tilings[traj]
+        return "xla" if t is None else self.bucket_key(t)
+
+    @staticmethod
+    def bucket_key(t) -> Tuple:
+        """Static geometry of a tiling — equal key ⟹ same compiled step."""
+        return (
+            t.num_nodes, t.num_groups, t.edges_per_block, t.node_block,
+            t.window_blocks, t.window_unit,
+        )
 
     # -- host-side frame conversion (runs in the loader thread) ---------
     def _tiling_for(self, g: MeshGraph):
@@ -48,21 +77,19 @@ class FusedTopologyManager:
         e_valid = int(g.n_edge)
         send = np.asarray(g.senders)[:e_valid]
         recv = np.asarray(g.receivers)[:e_valid]
-        t = tiling_lib.build_edge_tiling(
-            send, recv, n_valid,
+        kw = dict(
             node_block=self.node_block,
             max_window_blocks=self.max_window_blocks,
+            edge_pad_multiple=self.edge_pad_multiple,
+            window_blocks_multiple=self.window_blocks_multiple,
         )
+        t = tiling_lib.build_edge_tiling(send, recv, n_valid, **kw)
         perm = None
         if t is None:
             # non-banded node order: reorder with reverse Cuthill-McKee
             perm = tiling_lib.rcm_order(send, recv, n_valid)
             inv = np.argsort(perm)
-            t = tiling_lib.build_edge_tiling(
-                inv[send], inv[recv], n_valid,
-                node_block=self.node_block,
-                max_window_blocks=self.max_window_blocks,
-            )
+            t = tiling_lib.build_edge_tiling(inv[send], inv[recv], n_valid, **kw)
             if t is None:
                 perm = None  # not tileable: XLA fallback for this topology
         self._tilings[key] = (t, perm)
@@ -85,14 +112,18 @@ class FusedTopologyManager:
         ``make_step(simulator)`` builds the jitted train step; results are
         cached per trajectory so each topology compiles once.
         """
-        key = int(np.asarray(batch.traj_index))
+        traj = int(np.asarray(batch.traj_index))
+        t, _perm = self._tilings.get(traj, (None, None))
+        if t is None or not hasattr(base_sim.model, "edge_tiling"):
+            key = "xla"  # jit's own cache handles shape variety here
+        else:
+            key = self.bucket_key(t)
         hit = self._steps.get(key)
         if hit is not None:
             return hit
-        t, _perm = self._tilings.get(key, (None, None))
-        if t is None or not hasattr(base_sim.model, "edge_tiling"):
+        if key == "xla":
             print(
-                f"[fused] trajectory {key}: fused kernel inactive "
+                f"[fused] trajectory {traj}: fused kernel inactive "
                 + ("(untileable topology)" if hasattr(
                     base_sim.model, "edge_tiling") else "(model has no "
                    "edge_tiling support)")
@@ -103,6 +134,8 @@ class FusedTopologyManager:
         else:
             from graph_physics_tpu.models.simulator import clone_with_model
 
+            # the tiling attribute supplies ONLY static geometry here; the
+            # per-topology indices arrive as batch.tiling_idx at run time
             sim = clone_with_model(base_sim, base_sim.model.clone(edge_tiling=t))
             entry = (sim, make_step(sim))
         self._steps[key] = entry

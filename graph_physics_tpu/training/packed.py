@@ -79,6 +79,13 @@ def pack(stacked: MeshGraph) -> MeshGraph:
             else None
         ),
         time=np.asarray(stacked.time) if stacked.time is not None else None,
+        tiling_idx=(
+            None
+            if stacked.tiling_idx is None
+            else tuple(
+                _shared(a, "tiling_idx") for a in stacked.tiling_idx
+            )
+        ),
     )
 
 

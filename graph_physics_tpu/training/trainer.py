@@ -311,7 +311,7 @@ class Trainer:
                             make_multi_step,
                         )
 
-                        key = int(np.asarray(pending[0].traj_index))
+                        key = self._fused_mgr.key_for(pending[0])
                         multi_fn = self._fused_multi.get(key)
                         if multi_fn is None:
                             _, step_fn = self._fused_mgr.step_for(

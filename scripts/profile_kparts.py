@@ -35,7 +35,7 @@ B, F = 128, 32
 sim, opt, _u, g = _cylinder_setup(nx=48, ny=40, hidden=F, mp_steps=5, batch=B, packed=True)
 t = tiling_lib.build_edge_tiling(
     np.asarray(g.senders), np.asarray(g.receivers), g.x.shape[0],
-    edge_mask=np.asarray(g.edge_mask), node_block=128)
+    edge_mask=np.asarray(g.edge_mask), node_block=128, window_unit=128)
 N, G, EMAX, WB = t.num_nodes, t.num_groups, t.edges_per_block, t.window_blocks
 TOT = B * F
 

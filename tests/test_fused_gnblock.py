@@ -58,7 +58,7 @@ def test_tiling_roundtrip():
     gids = np.repeat(np.arange(t.num_groups), t.edges_per_block)
     valid = t.perm >= 0
     glob_r = gids * t.node_block + t.ridx.reshape(-1)
-    glob_s = t.win_start[gids] * t.node_block + t.sidx.reshape(-1)
+    glob_s = t.win_start[gids] * t.window_unit + t.sidx.reshape(-1)
     np.testing.assert_array_equal(glob_r[valid], receivers[t.perm[valid]])
     np.testing.assert_array_equal(glob_s[valid], senders[t.perm[valid]])
 

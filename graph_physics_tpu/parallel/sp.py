@@ -54,6 +54,26 @@ def sp_gather(
     if hb is None:
         x_all = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
         return jnp.take(x_all, global_idx, axis=0)
+    if isinstance(hb, tuple):
+        # ring mode: (halo_rows, ring_distance) from shard_graph(halo=True,
+        # ring=True). Boundary rows are exchanged ONLY with ring neighbours
+        # at distance <= D via ppermute — ICI traffic O(2·D·Hb·F) per shard
+        # instead of the all_gather's O(S·Hb·F); sender indices address
+        # [N_s + slot·Hb + row] with slot = 2(|d|-1) + (d > 0) for the halo
+        # received from ring offset d.
+        hb, ring_d = hb
+        s = jax.lax.psum(1, axis_name)  # static axis size
+        h = x_local[:hb]
+        parts = []
+        for d in range(1, ring_d + 1):
+            # slot 2(d-1): from self-d  (send right: i -> i+d)
+            parts.append(jax.lax.ppermute(
+                h, axis_name, [(i, (i + d) % s) for i in range(s)]))
+            # slot 2(d-1)+1: from self+d  (send left: i -> i-d)
+            parts.append(jax.lax.ppermute(
+                h, axis_name, [(i, (i - d) % s) for i in range(s)]))
+        combined = jnp.concatenate([x_local] + parts, axis=0)
+        return jnp.take(combined, global_idx, axis=0)
     halo = jax.lax.all_gather(x_local[:hb], axis_name, axis=0, tiled=True)
     combined = jnp.concatenate([x_local, halo], axis=0)
     return jnp.take(combined, global_idx, axis=0)
@@ -64,6 +84,7 @@ def shard_graph(
     num_shards: int,
     halo: bool = False,
     parts=None,  # precomputed RCB parts (list of index arrays) to reuse
+    ring: bool = False,  # halo via neighbour ppermute ring (see sp_gather)
 ) -> Tuple[MeshGraph, np.ndarray]:
     """Reorder + shard a padded MeshGraph for 'sp' execution.
 
@@ -112,6 +133,8 @@ def shard_graph(
         hb = max(((hb + 7) // 8) * 8, 8)  # sublane-align
     else:
         hb = None
+    if ring and not halo:
+        raise ValueError("ring=True requires halo=True")
 
     n_s = padding.bucket_size(max(len(p) for p in parts))
     # new global order: part 0 nodes, pad, part 1 nodes, pad, ...
@@ -138,6 +161,10 @@ def shard_graph(
     send = np.asarray(graph_np.senders)[:e_valid]
     recv = np.asarray(graph_np.receivers)[:e_valid]
     e_owner = owner[recv]
+    ring_d = None
+    if ring:
+        deltas = owner[send] - e_owner
+        ring_d = max(int(np.abs(deltas).max()) if len(deltas) else 1, 1)
     counts = np.bincount(e_owner, minlength=num_shards)
     e_s = padding.bucket_size(int(counts.max()) if len(counts) else 1)
 
@@ -152,7 +179,14 @@ def shard_graph(
         sel = np.where(e_owner == s)[0]
         k = len(sel)
         su = send[sel]
-        if halo:
+        if halo and ring_d is not None:
+            is_local = owner[su] == s
+            delta = owner[su] - s
+            slot = (np.abs(delta) - 1) * 2 + (delta > 0).astype(np.int64)
+            send_g[s, :k] = np.where(
+                is_local, local_of[su], n_s + slot * hb + local_of[su]
+            )
+        elif halo:
             is_local = owner[su] == s
             # local rows address [0, N_s); halo rows address
             # N_s + owner·Hb + boundary_pos (boundary nodes are the first
@@ -190,6 +224,9 @@ def shard_graph(
         traj_index=np.repeat(np.asarray(graph_np.traj_index)[None], num_shards),
         time=np.repeat(np.asarray(graph_np.time)[None], num_shards),
     )
+    if halo and ring_d is not None:
+        # opaque to the models: pass the tuple straight into sp_halo_size
+        return sharded, order, (hb, ring_d)
     if halo:
         return sharded, order, hb
     return sharded, order
@@ -272,6 +309,55 @@ def shard_trajectory(frames_np, num_shards: int, halo: bool = False):
     return sharded, order
 
 
+def make_sp_mean(axis_name: str):
+    """psum-ing replacement for training/loss._masked_mean: same shape
+    contract ([... ,N, C...] errors, [..., N] mask), global numerator and
+    denominator reduced over the sp axis BEFORE the divide, so every term
+    of every loss matches the unsharded value exactly (and so do its
+    gradients under vma-tracked AD)."""
+
+    def mean(errors, mask):
+        mf = mask.astype(jnp.float32)
+        extra = errors.shape[mask.ndim:]
+        cols = 1
+        for s in extra:
+            cols *= int(s)
+        m = mf.reshape(mf.shape + (1,) * len(extra))
+        num = jax.lax.psum(jnp.sum(errors.astype(jnp.float32) * m), axis_name)
+        den = jax.lax.psum(jnp.sum(mf), axis_name) * cols
+        return num / jnp.maximum(den, 1.0)
+
+    return mean
+
+
+def sp_gradient_fd(graph, field, axis_name: str,
+                   halo_size: Optional[int] = None) -> jnp.ndarray:
+    """Finite-difference gradient on an sp-sharded graph.
+
+    Same math as ops/voperators.gradient_fd (inverse-square-distance
+    weighted edge differences, reference vectorial_operators.py:81-128),
+    with the SENDER reads crossing the ICI through the same
+    :func:`sp_gather` seam the model uses — edges are receiver-owned, so
+    the scatter and the per-node weight normalization stay local.
+    """
+    pos = graph.pos.astype(jnp.float32)
+    f = field.astype(jnp.float32)
+    n = pos.shape[0]
+    pos_s = sp_gather(pos, graph.senders, axis_name, halo_size)
+    f_s = sp_gather(f, graph.senders, axis_name, halo_size)
+    dx = pos_s - pos[graph.receivers]  # [E, D]
+    du = f_s - f[graph.receivers]  # [E, F]
+    dist2 = jnp.sum(dx * dx, axis=-1)
+    eps = 1e-8
+    w = 1.0 / (dist2 + eps)
+    g_e = du[:, :, None] * dx[:, None, :] * (w * w)[:, None, None]
+    from graph_physics_tpu.ops import segment
+
+    grad = segment.segment_sum(g_e, graph.receivers, n, mask=graph.edge_mask)
+    w_sum = segment.segment_sum(w, graph.receivers, n, mask=graph.edge_mask)
+    return grad / (w_sum[:, None, None] + eps)
+
+
 def _sp_masked_l2(graph, net_out, target, mask_types, axis_name: str):
     """Global masked MSE under shard_map: the SAME num/den computation as
     the single-device l2_loss (training/loss.masked_l2_parts — single
@@ -293,6 +379,9 @@ def make_sp_train_step(
     mesh: Mesh,
     axis_name: str = "sp",
     mask_types=None,
+    loss_fn=None,
+    gradient_method: str = "finite_diff",
+    dp_axis_name: Optional[str] = None,
 ):
     """Jitted node-sharded train step: ``(state, sharded_graph, rng) ->
     (state, metrics)`` — the TPU-native upgrade of the reference's METIS
@@ -303,28 +392,75 @@ def make_sp_train_step(
     partial sums psum to global statistics) and its model with
     ``sp_axis_name=axis_name`` (+ ``sp_halo_size`` for halo graphs);
     ``sharded_graph`` from :func:`shard_graph` with a leading [S] axis.
-    Loss is the masked L2 (lightning_module.py:304-312); gradients are
-    psum-ed so every shard applies the identical AdamW update. Exact
-    parity with the single-device step: tests/test_parallel.py.
+    ``loss_fn`` defaults to the masked L2 (lightning_module.py:304-312);
+    a training/loss.MultiLoss runs its physics terms sharded too — the FD
+    gradients cross shards through :func:`sp_gradient_fd` and every term
+    reduces through :func:`make_sp_mean` (``least_squares`` needs the
+    face partition and is not supported under sp). Gradients are psum-ed
+    so every shard applies the identical AdamW update. Exact parity with
+    the single-device step: tests/test_parallel.py.
+
+    ``dp_axis_name`` enables a 2-D dp×sp mesh: the input carries a leading
+    batch axis sharded over dp (one graph per dp replica), nodes sharded
+    over sp within each replica; the loss is pmean-ed over dp (mean over
+    the batch) and the AD transposes of pmean/psum leave every device with
+    the identical total gradient. Build the simulator with
+    ``axis_name=(dp_axis_name, sp_axis_name)`` so normalizer statistics
+    are global over BOTH axes.
     """
     import optax
 
     from graph_physics_tpu.training import loss as loss_lib
+    from graph_physics_tpu.training.loss import LossInputs, MultiLoss
     from graph_physics_tpu.training.step import TrainState
 
     mt = tuple(
         int(m) for m in (mask_types or loss_lib.DEFAULT_MASK_TYPES)
     )
+    is_multi = isinstance(loss_fn, MultiLoss)
+    if is_multi and loss_fn.needs_physical and gradient_method != "finite_diff":
+        raise ValueError(
+            "sp physics losses support gradient_method='finite_diff' only "
+            "(least_squares needs a face partition)"
+        )
+    halo_size = getattr(simulator.model, "sp_halo_size", None)
+    sp_mean = make_sp_mean(axis_name)
 
     def local_body(state, graph, rng):
-        g = jax.tree.map(lambda a: a[0] if a is not None else None, graph)
+        strip = (lambda a: a[0, 0]) if dp_axis_name else (lambda a: a[0])
+        g = jax.tree.map(lambda a: strip(a) if a is not None else None, graph)
 
         def compute_loss(params, sim_state):
-            g_in, target_norm, _pre, new_state = simulator.prepare(
+            g_in, target_norm, pre_t, new_state = simulator.prepare(
                 sim_state, g, is_training=True
             )
             net_out = simulator.apply_model(params, g_in)
-            loss = _sp_masked_l2(g, net_out, target_norm, mt, axis_name)
+            if is_multi:
+                inp = LossInputs(
+                    graph=g, target=target_norm, network_output=net_out,
+                    deselected=g.deselected,
+                )
+                if loss_fn.needs_physical:
+                    out_phys = simulator.build_outputs_from_pre(
+                        new_state, net_out, pre_t)
+                    tgt_phys = simulator.build_outputs_from_pre(
+                        new_state, target_norm, pre_t)
+                    inp = inp.replace(
+                        network_output_physical=out_phys,
+                        target_physical=tgt_phys,
+                        network_output_gradient=sp_gradient_fd(
+                            g, out_phys, axis_name, halo_size),
+                        target_gradient=sp_gradient_fd(
+                            g, tgt_phys, axis_name, halo_size),
+                    )
+                loss, _terms = loss_fn(
+                    inp, mask_types=mt, gradient_method=None,
+                    return_all_losses=True, mean_fn=sp_mean,
+                )
+            else:
+                loss = _sp_masked_l2(g, net_out, target_norm, mt, axis_name)
+            if dp_axis_name is not None:
+                loss = jax.lax.pmean(loss, dp_axis_name)
             return loss, new_state
 
         (loss, new_sim_state), grads = jax.value_and_grad(
@@ -347,10 +483,13 @@ def make_sp_train_step(
         )
         return new_state, metrics
 
+    graph_spec = (
+        P(dp_axis_name, axis_name) if dp_axis_name else P(axis_name)
+    )
     sharded = jax.shard_map(
         local_body,
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P()),
+        in_specs=(P(), graph_spec, P()),
         out_specs=(P(), P()),
         # vma tracking REQUIRED for sound AD through the psums (with
         # check_vma=False the psum transpose double-counts shards)

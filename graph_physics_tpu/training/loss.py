@@ -103,16 +103,28 @@ def masked_l2_parts(graph, network_output, target, mask_types=DEFAULT_MASK_TYPES
     return num, den
 
 
-def l2_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndarray:
-    """Masked MSE on normalized targets (loss.py:37-75)."""
+def l2_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES,
+            mean_fn=None, **_) -> jnp.ndarray:
+    """Masked MSE on normalized targets (loss.py:37-75).
+
+    ``mean_fn`` (here and in every loss below) overrides the masked-mean
+    reduction — the sp training step injects a psum-ing reducer so the
+    SAME term formulas run sharded (parallel/sp.py)."""
+    if mean_fn is not None:
+        m = node_loss_mask(inp.graph, mask_types, inp.deselected)
+        err = (inp.network_output.astype(jnp.float32)
+               - inp.target.astype(jnp.float32)) ** 2
+        return mean_fn(err, m)
     num, den = masked_l2_parts(
         inp.graph, inp.network_output, inp.target, mask_types, inp.deselected
     )
     return num / jnp.maximum(den, 1.0)
 
 
-def cosine_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndarray:
+def cosine_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES,
+                mean_fn=None, **_) -> jnp.ndarray:
     """Masked cosine-embedding loss, 1 − cos(out, target) (loss.py:78-122)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
     a = inp.network_output.astype(jnp.float32)
     b = inp.target.astype(jnp.float32)
@@ -121,15 +133,17 @@ def cosine_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, **_) -> jnp.ndar
         jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
         * jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
     )
-    return _masked_mean(1.0 - cos, m)
+    return mean_fn(1.0 - cos, m)
 
 
 def l1_smooth_loss(
-    inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, beta: float = 1.0, **_
+    inp: LossInputs, mask_types=DEFAULT_MASK_TYPES, beta: float = 1.0,
+    mean_fn=None, **_
 ) -> jnp.ndarray:
     """Masked smooth-L1 (loss.py:123-164)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
-    return _masked_mean(_smooth_l1(inp.network_output - inp.target, beta), m)
+    return mean_fn(_smooth_l1(inp.network_output - inp.target, beta), m)
 
 
 # ----------------------------------------------------------------------
@@ -161,51 +175,59 @@ def gradient_l2_loss(
     inp: LossInputs,
     mask_types=DEFAULT_MASK_TYPES,
     gradient_method: str = "finite_diff",
+    mean_fn=None,
     **_,
 ) -> jnp.ndarray:
     """L2 between spatial gradients of prediction and target (loss.py:167-218)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
     out_grad, tgt_grad = _ensure_gradients(inp, gradient_method, need_target=True)
-    return _masked_mean((out_grad - tgt_grad) ** 2, m)
+    return mean_fn((out_grad - tgt_grad) ** 2, m)
 
 
 def convection_l2_loss(
     inp: LossInputs,
     mask_types=DEFAULT_MASK_TYPES,
     gradient_method: str = "finite_diff",
+    mean_fn=None,
     **_,
 ) -> jnp.ndarray:
     """L2 between (u·∇)u terms of prediction and target (loss.py:221-277)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
     out_grad, tgt_grad = _ensure_gradients(inp, gradient_method, need_target=True)
     out_conv = voperators.convection(inp.network_output_physical, out_grad)
     tgt_conv = voperators.convection(inp.target_physical, tgt_grad)
-    return _masked_mean((out_conv - tgt_conv) ** 2, m)
+    return mean_fn((out_conv - tgt_conv) ** 2, m)
 
 
 def divergence_l2_loss(
     inp: LossInputs,
     mask_types=DEFAULT_MASK_TYPES,
     gradient_method: str = "finite_diff",
+    mean_fn=None,
     **_,
 ) -> jnp.ndarray:
     """L2 norm of ∇·u of the prediction (loss.py:280-324)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
     out_grad, _ = _ensure_gradients(inp, gradient_method, need_target=False)
     div = voperators.divergence(out_grad)
-    return _masked_mean(div**2, m)
+    return mean_fn(div**2, m)
 
 
 def divergence_l1_loss(
     inp: LossInputs,
     mask_types=DEFAULT_MASK_TYPES,
     gradient_method: str = "finite_diff",
+    mean_fn=None,
     **_,
 ) -> jnp.ndarray:
     """L1 norm of ∇·u of the prediction (loss.py:327-371)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
     out_grad, _ = _ensure_gradients(inp, gradient_method, need_target=False)
-    return _masked_mean(jnp.abs(voperators.divergence(out_grad)), m)
+    return mean_fn(jnp.abs(voperators.divergence(out_grad)), m)
 
 
 def divergence_l1_smooth_loss(
@@ -213,12 +235,14 @@ def divergence_l1_smooth_loss(
     mask_types=DEFAULT_MASK_TYPES,
     gradient_method: str = "finite_diff",
     beta: float = 1.0,
+    mean_fn=None,
     **_,
 ) -> jnp.ndarray:
     """Smooth-L1 of ∇·u against zero (loss.py:374-426)."""
+    mean_fn = mean_fn or _masked_mean
     m = node_loss_mask(inp.graph, mask_types, inp.deselected)
     out_grad, _ = _ensure_gradients(inp, gradient_method, need_target=False)
-    return _masked_mean(_smooth_l1(voperators.divergence(out_grad), beta), m)
+    return mean_fn(_smooth_l1(voperators.divergence(out_grad), beta), m)
 
 
 class LossType(enum.Enum):
@@ -265,6 +289,7 @@ class MultiLoss:
         mask_types=DEFAULT_MASK_TYPES,
         gradient_method: Optional[str] = "finite_diff",
         return_all_losses: bool = False,
+        mean_fn=None,
     ):
         if gradient_method is not None and self.needs_physical:
             out_grad, tgt_grad = _ensure_gradients(
@@ -274,7 +299,8 @@ class MultiLoss:
                 network_output_gradient=out_grad, target_gradient=tgt_grad
             )
         terms = [
-            w * l.fn(inp, mask_types=mask_types, gradient_method=gradient_method)
+            w * l.fn(inp, mask_types=mask_types,
+                     gradient_method=gradient_method, mean_fn=mean_fn)
             for w, l in zip(self.weights, self.losses)
         ]
         total = sum(terms)

@@ -314,3 +314,185 @@ def test_dp_packed_sharding_matches_unsharded():
     np.testing.assert_allclose(
         float(m_dp["loss"]), float(m_ref["loss"]), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("halo", [False, True])
+def test_sp_multiloss_train_step_matches_single_device(halo):
+    """MultiLoss (physics terms) under sp: the FD gradients cross shards
+    via sp_gradient_fd and every term psums through make_sp_mean — loss,
+    grads and the post-step params match the single-device MultiLoss step
+    (round-2 verdict sp completion #7)."""
+    import optax
+
+    from graph_physics_tpu.training.loss import LossType, MultiLoss
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    g = tiny_graph(nx=10, ny=8)
+    n_shards = 4
+    if halo:
+        sharded, order, hb = sp.shard_graph(g, n_shards, halo=True)
+    else:
+        sharded, order = sp.shard_graph(g, n_shards)
+        hb = None
+    sim_single, sim_sp = _sp_sim_pair(n_shards, hb)
+    opt = optax.sgd(1e-2)
+
+    loss_fn = MultiLoss(
+        [LossType.L2LOSS, LossType.GRADIENTL2LOSS,
+         LossType.DIVERGENCEL2LOSS, LossType.CONVECTIONL2LOSS],
+        [1.0, 0.1, 0.05, 0.05],
+    )
+
+    g_j = jax.tree.map(jnp.asarray, g)
+    batch1 = jax.tree.map(lambda a: a[None], g_j)
+    state0 = init_train_state(sim_single, opt, jax.random.PRNGKey(0), batch1)
+
+    step_single = make_train_step(
+        sim_single, opt, loss_fn, donate=False,
+        gradient_method="finite_diff",
+    )
+    s1, m1 = step_single(state0, batch1, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=1, sp=n_shards)
+    step_sp = sp.make_sp_train_step(
+        sim_sp, opt, mesh, loss_fn=loss_fn, gradient_method="finite_diff"
+    )
+    s2, m2 = step_sp(
+        state0, jax.tree.map(jnp.asarray, sharded), jax.random.PRNGKey(1)
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sp_gradient_fd_matches_unsharded():
+    """sp_gradient_fd == voperators.gradient_fd after unsharding."""
+    from graph_physics_tpu.ops import voperators
+
+    g = tiny_graph(nx=10, ny=8)
+    n = g.x.shape[0]
+    rng = np.random.default_rng(0)
+    field = rng.normal(size=(n, 2)).astype(np.float32)
+    ref = np.asarray(voperators.gradient_fd(
+        jnp.asarray(g.pos), jnp.asarray(field),
+        jnp.asarray(g.senders), jnp.asarray(g.receivers),
+        edge_mask=jnp.asarray(g.edge_mask),
+    ))
+
+    n_shards = 4
+    gf = g.replace(x=np.concatenate([np.asarray(g.x), field], axis=-1))
+    sharded, order = sp.shard_graph(gf, n_shards)
+    mesh = make_mesh(dp=1, sp=n_shards)
+    from jax.sharding import PartitionSpec as P
+
+    def local(graph):
+        gg = jax.tree.map(lambda a: a[0] if a is not None else None, graph)
+        fld = gg.x[:, -2:]
+        grad = sp.sp_gradient_fd(gg, fld, "sp")  # [N_s, F, D]
+        return grad.reshape(grad.shape[0], -1)[None]
+
+    out = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("sp"),), out_specs=P("sp"),
+        check_vma=False,
+    ))(jax.tree.map(jnp.asarray, sharded))
+    rec = sp.unshard_nodes(np.asarray(out), order, n)
+    nvalid = int(g.n_node)
+    np.testing.assert_allclose(
+        rec[:nvalid], ref.reshape(n, -1)[:nvalid], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sp_ring_halo_matches_single_device():
+    """ppermute-ring halo: boundary rows exchanged with ring neighbours
+    only; forward + one train step match the single device exactly."""
+    import optax
+
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    g = tiny_graph(nx=10, ny=8)
+    n_shards = 4
+    sharded, order, hb_ring = sp.shard_graph(g, n_shards, halo=True, ring=True)
+    assert isinstance(hb_ring, tuple)
+    hb, ring_d = hb_ring
+    assert ring_d >= 1
+    sim_single, sim_sp = _sp_sim_pair(n_shards, hb_ring)
+    opt = optax.sgd(1e-2)
+
+    g_j = jax.tree.map(jnp.asarray, g)
+    batch1 = jax.tree.map(lambda a: a[None], g_j)
+    state0 = init_train_state(sim_single, opt, jax.random.PRNGKey(0), batch1)
+    step_single = make_train_step(sim_single, opt, LossType.L2LOSS, donate=False)
+    s1, m1 = step_single(state0, batch1, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=1, sp=n_shards)
+    step_sp = sp.make_sp_train_step(sim_sp, opt, mesh)
+    s2, m2 = step_sp(
+        state0, jax.tree.map(jnp.asarray, sharded), jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_sp_2d_mesh_train_step():
+    """dp×sp 2-D mesh: batch sharded over dp, nodes over sp; loss/params
+    match the single-device stacked step (round-2 verdict sp #7)."""
+    import optax
+
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    n_dp, n_sp = 2, 4
+    frames = [tiny_graph(nx=10, ny=8, frame=i) for i in range(n_dp)]
+    shards, orders = [], []
+    # same mesh → same partition for every frame (deterministic RCB)
+    for f in frames:
+        sh, order = sp.shard_graph(f, n_sp)
+        shards.append(sh)
+        orders.append(order)
+    stacked_sh = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *shards
+    )  # [B, S, ...]
+
+    kwargs = dict(
+        message_passing_num=2, node_input_size=11, edge_input_size=3,
+        output_size=2, hidden_size=16,
+    )
+    sim_kwargs = dict(
+        node_input_size=11, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+    )
+    sim_single = Simulator(model=EncodeProcessDecode(**kwargs), **sim_kwargs)
+    sim_2d = Simulator(
+        model=EncodeProcessDecode(sp_axis_name="sp", **kwargs),
+        axis_name=("dp", "sp"), **sim_kwargs,
+    )
+    opt = optax.sgd(1e-2)
+
+    batch = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *frames
+    )
+    state0 = init_train_state(sim_single, opt, jax.random.PRNGKey(0), batch)
+    step_single = make_train_step(sim_single, opt, LossType.L2LOSS, donate=False)
+    s1, m1 = step_single(state0, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=n_dp, sp=n_sp)
+    step_2d = sp.make_sp_train_step(sim_2d, opt, mesh, dp_axis_name="dp")
+    s2, m2 = step_2d(state0, stacked_sh, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # normalizer statistics global over BOTH axes
+    np.testing.assert_allclose(
+        float(s1.sim_state.output_norm.acc_count),
+        float(s2.sim_state.output_norm.acc_count),
+    )

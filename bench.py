@@ -47,17 +47,19 @@ def main():
 
     # The tunneled TPU is time-shared: identical programs run 3ms-1.4s
     # depending on contention. Take the best over a bounded window.
-    best = float("inf")
+    times = []
     deadline = time.time() + 150
-    trials = 0
-    while trials < 20 and time.time() < deadline:
+    while len(times) < 20 and time.time() < deadline:
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
         state, metrics = multi(state, batch_graph, k)
         _ = float(np.asarray(metrics["loss"])[-1])
-        best = min(best, time.perf_counter() - t0)
-        trials += 1
+        times.append(time.perf_counter() - t0)
 
+    best = min(times)
+    # p25 over the window: robust to the time-shared tunnel's contention
+    # spikes without letting a single lucky trial set the headline
+    p25 = float(np.percentile(times, 25))
     graph_steps_per_sec = inner * batch / best
     baseline = 5000.0
     print(
@@ -67,6 +69,8 @@ def main():
                 "value": round(graph_steps_per_sec, 2),
                 "unit": "graphs/s",
                 "vs_baseline": round(graph_steps_per_sec / baseline, 3),
+                "p25_graphs_per_sec": round(inner * batch / p25, 2),
+                "trials": len(times),
             }
         )
     )

@@ -413,10 +413,15 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
     rest = rest[2:]
     if cfg.n_enc_layers:
         de_ref = None  # raw edge features carry no gradient
-        dw_refs = rest
+        dw_all = rest
     else:
         de_ref = rest[0]
-        dw_refs = rest[1:]
+        dw_all = rest[1:]
+    # trailing half: VMEM scratch accumulators (persist across the grid);
+    # the dw OUTPUT windows are written once, on the last grid step
+    n_dw = len(dw_all) // 2
+    dw_refs = dw_all[:n_dw]
+    dw_scratch = dw_all[n_dw:]
 
     ones_k = _group_ones(cfg.feature_size)
     k, xj, xw, oh_sT, oh_rN, xjr, xwr = _common_prologue(
@@ -509,15 +514,25 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
     dxw_ref[:] = _dot_bt(p_s_rows, ew_first[2][:]).astype(
         jnp.bfloat16).reshape(wb * wu, lanes)
 
-    # ---- weight-grad accumulation across all grid steps (fp32 VMEM) ----
+    # ---- weight-grad accumulation across all grid steps ----
+    # fp32 VMEM SCRATCH (not the output windows: accumulating into an
+    # output ref makes Mosaic stage the window through its double-buffered
+    # output path every step; scratch persists across the grid for free)
     is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-    for ref, val in zip(dw_refs, enc_flat + de_flat + dn_flat):
+    is_last = (pl.program_id(0) == pl.num_programs(0) - 1) & (
+        pl.program_id(1) == pl.num_programs(1) - 1)
+    for sref, oref, val in zip(dw_scratch, dw_refs,
+                               enc_flat + de_flat + dn_flat):
 
         @pl.when(is_first)
-        def _(ref=ref):
-            ref[:] = jnp.zeros_like(ref)
+        def _(sref=sref):
+            sref[:] = jnp.zeros_like(sref)
 
-        ref[:] += val.astype(jnp.float32)
+        sref[:] += val.astype(jnp.float32)
+
+        @pl.when(is_last)
+        def _(sref=sref, oref=oref):
+            oref[:] = sref[:]
 
 
 # ----------------------------------------------------------------------
@@ -814,6 +829,8 @@ def fused_gn_block(
             grid=grid,
             in_specs=in_specs + cot_specs,
             out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
+            scratch_shapes=[pltpu.VMEM(s.shape, jnp.float32)
+                            for s in dw_shapes],
         )
         kernel = partial(_bwd_kernel, cfg, wb, wu, nb, emax, lanes_bwd)
         outs = pl.pallas_call(

@@ -129,3 +129,24 @@ class TestRotate:
         nt = np.array([int(NodeType.OBSTACLE), 0, 0])
         d = compute_min_distance_to_type(pos, nt, NodeType.OBSTACLE)
         np.testing.assert_allclose(d, [0.0, 1.0, 3.0], atol=1e-6)
+
+
+def test_radius_edges_truncation_stats():
+    """with_stats reports how many nodes hit the k_per_node cap (ADVICE
+    r2: dense-contact workloads must be able to notice the truncation)."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.ops import knn as knn_lib
+
+    # 20 points in a tiny cluster: every node has 19 in-radius partners
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(20, 3)) * 0.01)
+    ai, bi, valid, capped = knn_lib.radius_edges(
+        pts, pts, radius=1.0, budget=64, k_per_node=4, with_stats=True
+    )
+    assert int(capped) == 20  # every node's 4th candidate still in radius
+    # spread-out points: nobody capped
+    far = jnp.asarray(np.arange(20, dtype=np.float32)[:, None] * [10.0, 0, 0])
+    _, _, _, capped2 = knn_lib.radius_edges(
+        far, far, radius=1.0, budget=64, k_per_node=4, with_stats=True
+    )
+    assert int(capped2) == 0

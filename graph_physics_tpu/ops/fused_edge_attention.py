@@ -206,9 +206,7 @@ def fused_edge_attention(
         sidx = jnp.asarray(tiling.sidx)[:, None, :]
         ridx = jnp.asarray(tiling.ridx)[:, None, :]
         win_start = jnp.asarray(tiling.win_start)
-    blk_node = (
-        win_start[:, None].astype(jnp.int32) + jnp.arange(wb, dtype=jnp.int32)
-    ).reshape(-1)
+    blk_node = win_start.reshape(-1).astype(jnp.int32)  # [G*wb] units
 
     def _vspec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -218,7 +216,7 @@ def fused_edge_attention(
         group_spec = _vspec((1, 1, emax), lambda c, g, ws: (g, 0, 0))
         node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
         win_specs = [
-            _vspec((wu, l), partial(lambda kk, c, g, ws: (ws[g] + kk, c), kk))
+            _vspec((wu, l), partial(lambda kk, c, g, ws: (ws[g, kk], c), kk))
             for kk in range(wb)
         ]
         dw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))

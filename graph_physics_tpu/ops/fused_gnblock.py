@@ -46,6 +46,11 @@ from graph_physics_tpu.ops.tiling import EdgeTiling
 
 LANES = 128  # MXU lane width; weights are packed to this
 
+#: lane-tile caps for the folded-encoder (block 0) kernels — its
+#: rematerialized encoder pre-activations enlarge the VMEM working set
+FOLDED_LANES_CAP = 512
+FOLDED_LANES_BWD_CAP = 128
+
 
 @dataclass(frozen=True)
 class FusedBlockConfig:
@@ -652,9 +657,9 @@ def fused_gn_block(
     if edge_encoder_params is not None:
         # the folded encoder adds its rematerialized pre-activations to
         # the VMEM working set; narrower tiles keep it under the ~16 MB
-        # budget (throughput is insensitive to lane width — measured)
-        lanes = min(lanes, 512)
-        lanes_bwd = min(lanes_bwd, 128)
+        # budget (module-level knobs so perf sweeps can retune)
+        lanes = min(lanes, FOLDED_LANES_CAP)
+        lanes_bwd = min(lanes_bwd, FOLDED_LANES_BWD_CAP)
     lanes = _fit(lanes)
     lanes_bwd = _fit(lanes_bwd)
     assert n == tiling.num_nodes, (n, tiling.num_nodes)
@@ -728,12 +733,11 @@ def fused_gn_block(
         sidx = jnp.asarray(tiling.sidx)[:, None, :]
         ridx = jnp.asarray(tiling.ridx)[:, None, :]
         win_start = jnp.asarray(tiling.win_start)
-    # window UNIT of each (g, window-block) pair: the dxw reduction
+    # window UNIT of each (g, window-slot) pair: the dxw reduction
     # epilogue scatter-adds whole [wu, lanes] blocks (contiguous -
-    # vectorizes) rather than individual rows
-    blk_node = (
-        win_start[:, None].astype(jnp.int32) + jnp.arange(wb, dtype=jnp.int32)
-    ).reshape(-1)
+    # vectorizes) rather than individual rows. win_start is [G, wb]
+    # (arbitrary units per group).
+    blk_node = win_start.reshape(-1).astype(jnp.int32)
 
     # PrefetchScalarGridSpec index maps receive (c, g, win_start_ref)
     def _vspec(shape, imap):
@@ -752,7 +756,7 @@ def fused_gn_block(
         # raw (folded-encoder) edge blocks carry l/r lanes per chunk
         edge_in_spec = _vspec((emax, l // r), lambda c, g, ws: (g, c))
         win_specs = [
-            _vspec((wu, l), partial(lambda k, c, g, ws: (ws[g] + k, c), k))
+            _vspec((wu, l), partial(lambda k, c, g, ws: (ws[g, k], c), k))
             for k in range(wb)
         ]
         weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
@@ -925,7 +929,9 @@ def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
     sid = jnp.asarray(tiling.sidx).reshape(-1)
     rid = jnp.asarray(tiling.ridx).reshape(-1)
     gids = jnp.repeat(jnp.arange(g_blocks), emax)
-    glob_s = jnp.asarray(tiling.win_start)[gids] * tiling.window_unit + sid
+    wu_ = tiling.window_unit
+    rank = jnp.minimum(sid // wu_, tiling.window_blocks - 1)
+    glob_s = (jnp.asarray(tiling.win_start)[gids, rank] * wu_ + sid % wu_)
     glob_r = gids * tiling.node_block + rid
     s_valid = sid < tiling.window_rows
     r_valid = rid < tiling.node_block

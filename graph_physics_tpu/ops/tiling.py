@@ -9,11 +9,17 @@ topology on the host:
   * edges (already receiver-sorted — core/graph.py invariant) are grouped
     by the node block of their receiver, and every group is padded to the
     same static ``edges_per_block`` count;
-  * for each group, the senders fall inside a window of
-    ``window_blocks * node_block`` consecutive node rows starting at block
-    ``win_start[g]`` — true for meshes ordered with locality (reverse
-    Cuthill–McKee, :func:`rcm_order`, or grid-major order), where the
-    adjacency matrix is banded.
+  * each group's senders are covered by ``window_blocks`` ARBITRARY
+    (not necessarily contiguous) ``window_unit``-row units, selected per
+    group by the scalar-prefetch array ``win_start[g, k]`` — the kernel
+    reads window blocks through prefetch-indexed BlockSpec maps anyway,
+    so arbitrary units cost nothing extra. This makes real irregular
+    meshes tileable: a locality-preserving order (reverse Cuthill–McKee,
+    :func:`rcm_order`) concentrates a 128-receiver block's senders in a
+    handful of 64-row units even when the global bandwidth is large
+    (measured: the reference's 27k-node airfoil fixture has RCM
+    bandwidth 970 — hopeless for a contiguous window — but ≤16 touched
+    units per group).
 
 The kernel then runs one grid step per (lane-chunk, node-block):
 sender gather = one-hot([edges, window]) @ x_window, receiver scatter =
@@ -48,13 +54,15 @@ class EdgeTiling:
     #: [G * Emax] int32 — position of each slot's edge in the ORIGINAL
     #: (receiver-sorted) edge array; -1 on padded slots.
     perm: np.ndarray
-    #: [G, Emax] int32 — sender index local to the group's window;
-    #: sentinel (= window rows) on padded slots.
+    #: [G, Emax] int32 — sender index local to the group's CONCATENATED
+    #: window units (= unit_rank·window_unit + row offset); sentinel
+    #: (= window rows) on padded slots.
     sidx: np.ndarray
     #: [G, Emax] int32 — receiver index local to the group's node block;
     #: sentinel (= node_block) on padded slots.
     ridx: np.ndarray
-    #: [G] int32 — first window UNIT of each group's sender window.
+    #: [G, window_blocks] int32 — the window UNITS each group reads
+    #: (arbitrary, ascending; unused slots repeat the first unit).
     win_start: np.ndarray
     node_block: int
     window_blocks: int
@@ -109,9 +117,12 @@ def apply_to_graph(graph, tiling: EdgeTiling):
     valid = tiling.perm >= 0
     new_send = np.zeros(tiling.perm.shape[0], np.int32)
     new_recv = np.full(tiling.perm.shape[0], n_new - 1, np.int32)
+    sidx_flat = tiling.sidx.reshape(-1)
+    wu = tiling.window_unit
+    rank = sidx_flat[valid] // wu
     new_send[valid] = (
-        tiling.win_start[gids[valid]].astype(np.int64) * tiling.window_unit
-        + tiling.sidx.reshape(-1)[valid]
+        tiling.win_start[gids[valid], rank].astype(np.int64) * wu
+        + sidx_flat[valid] % wu
     )
     new_recv[valid] = (
         gids[valid].astype(np.int64) * tiling.node_block
@@ -182,7 +193,7 @@ def build_edge_tiling(
     num_nodes: int,
     edge_mask: Optional[np.ndarray] = None,
     node_block: int = 128,
-    max_window_blocks: int = 8,
+    max_window_blocks: int = 16,
     edge_pad_multiple: int = 16,
     window_unit: int = 64,
     window_blocks_multiple: int = 1,
@@ -219,50 +230,51 @@ def build_edge_tiling(
     e_max = int(counts.max()) if counts.size else 0
     e_max = max(_round_up(max(e_max, 1), edge_pad_multiple), edge_pad_multiple)
 
-    # sender windows per group, aligned to window units
+    # sender windows: the SET of window units each group's senders touch
+    # (arbitrary units — the kernel reads them via prefetch-indexed
+    # BlockSpec maps, so non-contiguity is free)
     assert node_block % window_unit == 0, (node_block, window_unit)
-    starts = np.zeros(n_groups, np.int64)
-    widths = np.zeros(n_groups, np.int64)
     offs = np.concatenate([[0], np.cumsum(counts)])
+    group_units = []
     for g in range(n_groups):
         seg = s[offs[g] : offs[g + 1]]
         if seg.size == 0:
-            starts[g] = 0
-            widths[g] = 1
+            group_units.append(np.zeros(1, np.int64))
             continue
-        lo = int(seg.min()) // window_unit
-        hi = int(seg.max()) // window_unit
-        starts[g] = lo
-        widths[g] = hi - lo + 1
-    wb = int(widths.max()) if n_groups else 1
+        group_units.append(np.unique(seg // window_unit))
+    wb = max((len(u) for u in group_units), default=1)
     # quantize wb so near-identical meshes share a shape bucket (the extra
-    # window blocks read unused rows; sentinel sidx keeps them inert) —
-    # bounded by the array itself so window reads stay in range
-    wb = min(_round_up(wb, window_blocks_multiple), n_pad // window_unit)
+    # window slots re-read the first unit; sentinel sidx keeps them inert)
+    wb = min(_round_up(wb, window_blocks_multiple),
+             max(n_pad // window_unit, 1))
     if wb * window_unit > max_window_blocks * node_block:
         return None
-    # clamp windows to the array end so BlockSpec reads stay in bounds
-    max_start = max(n_pad // window_unit - wb, 0)
-    starts = np.minimum(starts, max_start)
 
+    win_units = np.zeros((n_groups, wb), np.int64)
     win_rows = wb * window_unit
     perm = np.full(n_groups * e_max, -1, np.int64)
     sidx = np.full((n_groups, e_max), win_rows, np.int64)  # sentinel
     ridx = np.full((n_groups, e_max), node_block, np.int64)  # sentinel
     for g in range(n_groups):
+        units = group_units[g]
+        win_units[g, : len(units)] = units
+        win_units[g, len(units):] = units[0]  # inert padding slots
         k = counts[g]
         if k == 0:
             continue
         sl = slice(offs[g], offs[g + 1])
         perm[g * e_max : g * e_max + k] = orig_ids[sl]
-        sidx[g, :k] = s[sl] - starts[g] * window_unit
+        # local index = rank of the sender's unit within the group's
+        # (sorted) unit list, concatenated at window_unit granularity
+        rank = np.searchsorted(units, s[sl] // window_unit)
+        sidx[g, :k] = rank * window_unit + s[sl] % window_unit
         ridx[g, :k] = r[sl] - g * node_block
 
     return EdgeTiling(
         perm=perm.astype(np.int32),
         sidx=sidx.astype(np.int32),
         ridx=ridx.astype(np.int32),
-        win_start=starts.astype(np.int32),
+        win_start=win_units.astype(np.int32),
         node_block=node_block,
         window_blocks=wb,
         edges_per_block=e_max,

@@ -39,7 +39,7 @@ class FusedTopologyManager:
     in a handful of buckets instead of recompiling per mesh.
     """
 
-    def __init__(self, node_block: int = 128, max_window_blocks: int = 8,
+    def __init__(self, node_block: int = 128, max_window_blocks: int = 16,
                  edge_pad_multiple: int = 64, window_blocks_multiple: int = 2):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks

@@ -165,6 +165,11 @@ class XdmfTimeSeriesReader:
                 g
                 for g in self.tree.findall(".//Grid[@GridType='Collection']/Grid")
             ]
+        if not self.grids:
+            # single-grid file (no temporal collection): one frame — the
+            # layout of the reference's per-frame fixtures
+            # (e.g. tests/mock_airfoil/sample_000000005.xdmf)
+            self.grids = self.tree.findall(".//Domain/Grid")
         self._h5_cache: Dict[str, "h5py.File"] = {}
 
     def __len__(self):
@@ -183,16 +188,30 @@ class XdmfTimeSeriesReader:
         arr = np.fromstring(text, sep=" ")
         return arr.reshape(dims) if dims else arr
 
+    def _mesh_element(self, grid, tag: str):
+        """Topology/Geometry of a frame grid, resolving meshio's shared-
+        mesh layout: time-series frames may carry only an XInclude
+        xpointer to ``Grid[@Name="mesh"]`` instead of their own elements
+        (the reference datasets are written this way by meshio)."""
+        el = grid.find(tag)
+        if el is not None:
+            return el
+        for mesh_grid in self.tree.findall(".//Grid"):
+            el = mesh_grid.find(tag)
+            if el is not None:
+                return el
+        raise ValueError(f"no {tag} element found in {self.path}")
+
     def read_frame(self, i: int):
         grid = self.grids[i]
         t_el = grid.find("Time")
         time = float(t_el.get("Value")) if t_el is not None else float(i)
-        topo = grid.find("Topology")
+        topo = self._mesh_element(grid, "Topology")
         cells = self._load_item(topo.find("DataItem")).astype(np.int32)
         ttype = (topo.get("TopologyType") or "").lower()
         if ttype in _NODES_BY_TOPOLOGY:
             cells = cells.reshape(-1, _NODES_BY_TOPOLOGY[ttype])
-        geom = grid.find("Geometry")
+        geom = self._mesh_element(grid, "Geometry")
         pos = np.asarray(self._load_item(geom.find("DataItem")), np.float32)
         point_data = {}
         for attr in grid.findall("Attribute"):
@@ -205,7 +224,7 @@ class XdmfTimeSeriesReader:
 
     def num_points(self, i: int = 0) -> int:
         grid = self.grids[i]
-        geom = grid.find("Geometry")
+        geom = self._mesh_element(grid, "Geometry")
         dims = geom.find("DataItem").get("Dimensions").split()
         return int(dims[0])
 

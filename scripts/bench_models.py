@@ -48,6 +48,12 @@ def main():
     ei = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
     g = mesh_lib.build_mesh_graph(x, pos, nt, ei, y=traj["velocity"][1])
 
+    #: committed per-family regression floors (BASELINE.md round 3);
+    #: BM_ASSERT=1 turns misses into a hard failure
+    FLOORS = {"epd": 4000.0, "transformer": 335.0,
+              "transformer_fused": 1100.0, "transolver": 5500.0}
+    results = {}
+
     def bench(name, model, batch=64, inner=100, packed=True, graph=None):
         sim = Simulator(
             node_input_size=2 + 9, edge_input_size=0, output_size=2,
@@ -77,10 +83,15 @@ def main():
             state, m = multi(state, batch_graph, k)
             _ = float(np.asarray(m["loss"])[-1])
             best = min(best, time.perf_counter() - t0)
+        val = inner * batch / best
+        results[name] = val
+        floor = FLOORS.get(name)
         print(json.dumps({
             "metric": f"{name}_graph_steps_per_sec_per_chip",
-            "value": round(inner * batch / best, 2),
+            "value": round(val, 2),
             "unit": "graphs/s",
+            "floor": floor,
+            "above_floor": None if floor is None else bool(val >= floor),
         }), flush=True)
 
     import sys as _sys
@@ -119,6 +130,11 @@ def main():
             message_passing_num=4, node_input_size=2 + 9, output_size=2,
             hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
         ), batch=16, packed=False)
+
+    if os.environ.get("BM_ASSERT"):
+        misses = {k: v for k, v in results.items()
+                  if FLOORS.get(k) is not None and v < FLOORS[k]}
+        assert not misses, f"per-family floors missed: {misses}"
 
 
 if __name__ == "__main__":

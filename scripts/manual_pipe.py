@@ -219,7 +219,7 @@ def make_auto(lanes):
             vs((1, 1, EMAX), lambda c, g, ws: (g, 0, 0)),
             vs((128, lanes), lambda c, g, ws: (g, c)),
         ] + [
-            vs((128, lanes), _p(lambda kk, c, g, ws: (ws[g] + kk, c), kk))
+            vs((128, lanes), _p(lambda kk, c, g, ws: (ws[g, kk], c), kk))
             for kk in range(WB)
         ] + [
             vs((EMAX, lanes), lambda c, g, ws: (g, c)),

@@ -175,7 +175,7 @@ def make_variant(stage, lanes):
             vs((1, 1, EMAX), lambda c, g, ws: (g, 0, 0)),
             vs((128, lanes), lambda c, g, ws: (g, c)),
         ] + [
-            vs((128, lanes), partial(lambda kk, c, g, ws: (ws[g] + kk, c), kk))
+            vs((128, lanes), partial(lambda kk, c, g, ws: (ws[g, kk], c), kk))
             for kk in range(WB)
         ] + [
             vs((EMAX, lanes), lambda c, g, ws: (g, c)),

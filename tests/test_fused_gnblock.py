@@ -58,7 +58,9 @@ def test_tiling_roundtrip():
     gids = np.repeat(np.arange(t.num_groups), t.edges_per_block)
     valid = t.perm >= 0
     glob_r = gids * t.node_block + t.ridx.reshape(-1)
-    glob_s = t.win_start[gids] * t.window_unit + t.sidx.reshape(-1)
+    sidx_flat = t.sidx.reshape(-1)
+    rank = np.minimum(sidx_flat // t.window_unit, t.window_blocks - 1)
+    glob_s = t.win_start[gids, rank] * t.window_unit + sidx_flat % t.window_unit
     np.testing.assert_array_equal(glob_r[valid], receivers[t.perm[valid]])
     np.testing.assert_array_equal(glob_s[valid], senders[t.perm[valid]])
 

@@ -1,0 +1,174 @@
+"""Fused-path tileability on a REAL irregular mesh.
+
+The reference ships a genuine 27k-node / 160k-edge airfoil frame as a
+test fixture; until round 3 the blocked-CSR tiling required a contiguous
+sender window and silently fell back to XLA on such meshes (RCM
+bandwidth 970 ≫ the window cap). Windows are now arbitrary 64-row UNITS
+selected per group by scalar-prefetch indices, so the only requirement
+is per-receiver-block sender LOCALITY — which RCM provides on any mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+AIRFOIL = "/root/reference/tests/mock_airfoil/sample_000000005.h5"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(AIRFOIL), reason="reference airfoil fixture absent"
+)
+
+
+@pytest.fixture(scope="module")
+def airfoil_graph():
+    import h5py
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+
+    with h5py.File(AIRFOIL, "r") as f:
+        pos = np.asarray(f["data0"])[:, :2].astype(np.float32)
+        cells = np.asarray(f["data1"], np.int64)
+        vel = np.stack(
+            [np.asarray(f["data2"]), np.asarray(f["data3"])], axis=-1
+        ).astype(np.float32)
+        node_type = np.asarray(f["data7"], np.int64).astype(np.int32)
+    ei = mesh_lib.faces_to_edges(cells, len(pos))
+    x = np.concatenate([vel, node_type[:, None].astype(np.float32)], axis=-1)
+    g = mesh_lib.build_mesh_graph(x, pos, node_type, ei, faces=cells)
+    return g
+
+
+def test_airfoil_mesh_is_tileable(airfoil_graph):
+    from graph_physics_tpu.training.fused import FusedTopologyManager
+
+    g = airfoil_graph.replace(traj_index=np.asarray(0, np.int32))
+    mgr = FusedTopologyManager()
+    converted = mgr.transform_frame(g)
+    t, perm = mgr._tilings[0]
+    assert t is not None, "real airfoil mesh must be tileable"
+    assert perm is not None  # needed the RCM reorder
+    assert converted.tiling_idx is not None
+    # blocked edge overhead stays modest on the real mesh
+    blocked = t.num_groups * t.edges_per_block
+    real = int(g.n_edge)
+    assert blocked < 1.15 * real, (blocked, real)
+
+    # every real edge is preserved: reconstruct (sender, receiver) pairs
+    # from the blocked layout and compare as sets
+    conv_pairs = set(
+        zip(
+            np.asarray(converted.senders)[np.asarray(converted.edge_mask)]
+            .tolist(),
+            np.asarray(converted.receivers)[np.asarray(converted.edge_mask)]
+            .tolist(),
+        )
+    )
+    inv = np.argsort(np.concatenate(
+        [perm, np.arange(len(perm), g.x.shape[0])]))
+    orig_pairs = set(
+        zip(
+            inv[np.asarray(g.senders)[: real]].tolist(),
+            inv[np.asarray(g.receivers)[: real]].tolist(),
+        )
+    )
+    assert conv_pairs == orig_pairs
+
+
+def test_airfoil_blocked_semantics_match_xla(airfoil_graph):
+    """blocked_reference (the fused kernel's exact math) on the real mesh
+    == plain gather/segment-sum message passing, batch 1, fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.ops import tiling as tl
+    from graph_physics_tpu.ops.fused_gnblock import blocked_reference
+    from tests.test_fused_gnblock import _params
+
+    g = airfoil_graph
+    n_real = int(g.n_node)
+    e_real = int(g.n_edge)
+    send = np.asarray(g.senders)[:e_real]
+    recv = np.asarray(g.receivers)[:e_real]
+    perm = tl.rcm_order(send, recv, n_real)
+    inv = np.argsort(perm)
+    t = tl.build_edge_tiling(inv[send], inv[recv], n_real)
+    assert t is not None
+
+    f, b = 32, 1
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (t.num_nodes, b, f), jnp.float32) * 0.5
+    eb = t.num_groups * t.edges_per_block
+    e = jnp.zeros((eb, b, f), jnp.float32)
+    ep = _params(jax.random.fold_in(key, 1), f, 3)
+    np_ = _params(jax.random.fold_in(key, 2), f, 2)
+
+    xo, _eo = blocked_reference(x, e, ep, np_, t)
+
+    # plain XLA message passing with the same math on the same edges
+    from graph_physics_tpu.ops.fused_gnblock import _act
+
+    def mlp(parts, params):
+        h = jnp.concatenate(parts, axis=-1)
+        n_dense = len([k for k in params if k.startswith("Dense_")])
+        for i in range(n_dense):
+            h = h @ params[f"Dense_{i}"]["kernel"] + params[f"Dense_{i}"]["bias"]
+            if i < n_dense - 1:
+                h = _act("relu")(h)
+        s = params["RMSNorm_0"]["scale"]
+        gs = jnp.sum(h * h, -1, keepdims=True)
+        import math as m
+
+        r = jnp.sqrt(gs + 1e-24) / m.sqrt(f)
+        return h / (r + 1e-8) * s
+
+    sj = jnp.asarray(inv[send])
+    rj = jnp.asarray(inv[recv])
+    xs = x[sj]
+    xr = x[rj]
+    ee = jnp.zeros((e_real, b, f), jnp.float32)
+    eh = mlp([ee, xr, xs], ep)
+    agg = jax.ops.segment_sum(eh, rj, num_segments=t.num_nodes)
+    nh = mlp([x, agg], np_)
+    ref = x + nh
+    np.testing.assert_allclose(
+        np.asarray(xo)[:n_real], np.asarray(ref)[:n_real], rtol=2e-4,
+        atol=2e-4,
+    )
+
+
+MOCK_XDMF = "/root/reference/tests/mock_xdmf/mock.xdmf"
+
+
+@pytest.mark.skipif(not os.path.exists(MOCK_XDMF),
+                    reason="reference mock_xdmf fixture absent")
+def test_reference_meshio_xdmf_fixture_reads():
+    """Our native XDMF reader consumes the reference's meshio-written
+    time series (shared Topology/Geometry via XInclude xpointer) and its
+    single-grid per-frame fixtures — the actual on-disk layouts the
+    reference datasets use."""
+    from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesReader
+
+    r = XdmfTimeSeriesReader(MOCK_XDMF)
+    assert len(r) == 6
+    pos, cells, pd, t0 = r.read_frame(0)
+    assert pos.shape == (1923, 3)
+    assert cells.shape[1] == 3
+    assert set(pd) == {"velocity_x", "velocity_y"}
+    assert t0 == 0.0
+    _, _, _, t5 = r.read_frame(5)
+    assert t5 == 5.0
+    # every frame shares the mesh but carries its own fields
+    v0 = r.read_frame(0)[2]["velocity_x"]
+    v1 = r.read_frame(1)[2]["velocity_x"]
+    assert v0.shape == v1.shape == (1923,)
+    r.close()
+
+    single = "/root/reference/tests/mock_airfoil/sample_000000005.xdmf"
+    if os.path.exists(single):
+        r1 = XdmfTimeSeriesReader(single)
+        assert len(r1) == 1
+        pos1, cells1, pd1, _ = r1.read_frame(0)
+        assert pos1.shape[0] == 27125 and cells1.shape == (52656, 3)
+        assert "Velocity_x" in pd1
+        r1.close()

@@ -26,6 +26,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from graph_physics_tpu.core.graph import MeshGraph
+#: fold the edge encoder into block 0's fused kernels (perf knob;
+#: measured trade-off in BASELINE.md)
+FOLD_EDGE_ENCODER = True
+
 from graph_physics_tpu.models.layers import (
     MLP,
     GraphNetBlock,
@@ -84,7 +88,9 @@ class EncodeProcessDecode(nn.Module):
             # Pallas kernels — the full-size encoded-edge array never
             # round-trips HBM. Same predicate the blocks use, with the
             # RAW edge feature width.
-            fold = fused_path_ok(
+            # module-global knob: read at call time so perf sweeps can
+            # flip processors.FOLD_EDGE_ENCODER
+            fold = FOLD_EDGE_ENCODER and fused_path_ok(
                 self.edge_tiling, x, edge_attr, self.hidden_size,
                 self.dtype, self.use_rope_embeddings,
                 self.use_gated_attention, self.use_gated_mlp,

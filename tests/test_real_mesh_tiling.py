@@ -172,3 +172,71 @@ def test_reference_meshio_xdmf_fixture_reads():
         assert pos1.shape[0] == 27125 and cells1.shape == (52656, 3)
         assert "Velocity_x" in pd1
         r1.close()
+
+
+@pytest.mark.skipif(not os.path.exists(MOCK_XDMF),
+                    reason="reference mock_xdmf fixture absent")
+def test_train_cli_on_reference_mock_trajectory(tmp_path):
+    """End-to-end: gpt-train runs on the reference's OWN meshio-written
+    mock trajectory through our XDMF pipeline (reader → XDMFDataset →
+    trainer → validation rollout)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    data = tmp_path / "data"
+    data.mkdir()
+    shutil.copy(MOCK_XDMF, data / "mock.xdmf")
+    shutil.copy(os.path.join(os.path.dirname(MOCK_XDMF), "mock.h5"),
+                data / "mock.h5")
+    meta = {
+        "simulator": "comsol", "dt": 1.0,
+        "features": {
+            "cells": {"type": "static", "shape": [1, -1, 3], "dtype": "int32"},
+            "mesh_pos": {"type": "static", "shape": [1, -1, 3],
+                         "dtype": "float32"},
+            "node_type": {"type": "static", "shape": [1, -1, 1],
+                          "dtype": "int32"},
+            "velocity_x": {"type": "dynamic", "shape": [-1, -1, 1],
+                           "dtype": "float32"},
+            "velocity_y": {"type": "dynamic", "shape": [-1, -1, 1],
+                           "dtype": "float32"},
+        },
+        "field_names": ["cells", "mesh_pos", "node_type", "velocity_x",
+                        "velocity_y"],
+        "trajectory_length": 6,
+    }
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+    cfg = {
+        "dataset": {"extension": "xdmf", "train_path": str(data),
+                    "test_path": str(data), "meta_path": str(tmp_path / "meta.json"),
+                    "targets": ["velocity_x", "velocity_y"], "khop": 1},
+        "model": {"type": "epd", "message_passing_num": 2, "hidden_size": 16,
+                  "node_input_size": 2, "output_size": 2, "edge_input_size": 3},
+        "index": {"feature_index_start": 0, "feature_index_end": 2,
+                  "output_index_start": 0, "output_index_end": 2,
+                  "node_type_index": 2},
+        "transformations": {"preprocessing": {"noise": 1e-4,
+                                              "noise_index_start": [0],
+                                              "noise_index_end": [2],
+                                              "masking": 0},
+                            "world_pos_parameters": {"use": False}},
+        "training": {},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    out = subprocess.run(
+        [sys.executable, "-m", "graph_physics_tpu.cli.train",
+         "--training_parameters_path", str(tmp_path / "config.json"),
+         "--epochs", "1", "--batch_size", "2", "--warmup", "2",
+         "--out_dir", str(tmp_path / "runs"), "--run_name", "mx"],
+        capture_output=True, text=True, timeout=560,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "training done" in out.stdout
+    metrics = (tmp_path / "runs" / "mx" / "mx.metrics.jsonl").read_text()
+    import json as _json
+
+    last = _json.loads(metrics.strip().splitlines()[-1])
+    assert np.isfinite(last["val_all_rollout_rmse"])

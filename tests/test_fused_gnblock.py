@@ -505,3 +505,67 @@ def test_trainer_fused_multi_step_dispatch(tmp_path):
     mf = [json.loads(l) for l in open(tmp_path / "runs" / "r" / "r.metrics.jsonl")]
     loss = [m["train_loss_epoch"] for m in mf if "train_loss_epoch" in m][-1]
     assert np.isfinite(loss) and loss > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_blocked_semantics_on_random_sparse_graphs(seed):
+    """Property test for the arbitrary-unit window tiling: random sparse
+    graphs (empty groups, isolated nodes, non-mesh degree distributions)
+    after an RCM reorder — blocked_reference must equal plain
+    gather/segment-sum message passing on the same edges."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(150, 400))
+    e = int(rng.integers(n, 4 * n))
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    # make it somewhat local so RCM can tile it, but keep a few long edges
+    r = np.where(rng.random(e) < 0.9, np.clip(s + rng.integers(-9, 10, e), 0, n - 1), r)
+    perm = tiling_lib.rcm_order(s, r, n)
+    inv = np.argsort(perm)
+    s2, r2 = inv[s], inv[r]
+    order = np.argsort(r2, kind="stable")
+    s2, r2 = s2[order], r2[order]
+    t = tiling_lib.build_edge_tiling(s2, r2, n)
+    if t is None:
+        pytest.skip("random graph untileable even after RCM")
+
+    f, b = 32, 2
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (t.num_nodes, b, f), jnp.float32) * 0.5
+    evals = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 1), (e, b, f))
+    ) * 0.5
+    evals = evals[order]  # tiling.perm indexes the receiver-sorted list
+    e_blocked = jnp.asarray(t.expand_edges(evals))
+    ep = _params(jax.random.fold_in(key, 2), f, 3)
+    np_ = _params(jax.random.fold_in(key, 3), f, 2)
+    xo, eo = blocked_reference(x, e_blocked, ep, np_, t)
+
+    # plain XLA reference on the raw edge list
+    ee = jnp.asarray(evals)
+
+    import math as m
+
+    def mlp(parts, params):
+        h = jnp.concatenate(parts, axis=-1)
+        n_dense = len([k for k in params if k.startswith("Dense_")])
+        for i in range(n_dense):
+            h = h @ params[f"Dense_{i}"]["kernel"] + params[f"Dense_{i}"]["bias"]
+            if i < n_dense - 1:
+                h = jax.nn.relu(h)
+        sc = params["RMSNorm_0"]["scale"]
+        gs = jnp.sum(h * h, -1, keepdims=True)
+        rr = jnp.sqrt(gs + 1e-24) / m.sqrt(f)
+        return h / (rr + 1e-8) * sc
+
+    sj, rj = jnp.asarray(s2), jnp.asarray(r2)
+    eh = mlp([ee, x[rj], x[sj]], ep)
+    agg = jax.ops.segment_sum(eh, rj, num_segments=t.num_nodes)
+    ref_x = x + mlp([x, agg], np_)
+    np.testing.assert_allclose(
+        np.asarray(xo)[:n], np.asarray(ref_x)[:n], rtol=3e-4, atol=3e-4
+    )
+    # edge outputs round-trip through the blocked layout
+    ref_e = ee + eh
+    back = t.reduce_edges(np.asarray(eo), e)
+    np.testing.assert_allclose(back, np.asarray(ref_e), rtol=3e-4, atol=3e-4)

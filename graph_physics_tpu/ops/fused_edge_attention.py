@@ -127,24 +127,25 @@ def _bwd_kernel(dh, wb, wu, nb, emax, lanes,
 
     inv_denom = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     g_out = g_out_ref[:].astype(jnp.bfloat16)  # [nb, lanes]
-    g_num = (g_out * inv_denom.astype(jnp.bfloat16))  # [nb, lanes]
-    # per-edge gather of g_out[r]/denom[r]; then
-    # d v_e = alpha_e·g_out[r] = (p/denom[r])·g_out[r] = p2·g_num_e
-    g_num_e = _dot_t(oh_rN, g_num).astype(jnp.bfloat16)  # [Emax, lanes]
-    g_ve = (p2 * g_num_e).astype(jnp.bfloat16)
 
     ones_dh = _dh_group_ones(dh)
-    # softmax bwd with out = Σ_e alpha_e v_e, alpha = softmax(l):
+    # softmax bwd with out = Σ_e alpha_e v_e, alpha = p/denom[r]:
     #   Ā_e = d out/d alpha_e = Σ_dh v_e·g_out[r]
     #   g_l_e = alpha_e (Ā_e − Σ_e' alpha_e' Ā_e')
+    #   d v_e = alpha_e · g_out[r]
+    # ONE receiver gather of g_out serves both dv and Ā; alpha is formed
+    # once from the (gathered) inv_denom and reused (the separate
+    # g_out/denom gather this kernel used to do was redundant).
     g_out_e = _dot_t(oh_rN, g_out).astype(jnp.bfloat16)  # [Emax, lanes]
+    inv_e = _dot_t(oh_rN, inv_denom.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    alpha = (p2 * inv_e).astype(jnp.bfloat16)  # [Emax, lanes]
+    g_ve = (alpha * g_out_e).astype(jnp.bfloat16)
     abar = _grouped_dot(ve, g_out_e, ones_dh, emax, lanes)  # fp32 rows
     abar2 = abar.reshape(emax, lanes).astype(jnp.bfloat16)
     # Σ_e alpha Ā per receiver lane = inv_denom · Σ_e p Ā
     s_r = _dot(oh_rN, (p2 * abar2).astype(jnp.bfloat16)) * inv_denom
     s_e = _dot_t(oh_rN, s_r.astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    inv_e = _dot_t(oh_rN, inv_denom.astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    g_logit = (p2 * inv_e) * (abar2 - s_e)  # [Emax, lanes] = alpha(Ā−S)
+    g_logit = alpha * (abar2 - s_e)  # [Emax, lanes] = alpha(Ā−S)
     g_logit = (g_logit / math.sqrt(dh)).astype(jnp.bfloat16)
 
     # d q[r] = Σ_e g_logit k_e ; d k[s] = Σ_e g_logit q_e

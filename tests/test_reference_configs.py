@@ -120,3 +120,45 @@ def test_canonical_config_e2e(name, tmp_path):
         pred_args += ["--external", external]
     assert predict_main(pred_args) == 0
     assert os.path.exists(tmp_path / "preds" / "p" / "trajectory_0.xdmf")
+
+
+@pytest.mark.parametrize("name", ["panels", "pinn-aneurysm"])
+def test_multiloss_config_packed_e2e(name, tmp_path):
+    """The two physics-loss workloads under --packed (round-2 verdict #2:
+    MultiLoss previously crashed on the packed fast path and locked these
+    configs out of the 3-6x packed speedup)."""
+    import json
+
+    from graph_physics_tpu.cli.train import main as train_main
+    from graph_physics_tpu.dataset.synthetic import write_workload_fixture
+
+    workload, external = WORKLOADS[name]
+    train_p, test_p, meta_p = write_workload_fixture(
+        workload, str(tmp_path / "data")
+    )
+    cfg = json.load(open(f"training_config/{name}.json"))
+    cfg["dataset"].update(
+        train_path=train_p, test_path=test_p, meta_path=meta_p
+    )
+    cfg_path = str(tmp_path / f"{name}.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    args = [
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1",
+        "--batch_size", "2",
+        "--warmup", "2",
+        "--packed",
+        "--out_dir", str(tmp_path / "runs"),
+        "--run_name", "rp",
+    ]
+    if external:
+        args += ["--external", external]
+    assert train_main(args) == 0
+    metrics = [
+        json.loads(l)
+        for l in open(tmp_path / "runs" / "rp" / "rp.metrics.jsonl")
+    ]
+    val = [m for m in metrics if "val_all_rollout_rmse" in m][-1]
+    assert np.isfinite(val["val_all_rollout_rmse"])
+    assert val["train_loss_epoch"] > 0

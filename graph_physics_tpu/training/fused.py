@@ -40,24 +40,44 @@ class FusedTopologyManager:
     """
 
     def __init__(self, node_block: int = 128, max_window_blocks: int = 16,
-                 edge_pad_multiple: int = 64, window_blocks_multiple: int = 2):
+                 edge_pad_multiple: int = 64, window_blocks_multiple: int = 2,
+                 window_unit: int = 64):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
         self.edge_pad_multiple = edge_pad_multiple
         self.window_blocks_multiple = window_blocks_multiple
+        self.window_unit = window_unit
         #: traj id -> (tiling or None, rcm permutation or None)
         self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray]]] = {}
         #: shape-bucket key -> (simulator clone, jitted step_fn)
         self._steps: Dict[Any, Tuple[Any, Any]] = {}
 
+    def _batch_tiling(self, batch: MeshGraph):
+        """Geometry-only EdgeTiling reconstructed from a CONVERTED batch's
+        runtime indices (batch.tiling_idx) — the kernels consume only the
+        static geometry plus these arrays, so the original host tiling
+        object is not needed (and must not be keyed by trajectory alone:
+        sub-mesh partitions give one trajectory many topologies)."""
+        ti = batch.tiling_idx
+        if ti is None:
+            return None
+        win, sidx, ridx = (np.asarray(a) for a in ti)
+        g_blocks, wb = win.shape
+        return tiling_lib.EdgeTiling(
+            perm=np.empty(0, np.int32),  # host-only field; unused on device
+            sidx=sidx, ridx=ridx, win_start=win,
+            node_block=self.node_block,
+            window_blocks=int(wb),
+            edges_per_block=int(sidx.shape[1]),
+            num_nodes=int(batch.x.shape[0]),
+            window_unit=self.window_unit,
+        )
+
     def key_for(self, batch: MeshGraph):
         """Shape-bucket key of a (converted) batch's topology — for outer
         caches (e.g. the Trainer's multi-step cache) that must share
         entries exactly when step_for does."""
-        traj = int(np.asarray(batch.traj_index))
-        if traj not in self._tilings:
-            return traj  # unseen here: degrade to per-trajectory keying
-        t, _perm = self._tilings[traj]
+        t = self._batch_tiling(batch)
         return "xla" if t is None else self.bucket_key(t)
 
     @staticmethod
@@ -70,18 +90,26 @@ class FusedTopologyManager:
 
     # -- host-side frame conversion (runs in the loader thread) ---------
     def _tiling_for(self, g: MeshGraph):
-        key = int(np.asarray(g.traj_index))
-        if key in self._tilings:
-            return key, self._tilings[key]
         n_valid = int(g.n_node)
         e_valid = int(g.n_edge)
         send = np.asarray(g.senders)[:e_valid]
         recv = np.asarray(g.receivers)[:e_valid]
+        # key on the trajectory AND a cheap topology checksum: frames of
+        # one trajectory can carry DIFFERENT topologies (sub-mesh
+        # partitions slice per sample) and must not share a tiling
+        chk = int(
+            (send.astype(np.int64).sum() * 3 + recv.astype(np.int64).sum())
+            % (1 << 62)
+        )
+        key = (int(np.asarray(g.traj_index)), e_valid, chk)
+        if key in self._tilings:
+            return key, self._tilings[key]
         kw = dict(
             node_block=self.node_block,
             max_window_blocks=self.max_window_blocks,
             edge_pad_multiple=self.edge_pad_multiple,
             window_blocks_multiple=self.window_blocks_multiple,
+            window_unit=self.window_unit,
         )
         t = tiling_lib.build_edge_tiling(send, recv, n_valid, **kw)
         perm = None
@@ -94,6 +122,15 @@ class FusedTopologyManager:
                 perm = None  # not tileable: XLA fallback for this topology
         self._tilings[key] = (t, perm)
         return key, (t, perm)
+
+    def tiling_of(self, traj: int):
+        """(tiling, rcm perm) of the first topology seen for ``traj``
+        (introspection/tests; trajectories with sub-mesh partitions have
+        one entry per partition topology)."""
+        for (t_id, _e, _c), entry in self._tilings.items():
+            if t_id == traj:
+                return entry
+        raise KeyError(traj)
 
     def transform_frame(self, g: MeshGraph) -> MeshGraph:
         """Convert one host-side frame into the blocked layout (no-op for
@@ -112,8 +149,7 @@ class FusedTopologyManager:
         ``make_step(simulator)`` builds the jitted train step; results are
         cached per trajectory so each topology compiles once.
         """
-        traj = int(np.asarray(batch.traj_index))
-        t, _perm = self._tilings.get(traj, (None, None))
+        t = self._batch_tiling(batch)
         if t is None or not hasattr(base_sim.model, "edge_tiling"):
             key = "xla"  # jit's own cache handles shape variety here
         else:
@@ -122,6 +158,7 @@ class FusedTopologyManager:
         if hit is not None:
             return hit
         if key == "xla":
+            traj = int(np.asarray(batch.traj_index))
             print(
                 f"[fused] trajectory {traj}: fused kernel inactive "
                 + ("(untileable topology)" if hasattr(

@@ -80,8 +80,8 @@ def test_runtime_tiling_idx_matches_baked_constants():
     mgr = FusedTopologyManager()
     g1 = mgr.transform_frame(_jittered_mesh(1))
     g2 = mgr.transform_frame(_jittered_mesh(2))
-    t1, _ = mgr._tilings[1]
-    t2, _ = mgr._tilings[2]
+    t1, _ = mgr.tiling_of(1)
+    t2, _ = mgr.tiling_of(2)
     assert mgr.bucket_key(t1) == mgr.bucket_key(t2)
 
     key = jax.random.PRNGKey(0)
@@ -128,5 +128,5 @@ def test_packed_batch_carries_tiling_idx():
     p = pk.pack(stacked)
     assert p.tiling_idx is not None
     assert p.tiling_idx[1].ndim == 2  # [G, Emax] unbatched
-    t, _ = mgr._tilings[3]
+    t, _ = mgr.tiling_of(3)
     np.testing.assert_array_equal(p.tiling_idx[1], t.sidx)

@@ -45,7 +45,7 @@ def test_airfoil_mesh_is_tileable(airfoil_graph):
     g = airfoil_graph.replace(traj_index=np.asarray(0, np.int32))
     mgr = FusedTopologyManager()
     converted = mgr.transform_frame(g)
-    t, perm = mgr._tilings[0]
+    t, perm = mgr.tiling_of(0)
     assert t is not None, "real airfoil mesh must be tileable"
     assert perm is not None  # needed the RCM reorder
     assert converted.tiling_idx is not None

@@ -12,7 +12,11 @@ Two findings this documents (BASELINE.md round-3 gap accounting):
      USEFUL flop by construction;
   2. the achieved issued-TFLOP/s of this DMA-streamed chain is the
      practical ceiling for the real kernels (which add gathers, RMS
-     statistics and elementwise ops on top).
+     statistics and elementwise ops on top);
+  3. interleaving two INDEPENDENT half-row chains (run_ilp) does NOT
+     lift the rate (measured 86.8 vs 84-89 TFLOP/s) — the ~90 TF/s
+     ceiling is not dependency fill/drain serialization, so a kernel
+     ILP restructure has no headroom to recover.
 """
 
 import os
@@ -109,9 +113,76 @@ def main():
     ]
     t_dense = run(dense, "dense [128,128] chain")
     t_bd = run(blockdiag, "block-diag I4⊗[32,32] chain (the kron packing)")
+    run_ilp(dense, "2-way-ILP interleaved half-row chains")
     print(f"dense/block-diag wall-time ratio: {t_dense / t_bd:.3f} "
           "(1.0 ⇒ the MXU does not skip structural zeros; useful-flop "
           "rate at hidden 32 is 1/4 of issued)")
+
+
+def _kernel_ilp(n_chain, x_ref, *refs):
+    """Same flops, TWO independent half-row chains interleaved: measures
+    how much of the chain's fill/drain serialization ILP can recover."""
+    w_refs = refs[:n_chain]
+    out_ref = refs[n_chain]
+    h1 = x_ref[: ROWS_BLK // 2]
+    h2 = x_ref[ROWS_BLK // 2 :]
+    for w in w_refs:
+        wv = w[:]
+        h1 = jax.lax.dot_general(
+            h1, wv, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        h2 = jax.lax.dot_general(
+            h2, wv, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    out_ref[: ROWS_BLK // 2] = h1
+    out_ref[ROWS_BLK // 2 :] = h2
+
+
+def run_ilp(weights, name):
+    import functools
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(N_BLOCKS * ROWS_BLK, LANES)),
+        jnp.bfloat16,
+    )
+    w_specs = [
+        pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in weights
+    ]
+    f = pl.pallas_call(
+        functools.partial(_kernel_ilp, len(weights)),
+        grid=(N_BLOCKS,),
+        in_specs=[pl.BlockSpec((ROWS_BLK, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((ROWS_BLK, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )
+    inner = 50
+
+    @jax.jit
+    def many(x):
+        def body(h, _):
+            return f(h, *weights), None
+        out, _ = jax.lax.scan(body, x, None, length=inner)
+        return out
+
+    out = many(x)
+    _ = np.asarray(out[0, 0])
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = many(x)
+        _ = np.asarray(out[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    best /= inner
+    issued = 2 * N_BLOCKS * ROWS_BLK * LANES * LANES * len(weights)
+    print(f"{name}: {best*1e3:.3f} ms/call  issued {issued/best/1e12:.1f} "
+          "TFLOP/s")
+    return best
 
 
 if __name__ == "__main__":

@@ -178,3 +178,42 @@ def test_xdmf_dataset(tmp_path):
     assert (nt >= 0).all()
     frames = ds.trajectory_frames(0)
     assert len(frames) == 4
+
+
+def test_fused_train_resume_predict(workspace):
+    """--packed --bf16 --fused through the CLIs incl. checkpoint RESUME:
+    the fused step caches are rebuilt fresh on resume while params/opt
+    state restore from orbax (tilings are not part of the checkpoint)."""
+    from graph_physics_tpu.cli.predict import main as predict_main
+    from graph_physics_tpu.cli.train import main as train_main
+
+    d, cfg_path = workspace
+    args = [
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1",
+        "--batch_size", "2",
+        "--warmup", "2",
+        "--packed", "--bf16", "--fused",
+        "--out_dir", str(d / "runs_fused"),
+        "--run_name", "rf",
+    ]
+    assert train_main(args) == 0
+    # resume for one more epoch in a fresh process state
+    assert train_main(
+        args[:3] + ["2"] + args[4:] + ["--resume_training"]
+    ) == 0
+    metrics = [
+        json.loads(l)
+        for l in open(d / "runs_fused" / "rf" / "rf.metrics.jsonl")
+    ]
+    vals = [m for m in metrics if "val_all_rollout_rmse" in m]
+    assert len(vals) >= 2  # one per epoch, across the resume
+    assert all(np.isfinite(m["val_all_rollout_rmse"]) for m in vals)
+
+    assert predict_main([
+        "--training_parameters_path", cfg_path,
+        "--model_path", str(d / "runs_fused" / "rf" / "checkpoints"),
+        "--out_dir", str(d / "preds_fused"),
+        "--run_name", "pf",
+    ]) == 0
+    assert os.path.exists(d / "preds_fused" / "pf" / "trajectory_0.xdmf")

@@ -185,6 +185,11 @@ def fused_edge_attention(
             l -= LANES
         return l
 
+    win_rows_ = tiling.window_blocks * tiling.window_unit
+    if win_rows_ > 512:
+        # wide-window tilings: see the matching cap in fused_gn_block
+        lanes = min(lanes, 512)
+        lanes_bwd = min(lanes_bwd, 256)
     lanes = _fit(lanes)
     lanes_bwd = _fit(lanes_bwd)
     g_blocks = tiling.num_groups

@@ -660,6 +660,19 @@ def fused_gn_block(
         # budget (module-level knobs so perf sweeps can retune)
         lanes = min(lanes, FOLDED_LANES_CAP)
         lanes_bwd = min(lanes_bwd, FOLDED_LANES_BWD_CAP)
+    win_rows_ = tiling.window_blocks * tiling.window_unit
+    if win_rows_ > 512:
+        # wide-window tilings (irregular meshes, e.g. the 27k airfoil at
+        # 18 units): window reads + the [win_rows, Emax] one-hot blow the
+        # scoped-VMEM budget at full lane width — measured OOM at fwd
+        # 1024 lanes, and a marginal 0.7 MB bwd overrun at 256 lanes when
+        # the grid has multiple lane chunks; (512, 256) at a single chunk
+        # and (512, 128) multi-chunk measured safe
+        lanes = min(lanes, 512)
+        lanes_bwd = min(lanes_bwd, 256 if total_lanes <= 512 else 128)
+    if win_rows_ > 1280:
+        lanes = min(lanes, 256)
+        lanes_bwd = min(lanes_bwd, 128)
     lanes = _fit(lanes)
     lanes_bwd = _fit(lanes_bwd)
     assert n == tiling.num_nodes, (n, tiling.num_nodes)

@@ -187,9 +187,14 @@ def fused_edge_attention(
 
     win_rows_ = tiling.window_blocks * tiling.window_unit
     if win_rows_ > 512:
-        # wide-window tilings: see the matching cap in fused_gn_block
+        # wide-window tilings: see the matching caps in fused_gn_block;
+        # the attention holds TWO window sets (k and v), so each tier is
+        # one notch narrower than the gnblock's
         lanes = min(lanes, 512)
-        lanes_bwd = min(lanes_bwd, 256)
+        lanes_bwd = min(lanes_bwd, 128)
+    if win_rows_ > 1280:
+        lanes = min(lanes, 256)
+        lanes_bwd = min(lanes_bwd, 128)
     lanes = _fit(lanes)
     lanes_bwd = _fit(lanes_bwd)
     g_blocks = tiling.num_groups

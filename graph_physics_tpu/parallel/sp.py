@@ -418,6 +418,14 @@ def make_sp_train_step(
         int(m) for m in (mask_types or loss_lib.DEFAULT_MASK_TYPES)
     )
     is_multi = isinstance(loss_fn, MultiLoss)
+    if loss_fn is not None and not is_multi:
+        from graph_physics_tpu.training.loss import LossType
+
+        if loss_fn is not LossType.L2LOSS:
+            raise ValueError(
+                "make_sp_train_step supports loss_fn=None/LossType.L2LOSS "
+                f"(masked L2) or a MultiLoss; got {loss_fn!r}"
+            )
     if is_multi and loss_fn.needs_physical and gradient_method != "finite_diff":
         raise ValueError(
             "sp physics losses support gradient_method='finite_diff' only "

@@ -73,10 +73,13 @@ class FusedTopologyManager:
             window_unit=self.window_unit,
         )
 
-    def key_for(self, batch: MeshGraph):
+    def key_for(self, batch: MeshGraph, base_sim=None):
         """Shape-bucket key of a (converted) batch's topology — for outer
         caches (e.g. the Trainer's multi-step cache) that must share
-        entries exactly when step_for does."""
+        entries exactly when step_for does (pass the same ``base_sim`` so
+        models without edge_tiling support key to 'xla' like step_for)."""
+        if base_sim is not None and not hasattr(base_sim.model, "edge_tiling"):
+            return "xla"
         t = self._batch_tiling(batch)
         return "xla" if t is None else self.bucket_key(t)
 
@@ -94,13 +97,17 @@ class FusedTopologyManager:
         e_valid = int(g.n_edge)
         send = np.asarray(g.senders)[:e_valid]
         recv = np.asarray(g.receivers)[:e_valid]
-        # key on the trajectory AND a cheap topology checksum: frames of
-        # one trajectory can carry DIFFERENT topologies (sub-mesh
-        # partitions slice per sample) and must not share a tiling
-        chk = int(
-            (send.astype(np.int64).sum() * 3 + recv.astype(np.int64).sum())
-            % (1 << 62)
-        )
+        # key on the trajectory AND a byte-exact topology digest: frames
+        # of one trajectory can carry DIFFERENT topologies (sub-mesh
+        # partitions slice per sample) and must not share a tiling. A
+        # content hash (not an additive checksum, which is invariant
+        # under endpoint re-pairing) guarantees distinct edge sets get
+        # distinct tilings.
+        import zlib
+
+        chk = zlib.crc32(
+            send.astype(np.int32).tobytes()
+        ) ^ (zlib.crc32(recv.astype(np.int32).tobytes()) << 1)
         key = (int(np.asarray(g.traj_index)), e_valid, chk)
         if key in self._tilings:
             return key, self._tilings[key]

@@ -311,7 +311,7 @@ class Trainer:
                             make_multi_step,
                         )
 
-                        key = self._fused_mgr.key_for(pending[0])
+                        key = self._fused_mgr.key_for(pending[0], self.sim)
                         multi_fn = self._fused_multi.get(key)
                         if multi_fn is None:
                             _, step_fn = self._fused_mgr.step_for(
@@ -345,14 +345,19 @@ class Trainer:
                 if self.multi_step is None:
                     run_single(batch)
                 else:
-                    topo_changed = (
+                    # compare the fused BUCKET key, not the trajectory:
+                    # same-bucket batches stack fine even across
+                    # trajectories (each step consumes its own runtime
+                    # tiling_idx), while same-trajectory partition
+                    # topologies with different tilings must flush
+                    bucket_changed = (
                         self._fused_mgr is not None
                         and pending
-                        and int(np.asarray(pending[0].traj_index))
-                        != int(np.asarray(batch.traj_index))
+                        and self._fused_mgr.key_for(pending[0], self.sim)
+                        != self._fused_mgr.key_for(batch, self.sim)
                     )
                     if pending and (
-                        topo_changed
+                        bucket_changed
                         or jax.tree.map(jnp.shape, pending[0].x)
                         != jax.tree.map(jnp.shape, batch.x)
                     ):

@@ -77,7 +77,10 @@ def make_manual(lanes):
         def in_dmas(slot, tt):
             c = tt // G
             gg = tt % G
-            ws = ws_ref[gg]
+            # first window unit; the manual variant predates arbitrary
+            # units and assumes CONSECUTIVE units — true for the banded
+            # grid mesh this script hardcodes (window_unit=128)
+            ws = ws_ref[gg, 0]
             return [
                 pltpu.make_async_copy(
                     e_ref.at[pl.ds(gg * EMAX, EMAX), pl.ds(c * lanes, lanes)],

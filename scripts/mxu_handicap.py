@@ -55,7 +55,8 @@ def _kernel(n_chain, x_ref, *refs):
     out_ref[:] = h
 
 
-def run(weights, name):
+def run(weights, name, kernel_fn=None):
+    kernel_fn = kernel_fn or _kernel
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(N_BLOCKS * ROWS_BLK, LANES)),
         jnp.bfloat16,
@@ -66,7 +67,7 @@ def run(weights, name):
         for _ in weights
     ]
     f = pl.pallas_call(
-        partial(_kernel, len(weights)),
+        partial(kernel_fn, len(weights)),
         grid=(N_BLOCKS,),
         in_specs=[pl.BlockSpec((ROWS_BLK, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
@@ -113,7 +114,7 @@ def main():
     ]
     t_dense = run(dense, "dense [128,128] chain")
     t_bd = run(blockdiag, "block-diag I4⊗[32,32] chain (the kron packing)")
-    run_ilp(dense, "2-way-ILP interleaved half-row chains")
+    run(dense, "2-way-ILP interleaved half-row chains", kernel_fn=_kernel_ilp)
     print(f"dense/block-diag wall-time ratio: {t_dense / t_bd:.3f} "
           "(1.0 ⇒ the MXU does not skip structural zeros; useful-flop "
           "rate at hidden 32 is 1/4 of issued)")
@@ -136,53 +137,6 @@ def _kernel_ilp(n_chain, x_ref, *refs):
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     out_ref[: ROWS_BLK // 2] = h1
     out_ref[ROWS_BLK // 2 :] = h2
-
-
-def run_ilp(weights, name):
-    import functools
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(N_BLOCKS * ROWS_BLK, LANES)),
-        jnp.bfloat16,
-    )
-    w_specs = [
-        pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in weights
-    ]
-    f = pl.pallas_call(
-        functools.partial(_kernel_ilp, len(weights)),
-        grid=(N_BLOCKS,),
-        in_specs=[pl.BlockSpec((ROWS_BLK, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + w_specs,
-        out_specs=pl.BlockSpec((ROWS_BLK, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-    )
-    inner = 50
-
-    @jax.jit
-    def many(x):
-        def body(h, _):
-            return f(h, *weights), None
-        out, _ = jax.lax.scan(body, x, None, length=inner)
-        return out
-
-    out = many(x)
-    _ = np.asarray(out[0, 0])
-    best = float("inf")
-    for _ in range(10):
-        t0 = time.perf_counter()
-        out = many(x)
-        _ = np.asarray(out[0, 0])
-        best = min(best, time.perf_counter() - t0)
-    best /= inner
-    issued = 2 * N_BLOCKS * ROWS_BLK * LANES * LANES * len(weights)
-    print(f"{name}: {best*1e3:.3f} ms/call  issued {issued/best/1e12:.1f} "
-          "TFLOP/s")
-    return best
 
 
 if __name__ == "__main__":

@@ -496,3 +496,39 @@ def test_dp_sp_2d_mesh_train_step():
         float(s1.sim_state.output_norm.acc_count),
         float(s2.sim_state.output_norm.acc_count),
     )
+
+
+def test_sp_ring_halo_distance_two():
+    """ppermute-ring halo with ring distance ≥ 2: the slot arithmetic
+    (slot = 2(|d|-1) + (d > 0)) for far neighbours is exercised by
+    permuting the RCB part order so spatially adjacent parts land two
+    ring positions apart; forward parity must still be exact."""
+    from graph_physics_tpu.dataset.partition import rcb_partition
+
+    g = tiny_graph(nx=10, ny=8)
+    n_valid = int(g.n_node)
+    parts = rcb_partition(np.asarray(g.pos)[:n_valid], 4)
+    # reorder shards so neighbours sit at ring distance 2
+    parts = [parts[0], parts[2], parts[1], parts[3]]
+    sharded, order, hb = sp.shard_graph(
+        g, 4, halo=True, ring=True, parts=parts
+    )
+    assert isinstance(hb, tuple)
+    assert hb[1] >= 2, f"expected ring distance >= 2, got {hb[1]}"
+
+    kwargs = dict(
+        message_passing_num=2, node_input_size=4, edge_input_size=3,
+        output_size=2, hidden_size=16,
+    )
+    model_single = EncodeProcessDecode(**kwargs)
+    model_sp = EncodeProcessDecode(sp_axis_name="sp", sp_halo_size=hb, **kwargs)
+    g_j = jax.tree.map(jnp.asarray, g)
+    params = model_single.init(jax.random.PRNGKey(0), g_j)
+    out_single = model_single.apply(params, g_j)
+
+    mesh = make_mesh(dp=1, sp=4)
+    fwd = sp.make_sp_forward(model_sp, mesh)
+    out_sh = fwd(params, jax.tree.map(jnp.asarray, sharded))
+    rec = sp.unshard_nodes(np.asarray(out_sh), order, g.x.shape[0])
+    n = int(g.n_node)
+    np.testing.assert_allclose(rec[:n], np.asarray(out_single)[:n], atol=2e-4)

@@ -569,3 +569,41 @@ def test_blocked_semantics_on_random_sparse_graphs(seed):
     ref_e = ee + eh
     back = t.reduce_edges(np.asarray(eo), e)
     np.testing.assert_allclose(back, np.asarray(ref_e), rtol=3e-4, atol=3e-4)
+
+
+def test_fused_kernel_on_wide_window_tiling():
+    """The PALLAS kernel (interpret mode) on a tiling whose sender units
+    are scattered (wb well above the banded case) — exercises the
+    arbitrary-unit window reads and the adaptive lane caps end to end."""
+    rng = np.random.default_rng(3)
+    n = 512
+    e = 2200
+    s = rng.integers(0, n, size=e)
+    # receivers local-ish, senders include far jumps -> many units/group
+    r = np.clip(s + rng.integers(-20, 21, e), 0, n - 1)
+    jump = rng.random(e) < 0.25
+    s = np.where(jump, rng.integers(0, n, size=e), s)
+    order = np.argsort(r, kind="stable")
+    s, r = s[order], r[order]
+    t = tiling_lib.build_edge_tiling(s, r, n)
+    assert t is not None
+    assert t.window_blocks >= 6, t.window_blocks  # genuinely wide
+
+    f, b = 32, 4
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (t.num_nodes, b, f), jnp.float32) * 0.5
+    evals = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 1), (e, b, f))) * 0.5
+    e_blocked = jnp.asarray(t.expand_edges(evals))
+    ep = _params(jax.random.fold_in(key, 2), f, 3)
+    np_ = _params(jax.random.fold_in(key, 3), f, 2)
+
+    xf, ef = fused_gn_block(x, e_blocked, ep, np_, t, interpret=True)
+    xr, er = blocked_reference(x, e_blocked, ep, np_, t,
+                               compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(xf, np.float32),
+                               np.asarray(xr, np.float32),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(ef, np.float32),
+                               np.asarray(er, np.float32),
+                               rtol=0.05, atol=0.05)

@@ -55,6 +55,14 @@ def _kernel(n_chain, x_ref, *refs):
     out_ref[:] = h
 
 
+# Dead end (measured 2026-08-17): a bf16-OUTPUT chain
+# (preferred_element_type=bf16, hoping to elide the post-dot convert
+# passes) does not lower — Mosaic verification error "'tpu.matmul' op
+# Expected matmul acc to be 32-bit". The fp32-accumulate + explicit
+# .astype(bf16) flow below is the only legal form, so the converts are
+# structural and the ~90 TF/s chain ceiling stands.
+
+
 def run(weights, name, kernel_fn=None):
     kernel_fn = kernel_fn or _kernel
     x = jnp.asarray(

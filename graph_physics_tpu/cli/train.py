@@ -49,6 +49,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas GraphNetBlocks (requires --packed "
                         "--bf16, epd model, static per-trajectory topology)")
+    p.add_argument("--fused_wb_buckets", type=int, default=1,
+                   help="dispatch the fused kernels as up to K window-width "
+                        "buckets (graded meshes; groups sorted by touched "
+                        "window units). 1 = single dispatch")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
@@ -175,6 +179,7 @@ def main(argv=None):
         packed=args.packed,
         steps_per_dispatch=args.steps_per_dispatch,
         fused=args.fused,
+        fused_wb_buckets=args.fused_wb_buckets,
     )
 
     num_steps = max(

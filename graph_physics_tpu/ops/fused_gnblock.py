@@ -540,6 +540,13 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
             oref[:] = sref[:]
 
 
+def _drop_refs(kernel, n_reg, n_prev, *refs):
+    """Strip the aliased prev-bucket output operands — inserted between
+    the regular inputs and the outputs purely for buffer aliasing — before
+    calling the real kernel (which never reads them)."""
+    return kernel(*refs[:n_reg], *refs[n_reg + n_prev:])
+
+
 # ----------------------------------------------------------------------
 # host-side wrapper: kron packing, pallas_call plumbing, custom VJP
 # ----------------------------------------------------------------------
@@ -654,27 +661,30 @@ def fused_gn_block(
             l -= LANES
         return l
 
-    if edge_encoder_params is not None:
-        # the folded encoder adds its rematerialized pre-activations to
-        # the VMEM working set; narrower tiles keep it under the ~16 MB
-        # budget (module-level knobs so perf sweeps can retune)
-        lanes = min(lanes, FOLDED_LANES_CAP)
-        lanes_bwd = min(lanes_bwd, FOLDED_LANES_BWD_CAP)
-    win_rows_ = tiling.window_blocks * tiling.window_unit
-    if win_rows_ > 512:
-        # wide-window tilings (irregular meshes, e.g. the 27k airfoil at
-        # 18 units): window reads + the [win_rows, Emax] one-hot blow the
-        # scoped-VMEM budget at full lane width — measured OOM at fwd
-        # 1024 lanes, and a marginal 0.7 MB bwd overrun at 256 lanes when
-        # the grid has multiple lane chunks; (512, 256) at a single chunk
-        # and (512, 128) multi-chunk measured safe
-        lanes = min(lanes, 512)
-        lanes_bwd = min(lanes_bwd, 256 if total_lanes <= 512 else 128)
-    if win_rows_ > 1280:
-        lanes = min(lanes, 256)
-        lanes_bwd = min(lanes_bwd, 128)
-    lanes = _fit(lanes)
-    lanes_bwd = _fit(lanes_bwd)
+    folded = edge_encoder_params is not None
+
+    def _caps(win_rows_b, l, lb):
+        """Lane-tile caps for one bucket's window width (VMEM budget)."""
+        if folded:
+            # the folded encoder adds its rematerialized pre-activations
+            # to the VMEM working set; narrower tiles keep it under the
+            # ~16 MB budget (module-level knobs so perf sweeps can retune)
+            l = min(l, FOLDED_LANES_CAP)
+            lb = min(lb, FOLDED_LANES_BWD_CAP)
+        if win_rows_b > 512:
+            # wide-window tilings (irregular meshes, e.g. the 27k airfoil
+            # at 18 units): window reads + the [win_rows, Emax] one-hot
+            # blow the scoped-VMEM budget at full lane width — measured
+            # OOM at fwd 1024 lanes, and a marginal 0.7 MB bwd overrun at
+            # 256 lanes when the grid has multiple lane chunks; (512, 256)
+            # at a single chunk and (512, 128) multi-chunk measured safe
+            l = min(l, 512)
+            lb = min(lb, 256 if total_lanes <= 512 else 128)
+        if win_rows_b > 1280:
+            l = min(l, 256)
+            lb = min(lb, 128)
+        return _fit(l), _fit(lb)
+
     assert n == tiling.num_nodes, (n, tiling.num_nodes)
     g_blocks = tiling.num_groups
     emax = tiling.edges_per_block
@@ -682,15 +692,24 @@ def fused_gn_block(
     wb = tiling.window_blocks
     wu = tiling.window_unit
     assert edge_attr.shape[0] == g_blocks * emax
+    # window-count buckets (tiling.buckets, groups pre-sorted by touched
+    # units): one pallas_call per bucket so low-window groups stop paying
+    # the global max wb; each bucket gets its own (possibly wider) lane
+    # caps from its own window width
+    buckets = tiling.buckets or ((0, g_blocks, wb),)
+    assert buckets[0][0] == 0 and buckets[-1][1] == g_blocks, buckets
+    lane_plan = [_caps(wb_b * wu, lanes, lanes_bwd)
+                 for (_lo, _hi, wb_b) in buckets]
 
     # folded-encoder geometry: raw rows carry fe_pad = F/r channels per
-    # sample so every lane tile (fwd AND bwd) stays 128-aligned
+    # sample so every lane tile (fwd AND bwd, every bucket) stays
+    # 128-aligned
     r = 1
-    if edge_encoder_params is not None:
-        k_f, k_b = lanes // LANES, lanes_bwd // LANES
+    if folded:
+        ks = [v // LANES for pair in lane_plan for v in pair]
         fe = edge_attr.shape[-1]
-        for cand in range(min(k_f, k_b), 0, -1):
-            if (k_f % cand == 0 and k_b % cand == 0 and f % cand == 0
+        for cand in range(min(ks), 0, -1):
+            if (all(kk % cand == 0 for kk in ks) and f % cand == 0
                     and f // cand >= fe):
                 r = cand
                 break
@@ -746,11 +765,18 @@ def fused_gn_block(
         sidx = jnp.asarray(tiling.sidx)[:, None, :]
         ridx = jnp.asarray(tiling.ridx)[:, None, :]
         win_start = jnp.asarray(tiling.win_start)
-    # window UNIT of each (g, window-slot) pair: the dxw reduction
-    # epilogue scatter-adds whole [wu, lanes] blocks (contiguous -
-    # vectorizes) rather than individual rows. win_start is [G, wb]
-    # (arbitrary units per group).
-    blk_node = win_start.reshape(-1).astype(jnp.int32)
+    # per-bucket runtime index slices. win_start rows hold each group's
+    # window UNITS ([G, wb], arbitrary units; padding slots inert via the
+    # sidx sentinel) — the dxw reduction epilogue scatter-adds whole
+    # [wu, lanes] blocks keyed by these unit ids. The single-bucket
+    # default passes the arrays through unsliced so the traced program
+    # (and the compile cache) is unchanged.
+    b_idx = []
+    for (lo, hi, wb_b) in buckets:
+        if (lo, hi, wb_b) == (0, g_blocks, wb):
+            b_idx.append((win_start, sidx, ridx))
+        else:
+            b_idx.append((win_start[lo:hi, :wb_b], sidx[lo:hi], ridx[lo:hi]))
 
     # PrefetchScalarGridSpec index maps receive (c, g, win_start_ref)
     def _vspec(shape, imap):
@@ -760,55 +786,97 @@ def fused_gn_block(
         nd = len(w.shape)
         return _vspec(w.shape, partial(lambda nd_, c, g, ws: (0,) * nd_, nd))
 
-    def _specs(l):
-        """(grid, in_specs, node_spec, edge_spec, dxw_spec) for lane width l."""
-        grid = (total_lanes // l, g_blocks)
+    def _off_map(lo):
+        """Group-block index map with a static bucket offset (plain map
+        when lo == 0 so the default path's jaxpr is unchanged)."""
+        if lo == 0:
+            return lambda c, g, ws: (g, c)
+        return partial(lambda lo_, c, g, ws: (g + lo_, c), lo)
+
+    def _specs(l, lo, ng, wb_b):
+        """(grid, in_specs, node_spec, edge_spec, dxw_spec) for lane width
+        ``l`` and the bucket covering groups [lo, lo+ng) at window width
+        ``wb_b``. Node/edge arrays stay FULL-sized (maps add the static
+        group offset — no slicing copies); only the dxw output is
+        bucket-local (its shape depends on wb_b)."""
+        grid = (total_lanes // l, ng)
         group_spec = _vspec((1, 1, emax), lambda c, g, ws: (g, 0, 0))
-        node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
-        edge_spec = _vspec((emax, l), lambda c, g, ws: (g, c))
+        node_spec = _vspec((nb, l), _off_map(lo))
+        edge_spec = _vspec((emax, l), _off_map(lo))
         # raw (folded-encoder) edge blocks carry l/r lanes per chunk
-        edge_in_spec = _vspec((emax, l // r), lambda c, g, ws: (g, c))
+        edge_in_spec = _vspec((emax, l // r), _off_map(lo))
         win_specs = [
             _vspec((wu, l), partial(lambda k, c, g, ws: (ws[g, k], c), k))
-            for k in range(wb)
+            for k in range(wb_b)
         ]
         weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
         in_specs = ([group_spec, group_spec, node_spec] + win_specs
                     + [edge_in_spec] + weight_specs)
-        dxw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
+        dxw_spec = _vspec((wb_b * wu, l), lambda c, g, ws: (g, c))
         return grid, in_specs, node_spec, edge_spec, dxw_spec
 
+    # aliased prev-bucket outputs ride as extra inputs with a tiny
+    # constant-index spec: the alias is buffer-level (XLA donation), so
+    # one [*, 128] block fetch satisfies Mosaic without re-streaming the
+    # array the kernel never reads
+    prev_node_spec = _vspec((nb, LANES), lambda c, g, ws: (0, 0))
+    prev_edge_spec = _vspec((emax, LANES), lambda c, g, ws: (0, 0))
+
     def _fwd(x2, e2, weights):
-        grid, in_specs, node_spec, edge_spec, _ = _specs(lanes)
-        out_specs = [node_spec]
-        out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
-        if not last_block:
-            out_specs.append(edge_spec)
-            out_shape.append(
-                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype)
+        xout = eout = None
+        for bi, (lo, hi, wb_b) in enumerate(buckets):
+            l, _lb = lane_plan[bi]
+            ng = hi - lo
+            win_b, sidx_b, ridx_b = b_idx[bi]
+            grid, in_specs, node_spec, edge_spec, _ = _specs(l, lo, ng, wb_b)
+            out_specs = [node_spec]
+            out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
+            if not last_block:
+                out_specs.append(edge_spec)
+                out_shape.append(
+                    jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype)
+                )
+            n_reg = 4 + wb_b + 1 + len(weights)
+            prev_ops, prev_specs, aliases = [], [], {}
+            if bi > 0:
+                # later buckets write their group ranges into the previous
+                # call's output buffers; untouched blocks pass through
+                prev_ops.append(xout)
+                prev_specs.append(prev_node_spec)
+                aliases[n_reg] = 0
+                if not last_block:
+                    prev_ops.append(eout)
+                    prev_specs.append(prev_edge_spec)
+                    aliases[n_reg + 1] = 1
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs + prev_specs,
+                out_specs=out_specs,
             )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        kernel = partial(_fwd_kernel, cfg, wb, wu, nb, emax, lanes)
-        outs = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            # no cross-step state in the forward: let Mosaic pipeline the
-            # grid freely (the backward accumulates dw across steps and
-            # must stay sequential)
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-            interpret=interpret,
-        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *weights)
+            kernel = partial(_fwd_kernel, cfg, wb_b, wu, nb, emax, l)
+            if prev_ops:
+                kernel = partial(_drop_refs, kernel, n_reg, len(prev_ops))
+            outs = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                # no cross-step state in the forward: let Mosaic pipeline
+                # the grid freely (the backward accumulates dw across
+                # steps and must stay sequential)
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                interpret=interpret,
+                input_output_aliases=aliases,
+            )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *weights,
+              *prev_ops)
+            xout = outs[0]
+            if not last_block:
+                eout = outs[1]
         if last_block:
-            return outs[0], e2  # dead edge output: hand back the input
-        return tuple(outs)
+            return xout, e2  # dead edge output: hand back the input
+        return xout, eout
 
     @jax.custom_vjp
     def run(x2, e2, *weights):
@@ -825,52 +893,82 @@ def fused_gn_block(
 
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                      for w in weights]
-        grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(lanes_bwd)
-        cot_specs = [node_spec]  # g_xout
-        cots = [g_xout]
-        if not last_block:
-            cot_specs.append(edge_spec)
-            cots.append(g_eout.astype(dtype))
-        out_specs = [node_spec, dxw_spec]
-        out_shape = [
-            jax.ShapeDtypeStruct((n, total_lanes), dtype),
-            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
-        ]
-        if n_enc == 0:
-            out_specs.append(edge_spec)  # de
-            out_shape.append(
-                jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype)
+        dx_main = de = dx_extra = None
+        dws_acc = None
+        for bi, (lo, hi, wb_b) in enumerate(buckets):
+            _l, lb = lane_plan[bi]
+            ng = hi - lo
+            win_b, sidx_b, ridx_b = b_idx[bi]
+            grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(
+                lb, lo, ng, wb_b)
+            cot_specs = [node_spec]  # g_xout
+            cots = [g_xout]
+            if not last_block:
+                cot_specs.append(edge_spec)
+                cots.append(g_eout.astype(dtype))
+            out_specs = [node_spec, dxw_spec]
+            out_shape = [
+                jax.ShapeDtypeStruct((n, total_lanes), dtype),
+                jax.ShapeDtypeStruct((ng * wb_b * wu, total_lanes), dtype),
+            ]
+            if n_enc == 0:
+                out_specs.append(edge_spec)  # de
+                out_shape.append(
+                    jax.ShapeDtypeStruct((g_blocks * emax, total_lanes),
+                                         dtype)
+                )
+            n_reg = 4 + wb_b + 1 + len(weights) + len(cots)
+            prev_ops, prev_specs, aliases = [], [], {}
+            if bi > 0:
+                prev_ops.append(dx_main)
+                prev_specs.append(prev_node_spec)
+                aliases[n_reg] = 0
+                if n_enc == 0:
+                    prev_ops.append(de)
+                    prev_specs.append(prev_edge_spec)
+                    aliases[n_reg + 1] = 2
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs + cot_specs + prev_specs,
+                out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
+                scratch_shapes=[pltpu.VMEM(s.shape, jnp.float32)
+                                for s in dw_shapes],
             )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs + cot_specs,
-            out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
-            scratch_shapes=[pltpu.VMEM(s.shape, jnp.float32)
-                            for s in dw_shapes],
-        )
-        kernel = partial(_bwd_kernel, cfg, wb, wu, nb, emax, lanes_bwd)
-        outs = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape + dw_shapes,
-            interpret=interpret,
-        )(win_start, sidx, ridx, x2, *([x2] * wb), e2, *weights, *cots)
-        dx_main, dxw = outs[0], outs[1]
-        if n_enc == 0:
-            de = outs[2]
-            dws = outs[3:]
-        else:
+            kernel = partial(_bwd_kernel, cfg, wb_b, wu, nb, emax, lb)
+            if prev_ops:
+                kernel = partial(_drop_refs, kernel, n_reg, len(prev_ops))
+            outs = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape + dw_shapes,
+                interpret=interpret,
+                input_output_aliases=aliases,
+            )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *weights,
+              *cots, *prev_ops)
+            dx_main, dxw = outs[0], outs[1]
+            if n_enc == 0:
+                de = outs[2]
+                dws = outs[3:]
+            else:
+                dws = outs[2:]
+            # per-bucket weight grads sum (tiny arrays)
+            dws_acc = (list(dws) if dws_acc is None
+                       else [a + d for a, d in zip(dws_acc, dws)])
+            # block-granular scatter-add of this bucket's window
+            # contributions (its own wb_b width and unit-id list)
+            dxw_blocks = dxw.reshape(ng * wb_b, wu, total_lanes)
+            contrib = jax.ops.segment_sum(
+                dxw_blocks, win_b.reshape(-1).astype(jnp.int32),
+                num_segments=n // wu,
+            )
+            dx_extra = contrib if dx_extra is None else dx_extra + contrib
+        if n_enc != 0:
             de = jnp.zeros_like(e2)  # raw features carry no gradient
-            dws = outs[2:]
         # fp32 in-kernel accumulators -> cotangent dtype must match primal
-        dws = [dw.astype(w.dtype) for dw, w in zip(dws, weights)]
-        # block-granular scatter-add of the window contributions
-        dxw_blocks = dxw.reshape(g_blocks * wb, wu, total_lanes)
-        dx_extra = jax.ops.segment_sum(
-            dxw_blocks, blk_node, num_segments=n // wu
-        ).reshape(n, total_lanes)
-        dx = dx_main.astype(jnp.float32) + dx_extra.astype(jnp.float32)
+        dws = [dw.astype(w.dtype) for dw, w in zip(dws_acc, weights)]
+        dx = (dx_main.astype(jnp.float32)
+              + dx_extra.reshape(n, total_lanes).astype(jnp.float32))
         return (dx.astype(dtype), de, *dws)
 
     run.defvjp(run_fwd, run_bwd)

@@ -75,6 +75,14 @@ class EdgeTiling:
     #: banded meshes the sender window shrinks ~33%, cutting every
     #: w_rows-proportional kernel cost (sender gathers, P_s, dxw).
     window_unit: int = 128
+    #: optional window-count buckets: ((g_lo, g_hi, wb_b), ...) covering
+    #: [0, G) contiguously, each with its own (smaller) window width
+    #: wb_b <= window_blocks. Groups must be pre-sorted by touched-unit
+    #: count (see plan_wb_buckets); the fused kernels then dispatch one
+    #: pallas_call per bucket so low-window groups stop paying the global
+    #: max wb in window DMA and one-hot gather flops. None = single
+    #: bucket (the default dispatch).
+    buckets: Optional[Tuple[Tuple[int, int, int], ...]] = None
 
     @property
     def num_groups(self) -> int:
@@ -281,3 +289,122 @@ def build_edge_tiling(
         num_nodes=n_pad,
         window_unit=window_unit,
     )
+
+
+# ----------------------------------------------------------------------
+# window-count bucketing (graded meshes: don't pay the max wb everywhere)
+# ----------------------------------------------------------------------
+
+def unit_counts_from_win(win_start: np.ndarray) -> np.ndarray:
+    """Per-group count of REAL window units in a ``win_start`` row.
+
+    Real units are strictly ascending by construction; padding slots
+    repeat ``units[0]``, so slot k>0 is real iff it exceeds slot k-1.
+    Deterministic on the array content alone — the same counts are
+    recovered from the runtime ``tiling_idx`` copy of ``win_start``, so
+    bucket plans derived at build time and at step-dispatch time agree.
+    """
+    w = np.asarray(win_start)
+    if w.shape[1] == 1:
+        return np.ones(w.shape[0], np.int64)
+    return 1 + (w[:, 1:] > w[:, :-1]).sum(axis=1).astype(np.int64)
+
+
+def plan_wb_buckets(
+    counts: np.ndarray,
+    wb_buckets: int,
+    window_blocks_multiple: int = 1,
+    min_groups: int = 8,
+) -> Tuple[Tuple[int, int, int], ...]:
+    """Contiguous-segment plan over per-group unit counts.
+
+    Returns ``((g_lo, g_hi, wb_b), ...)`` covering [0, len(counts)),
+    minimizing ``sum(len_b * round_up(max_b))`` by dynamic programming
+    over contiguous cuts of the GIVEN order (callers sort groups by count
+    first — see sort_blocks_for_buckets). Buckets smaller than
+    ``min_groups`` are not worth a separate kernel dispatch and are
+    rejected during the DP. wb_b is rounded up to
+    ``window_blocks_multiple`` so bucket shapes quantize the same way
+    tiling shapes do.
+    """
+    counts = np.asarray(counts, np.int64)
+    g = len(counts)
+    k = max(1, int(wb_buckets))
+    if g == 0 or k == 1:
+        wb = int(_round_up(int(counts.max()) if g else 1,
+                           window_blocks_multiple))
+        return ((0, g, wb),)
+    # suffix maxima let segment cost be O(1): max(counts[i:j]) via a
+    # sparse table is overkill at G ~ hundreds; precompute max for all
+    # (i, j) lazily through running maxima inside the DP loops instead.
+    INF = float("inf")
+    ru = lambda v: int(_round_up(int(v), window_blocks_multiple))  # noqa: E731
+    # dp[b][j] = min cost of covering [0, j) with b buckets
+    dp = [[INF] * (g + 1) for _ in range(k + 1)]
+    cut = [[0] * (g + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for b in range(1, k + 1):
+        for j in range(1, g + 1):
+            m = 0
+            best, arg = INF, 0
+            # i is the segment start; walk backwards keeping running max
+            for i in range(j - 1, -1, -1):
+                m = max(m, int(counts[i]))
+                seg = j - i
+                if seg < min_groups and not (i == 0 and b == 1):
+                    continue
+                prev = dp[b - 1][i]
+                if prev is INF:
+                    continue
+                c = prev + seg * ru(m)
+                if c < best:
+                    best, arg = c, i
+            dp[b][j], cut[b][j] = best, arg
+    # pick the bucket count with the lowest total cost (fewer buckets win
+    # ties: each extra bucket is an extra kernel dispatch)
+    b_best = min(range(1, k + 1), key=lambda b: (dp[b][g], b))
+    bounds = [g]
+    b, j = b_best, g
+    while j > 0:
+        i = cut[b][j]
+        bounds.append(i)
+        b, j = b - 1, i
+    bounds = bounds[::-1]
+    out = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi > lo:
+            out.append((lo, hi, ru(counts[lo:hi].max())))
+    return tuple(out)
+
+
+def sort_blocks_for_buckets(counts: np.ndarray) -> Optional[np.ndarray]:
+    """Block order (new position -> old block id) sorting groups by
+    window-unit count, with the LAST block pinned in place.
+
+    The last node block contains the valid/padding boundary; pinning it
+    keeps valid nodes a contiguous prefix after the block-level node
+    permutation (every other block holds only valid rows). Returns None
+    when already sorted (no re-permutation needed).
+    """
+    counts = np.asarray(counts)
+    g = len(counts)
+    if g <= 2:
+        return None
+    order = np.concatenate(
+        [np.argsort(counts[: g - 1], kind="stable"), [g - 1]]
+    ).astype(np.int64)
+    if np.array_equal(order, np.arange(g)):
+        return None
+    return order
+
+
+def block_order_to_node_perm(order: np.ndarray, node_block: int,
+                             n_valid: int) -> np.ndarray:
+    """Expand a block order into a node permutation over the VALID rows
+    (old id at new position i = perm[i]) — the format _permute_nodes and
+    rcm_order use. Requires the last block pinned (sort_blocks_for_buckets)
+    so that every moved block is fully below ``n_valid``."""
+    order = np.asarray(order, np.int64)
+    perm_full = (order[:, None] * node_block
+                 + np.arange(node_block)[None, :]).reshape(-1)
+    return perm_full[:n_valid]

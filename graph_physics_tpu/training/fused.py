@@ -41,12 +41,17 @@ class FusedTopologyManager:
 
     def __init__(self, node_block: int = 128, max_window_blocks: int = 16,
                  edge_pad_multiple: int = 64, window_blocks_multiple: int = 2,
-                 window_unit: int = 64):
+                 window_unit: int = 64, wb_buckets: int = 1):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
         self.edge_pad_multiple = edge_pad_multiple
         self.window_blocks_multiple = window_blocks_multiple
         self.window_unit = window_unit
+        #: >1: sort node blocks by touched-window-unit count and dispatch
+        #: the fused kernels as up to this many window-width buckets, so
+        #: graded meshes (airfoil: wb 3..18, median 12) don't pay the max
+        #: window width on every group. 1 = single dispatch (default).
+        self.wb_buckets = wb_buckets
         #: traj id -> (tiling or None, rcm permutation or None)
         self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray]]] = {}
         #: shape-bucket key -> (simulator clone, jitted step_fn)
@@ -71,7 +76,20 @@ class FusedTopologyManager:
             edges_per_block=int(sidx.shape[1]),
             num_nodes=int(batch.x.shape[0]),
             window_unit=self.window_unit,
+            # the bucket plan re-derives deterministically from the
+            # win_start CONTENT (groups were sorted at build time), so the
+            # runtime-reconstructed tiling dispatches exactly like the
+            # host-built one
+            buckets=self._bucket_plan(win),
         )
+
+    def _bucket_plan(self, win_start: np.ndarray):
+        if self.wb_buckets <= 1:
+            return None
+        counts = tiling_lib.unit_counts_from_win(win_start)
+        plan = tiling_lib.plan_wb_buckets(
+            counts, self.wb_buckets, self.window_blocks_multiple)
+        return plan if len(plan) > 1 else None
 
     def key_for(self, batch: MeshGraph, base_sim=None):
         """Shape-bucket key of a (converted) batch's topology — for outer
@@ -85,10 +103,12 @@ class FusedTopologyManager:
 
     @staticmethod
     def bucket_key(t) -> Tuple:
-        """Static geometry of a tiling — equal key ⟹ same compiled step."""
+        """Static geometry of a tiling — equal key ⟹ same compiled step.
+        The wb-bucket plan is static dispatch structure (per-bucket group
+        counts and window widths), so it is part of the key."""
         return (
             t.num_nodes, t.num_groups, t.edges_per_block, t.node_block,
-            t.window_blocks, t.window_unit,
+            t.window_blocks, t.window_unit, t.buckets,
         )
 
     # -- host-side frame conversion (runs in the loader thread) ---------
@@ -127,8 +147,34 @@ class FusedTopologyManager:
             t = tiling_lib.build_edge_tiling(inv[send], inv[recv], n_valid, **kw)
             if t is None:
                 perm = None  # not tileable: XLA fallback for this topology
+        if t is not None and self.wb_buckets > 1:
+            t, perm = self._sort_for_buckets(t, perm, send, recv, n_valid, kw)
         self._tilings[key] = (t, perm)
         return key, (t, perm)
+
+    def _sort_for_buckets(self, t, perm, send, recv, n_valid, kw):
+        """Re-permute node BLOCKS so groups are ordered by window-unit
+        count (last block pinned — it holds the valid/padding boundary),
+        rebuild the tiling in that order, and attach the bucket plan.
+        A block-granular permutation maps each group's touched-unit SET
+        bijectively, so per-group counts — and therefore the plan — are
+        preserved exactly."""
+        counts = tiling_lib.unit_counts_from_win(t.win_start)
+        order = tiling_lib.sort_blocks_for_buckets(counts)
+        if order is not None:
+            perm2 = tiling_lib.block_order_to_node_perm(
+                order, t.node_block, n_valid)
+            perm = perm2 if perm is None else np.asarray(perm)[perm2]
+            inv = np.argsort(perm)
+            t = tiling_lib.build_edge_tiling(
+                inv[np.asarray(send)], inv[np.asarray(recv)], n_valid, **kw)
+            assert t is not None, "block re-sort cannot break tileability"
+        plan = self._bucket_plan(t.win_start)
+        if plan is not None:
+            import dataclasses
+
+            t = dataclasses.replace(t, buckets=plan)
+        return t, perm
 
     def tiling_of(self, traj: int):
         """(tiling, rcm perm) of the first topology seen for ``traj``

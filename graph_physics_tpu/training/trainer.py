@@ -82,6 +82,11 @@ class TrainerConfig:
     #: 3.7x measured); untileable topologies fall back to the XLA path per
     #: trajectory.
     fused: bool = False
+    #: >1: dispatch the fused GraphNetBlock as up to this many
+    #: window-width buckets (groups sorted by touched window units) so
+    #: graded meshes don't pay the max sender-window width everywhere;
+    #: uniform meshes plan a single bucket automatically. 1 = off.
+    fused_wb_buckets: int = 1
 
 
 class Trainer:
@@ -150,7 +155,8 @@ class Trainer:
                 raise ValueError("TrainerConfig.fused requires packed=True")
             from graph_physics_tpu.training.fused import FusedTopologyManager
 
-            self._fused_mgr = FusedTopologyManager()
+            self._fused_mgr = FusedTopologyManager(
+                wb_buckets=cfg.fused_wb_buckets)
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,

@@ -663,8 +663,16 @@ def fused_gn_block(
 
     folded = edge_encoder_params is not None
 
-    def _caps(win_rows_b, l, lb):
-        """Lane-tile caps for one bucket's window width (VMEM budget)."""
+    def _caps(win_rows_b, l, lb, aliased=False):
+        """Lane-tile caps for one bucket's window width (VMEM budget).
+
+        ``aliased``: bucket > 0 of a multi-bucket dispatch — its kernels
+        carry the previous bucket's outputs as aliased inputs, whose
+        constant-index block fetches add ~0.5 MB to a backward working
+        set already within ~1 MB of the 16 MB scoped-VMEM limit at wide
+        windows (measured: wb=18 airfoil bucket OOMs by 1.28 MB at
+        lanes_bwd 256); such buckets take the multi-chunk 128-lane
+        backward width, which is measured safe."""
         if folded:
             # the folded encoder adds its rematerialized pre-activations
             # to the VMEM working set; narrower tiles keep it under the
@@ -680,6 +688,8 @@ def fused_gn_block(
             # at a single chunk and (512, 128) multi-chunk measured safe
             l = min(l, 512)
             lb = min(lb, 256 if total_lanes <= 512 else 128)
+            if aliased:
+                lb = min(lb, 128)
         if win_rows_b > 1280:
             l = min(l, 256)
             lb = min(lb, 128)
@@ -698,8 +708,8 @@ def fused_gn_block(
     # caps from its own window width
     buckets = tiling.buckets or ((0, g_blocks, wb),)
     assert buckets[0][0] == 0 and buckets[-1][1] == g_blocks, buckets
-    lane_plan = [_caps(wb_b * wu, lanes, lanes_bwd)
-                 for (_lo, _hi, wb_b) in buckets]
+    lane_plan = [_caps(wb_b * wu, lanes, lanes_bwd, aliased=(bi > 0))
+                 for bi, (_lo, _hi, wb_b) in enumerate(buckets)]
 
     # folded-encoder geometry: raw rows carry fe_pad = F/r channels per
     # sample so every lane tile (fwd AND bwd, every bucket) stays

@@ -103,7 +103,12 @@ def main(argv=None):
         extra_node_features = get_feature_builder(args.external)
 
     model = config_lib.get_model(param, dtype=dtype)
-    simulator = config_lib.get_simulator(param, model)
+    # fused multi-chip dp runs inside shard_map (parallel/dp.py): the
+    # normalizer needs the mesh axis name to psum its statistics globally
+    dp_fused = bool(args.num_dp_devices) and args.fused
+    simulator = config_lib.get_simulator(
+        param, model, axis_name="dp" if dp_fused else None
+    )
     mtp = config_lib.get_mtp_setup(param, dtype=dtype)
     loss_fn, loss_name = config_lib.get_loss(param)
     gradient_method = config_lib.get_gradient_method(param)
@@ -152,6 +157,11 @@ def main(argv=None):
     if args.fused:
         if not (args.packed and args.bf16):
             raise SystemExit("--fused requires --packed and --bf16")
+        if args.num_dp_devices and args.batch_size % args.num_dp_devices:
+            raise SystemExit(
+                "--fused --num_dp_devices runs inside shard_map: "
+                "batch_size must be divisible by num_dp_devices"
+            )
         if world_host is not None:
             raise SystemExit(
                 "--fused is incompatible with world edges (per-frame topology)"

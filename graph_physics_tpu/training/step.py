@@ -104,6 +104,7 @@ def make_train_step(
     donate: bool = True,
     device_preprocess: Optional[Callable] = None,
     mtp: Optional[MTPSetup] = None,
+    dp_axis_name: Optional[str] = None,
 ) -> Callable[[TrainState, MeshGraph, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -112,6 +113,14 @@ def make_train_step(
     MultiLoss (spec: lightning_module.py:278-312). ``device_preprocess``
     (graph, rng, step) -> graph supersedes ``noise_cfg`` when given (use
     transforms.make_device_preprocess to compose noise + world features).
+
+    ``dp_axis_name`` marks the step as running INSIDE ``shard_map`` over a
+    data-parallel mesh axis (parallel/dp.py): the loss is pmean-ed over
+    that axis before differentiation so — under ``check_vma=True``
+    replication tracking — every shard's AD already yields the identical
+    global gradient (same mechanism as parallel/sp.py). Build the
+    simulator with ``axis_name=dp_axis_name`` so normalizer statistics
+    psum globally. Leave None for single-device or GSPMD execution.
     """
     is_multi = isinstance(loss_fn, MultiLoss)
     mask_types = tuple(int(m) for m in mask_types)
@@ -241,6 +250,14 @@ def make_train_step(
             compute_loss, has_aux=True
         )(state.params, state.sim_state, graph, mtp_rng)
 
+        if dp_axis_name is not None:
+            # classic DDP reduction: nothing in compute_loss crosses
+            # shards (normalizer psums sit behind stop_gradient), so the
+            # global gradient is exactly the pmean of per-shard gradients
+            # (equal shard sizes). Works under check_vma=False — required
+            # because Pallas calls don't carry vma annotations.
+            grads = jax.lax.pmean(grads, dp_axis_name)
+
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -250,6 +267,12 @@ def make_train_step(
         metrics.update(stats)
         for i, t_ in enumerate(terms):
             metrics[f"loss_term_{i}"] = t_
+        if dp_axis_name is not None:
+            # terms/stats are shard-local means; loss/grad_norm are already
+            # replicated (pmean of a replicated value is the identity)
+            metrics = jax.tree.map(
+                lambda m: jax.lax.pmean(m, dp_axis_name), metrics
+            )
         new_state = TrainState(
             params=new_params,
             opt_state=new_opt_state,

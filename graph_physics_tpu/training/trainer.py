@@ -129,25 +129,46 @@ class Trainer:
         self.mtp = mtp
         self.multi_step = None
 
-        def _build_step(sim):
-            return make_train_step(
-                sim,
-                self.optimizer,
-                loss_fn,
-                gradient_method=gradient_method,
-                num_steps=self.num_steps,
-                device_preprocess=device_preprocess,
-                mtp=mtp,
-            )
+        step_kwargs = dict(
+            gradient_method=gradient_method,
+            num_steps=self.num_steps,
+            device_preprocess=device_preprocess,
+            mtp=mtp,
+        )
+        # fused + mesh: GSPMD cannot partition a Pallas custom call (it
+        # would all-gather the batch and replicate the kernel on every
+        # chip), so the fused multi-chip path runs the step inside
+        # shard_map over 'dp' instead (parallel/dp.py). The XLA path
+        # stays on GSPMD.
+        dp_shard_map = mesh is not None and cfg.fused
 
-        self._build_step = _build_step
-        self.train_step = _build_step(simulator)
-        if cfg.steps_per_dispatch > 1:
+        def _build_step(sim):
+            if dp_shard_map:
+                from graph_physics_tpu.parallel.dp import make_dp_train_step
+
+                return make_dp_train_step(
+                    sim, self.optimizer, loss_fn, mesh,
+                    packed=cfg.packed, **step_kwargs,
+                )
+            return make_train_step(sim, self.optimizer, loss_fn, **step_kwargs)
+
+        def _build_multi(sim, unroll):
+            if dp_shard_map:
+                from graph_physics_tpu.parallel.dp import make_dp_multi_step
+
+                return make_dp_multi_step(
+                    sim, self.optimizer, loss_fn, mesh, unroll,
+                    packed=cfg.packed, **step_kwargs,
+                )
             from graph_physics_tpu.training.step import make_multi_step
 
-            self.multi_step = make_multi_step(
-                self.train_step, unroll=cfg.steps_per_dispatch
-            )
+            return make_multi_step(_build_step(sim), unroll=unroll)
+
+        self._build_step = _build_step
+        self._build_multi = _build_multi
+        self.train_step = _build_step(simulator)
+        if cfg.steps_per_dispatch > 1:
+            self.multi_step = _build_multi(simulator, cfg.steps_per_dispatch)
         self._fused_mgr = None
         self._fused_multi = {}
         if cfg.fused:
@@ -313,17 +334,13 @@ class Trainer:
                     multi_fn = self.multi_step
                     if self._fused_mgr is not None:
                         # per-topology multi-step over the tiled clone
-                        from graph_physics_tpu.training.step import (
-                            make_multi_step,
-                        )
-
                         key = self._fused_mgr.key_for(pending[0], self.sim)
                         multi_fn = self._fused_multi.get(key)
                         if multi_fn is None:
-                            _, step_fn = self._fused_mgr.step_for(
+                            sim_t, _ = self._fused_mgr.step_for(
                                 pending[0], self.sim, self._build_step
                             )
-                            multi_fn = make_multi_step(step_fn, unroll=k)
+                            multi_fn = self._build_multi(sim_t, k)
                             self._fused_multi[key] = multi_fn
                     super_batch = jax.tree.map(
                         lambda *xs: jnp.stack(xs), *pending

@@ -217,3 +217,30 @@ def test_fused_train_resume_predict(workspace):
         "--run_name", "pf",
     ]) == 0
     assert os.path.exists(d / "preds_fused" / "pf" / "trajectory_0.xdmf")
+
+
+def test_fused_dp_shardmap_train(workspace):
+    """--fused --num_dp_devices: the fused fast path scales over a dp mesh
+    via shard_map (GSPMD would replicate the Pallas calls); full CLI
+    train run on the 8-device CPU mesh."""
+    from graph_physics_tpu.cli.train import main as train_main
+
+    d, cfg_path = workspace
+    assert train_main([
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1",
+        "--batch_size", "4",
+        "--warmup", "2",
+        "--packed", "--bf16", "--fused",
+        "--num_dp_devices", "4",
+        "--out_dir", str(d / "runs_fused_dp"),
+        "--run_name", "rfd",
+    ]) == 0
+    metrics = [
+        json.loads(l)
+        for l in open(d / "runs_fused_dp" / "rfd" / "rfd.metrics.jsonl")
+    ]
+    assert any(
+        np.isfinite(m["val_all_rollout_rmse"])
+        for m in metrics if "val_all_rollout_rmse" in m
+    )

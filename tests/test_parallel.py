@@ -532,3 +532,133 @@ def test_sp_ring_halo_distance_two():
     rec = sp.unshard_nodes(np.asarray(out_sh), order, g.x.shape[0])
     n = int(g.n_node)
     np.testing.assert_allclose(rec[:n], np.asarray(out_single)[:n], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# shard_map data parallelism (parallel/dp.py) — the fused multi-chip path
+# ---------------------------------------------------------------------------
+
+
+def _fused_dp_setup(batch=32):
+    """(sim_plain, sim_dp, optimizer, packed fused batch) — cylinder-style
+    synthetic mesh through the REAL fused blocked layout."""
+    import copy
+
+    from __graft_entry__ import _cylinder_setup
+    from graph_physics_tpu.training import schedule
+
+    sim, _, _, g = _cylinder_setup(
+        nx=8, ny=6, hidden=32, mp_steps=2, batch=batch, packed=True, fused=True
+    )
+    sim_dp = copy.copy(sim)
+    sim_dp.axis_name = "dp"
+    opt = schedule.make_optimizer(1e-3, warmup=100, num_steps=1000)
+    return sim, sim_dp, opt, g
+
+
+def test_dp_shardmap_fused_step_matches_single_device():
+    """GSPMD replicates Pallas custom calls (all-gather of the batch), so
+    the fused dp path runs inside shard_map — and must match the
+    single-device step: loss, params, and psum-ed normalizer stats."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    sim, sim_dp, opt, batch = _fused_dp_setup()
+    ref_step = make_train_step(sim, opt, LossType.L2LOSS, donate=False)
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch)
+    st_ref, m_ref = ref_step(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=8, sp=1)
+    dp_step = dp_lib.make_dp_train_step(
+        sim_dp, opt, LossType.L2LOSS, mesh, packed=True, donate=False
+    )
+    specs = dp_lib.dp_batch_specs(batch, packed=True)
+    batch_sh = jax.device_put(
+        batch,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    repl = NamedSharding(mesh, P())
+    state2 = init_train_state(sim_dp, opt, jax.random.PRNGKey(0), batch)
+    state2 = jax.device_put(state2, jax.tree.map(lambda _: repl, state2))
+    st_dp, m_dp = dp_step(state2, batch_sh, jax.random.PRNGKey(1))
+
+    assert abs(float(m_ref["loss"]) - float(m_dp["loss"])) < 1e-5
+    deltas = jax.tree.map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        ),
+        st_ref.params, st_dp.params,
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-4  # bf16 reduction-order noise
+    # normalizer statistics psum-ed to the global values
+    ds = jax.tree.map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)))
+        ),
+        st_ref.sim_state, st_dp.sim_state,
+    )
+    assert max(jax.tree.leaves(ds)) < 1e-2
+
+
+def test_dp_shardmap_multi_step_matches_sequential():
+    """K fused optimizer steps in ONE shard_map dispatch == K sequential
+    dp steps (rng unused: no noise configured)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state
+
+    _, sim_dp, opt, batch = _fused_dp_setup()
+    mesh = make_mesh(dp=8, sp=1)
+    dp_step = dp_lib.make_dp_train_step(
+        sim_dp, opt, LossType.L2LOSS, mesh, packed=True, donate=False
+    )
+    multi = dp_lib.make_dp_multi_step(
+        sim_dp, opt, LossType.L2LOSS, mesh, unroll=2, packed=True, donate=False
+    )
+    specs = dp_lib.dp_batch_specs(batch, packed=True)
+    shard = lambda g: jax.device_put(
+        g,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    batch_sh = shard(batch)
+    repl = NamedSharding(mesh, P())
+    state = init_train_state(sim_dp, opt, jax.random.PRNGKey(0), batch)
+    state = jax.device_put(state, jax.tree.map(lambda _: repl, state))
+
+    st_seq = state
+    for i in range(2):
+        st_seq, m_seq = dp_step(st_seq, batch_sh, jax.random.PRNGKey(i))
+
+    super_batch = jax.tree.map(lambda a: jnp.stack([a, a]), batch_sh)
+    st_multi, ms = multi(state, super_batch, jax.random.PRNGKey(0))
+    assert int(st_multi.step) == 2
+    assert ms["loss"].shape == (2,)
+    assert abs(float(ms["loss"][1]) - float(m_seq["loss"])) < 1e-5
+    deltas = jax.tree.map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        ),
+        st_seq.params, st_multi.params,
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-4
+
+
+def test_dp_shardmap_requires_axis_name():
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training.loss import LossType
+
+    sim, _, opt, _ = _fused_dp_setup(batch=8)
+    mesh = make_mesh(dp=8, sp=1)
+    with pytest.raises(ValueError, match="axis_name"):
+        dp_lib.make_dp_train_step(sim, opt, LossType.L2LOSS, mesh)

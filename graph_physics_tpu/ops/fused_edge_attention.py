@@ -126,26 +126,28 @@ def _bwd_kernel(dh, wb, wu, nb, emax, lanes,
         vw_refs)
 
     inv_denom = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
-    g_out = g_out_ref[:].astype(jnp.bfloat16)  # [nb, lanes]
 
     ones_dh = _dh_group_ones(dh)
     # softmax bwd with out = Σ_e alpha_e v_e, alpha = p/denom[r]:
     #   Ā_e = d out/d alpha_e = Σ_dh v_e·g_out[r]
     #   g_l_e = alpha_e (Ā_e − Σ_e' alpha_e' Ā_e')
     #   d v_e = alpha_e · g_out[r]
-    # ONE receiver gather of g_out serves both dv and Ā; alpha is formed
-    # once from the (gathered) inv_denom and reused (the separate
-    # g_out/denom gather this kernel used to do was redundant).
-    g_out_e = _dot_t(oh_rN, g_out).astype(jnp.bfloat16)  # [Emax, lanes]
-    inv_e = _dot_t(oh_rN, inv_denom.astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    alpha = (p2 * inv_e).astype(jnp.bfloat16)  # [Emax, lanes]
-    g_ve = (alpha * g_out_e).astype(jnp.bfloat16)
-    abar = _grouped_dot(ve, g_out_e, ones_dh, emax, lanes)  # fp32 rows
+    # ONE receiver gather serves dv, Ā AND alpha: pre-scale g_out by
+    # inv_denom on the (cheap) node rows and gather g' = inv·g_out once —
+    # inv is constant within each dh lane group, so with Ā' := Σ_dh v·g'
+    # = inv·Ā and S'_r := inv·Σ_e p Ā' = inv²Σ p Ā:
+    #   dv_e      = p·g'_e        (= alpha·g_out_e)
+    #   g_logit_e = p·(Ā'_e − S'_r[e])  (= alpha(Ā − S))
+    # (the separate inv_denom gather this kernel used to do was redundant,
+    # as was the g_out/denom double gather before it)
+    gp = (g_out_ref[:].astype(jnp.float32) * inv_denom).astype(jnp.bfloat16)
+    gpe = _dot_t(oh_rN, gp).astype(jnp.bfloat16)  # [Emax, lanes]
+    g_ve = (p2 * gpe).astype(jnp.bfloat16)
+    abar = _grouped_dot(ve, gpe, ones_dh, emax, lanes)  # fp32 rows = Ā'
     abar2 = abar.reshape(emax, lanes).astype(jnp.bfloat16)
-    # Σ_e alpha Ā per receiver lane = inv_denom · Σ_e p Ā
     s_r = _dot(oh_rN, (p2 * abar2).astype(jnp.bfloat16)) * inv_denom
     s_e = _dot_t(oh_rN, s_r.astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    g_logit = alpha * (abar2 - s_e)  # [Emax, lanes] = alpha(Ā−S)
+    g_logit = (p2 * (abar2 - s_e)).astype(jnp.bfloat16)
     g_logit = (g_logit / math.sqrt(dh)).astype(jnp.bfloat16)
 
     # d q[r] = Σ_e g_logit k_e ; d k[s] = Σ_e g_logit q_e

@@ -130,13 +130,20 @@ def make_dp_train_step(
         )
         return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
-    # batch specs depend on which optional MeshGraph fields are present,
-    # so resolve them per batch STRUCTURE (cached — structure is stable
-    # across steps of a run)
+    # batch specs depend on which optional MeshGraph fields are present
+    # and on leaf ranks, so resolve them per batch LAYOUT (cached —
+    # the layout is stable across steps of a run)
     cache = {}
+    ndev = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
 
     def step(state, batch, rng):
-        key = jax.tree.structure(batch)
+        b = batch.x.shape[1] if packed else batch.x.shape[0]
+        if b % ndev:
+            raise ValueError(
+                f"dp shard_map: batch size {b} must divide evenly over "
+                f"the {ndev} '{axis_name}' devices"
+            )
+        key = _layout_key(batch)
         fn = cache.get(key)
         if fn is None:
             fn = build(dp_batch_specs(batch, packed, axis_name))
@@ -144,6 +151,14 @@ def make_dp_train_step(
         return fn(state, batch, rng)
 
     return step
+
+
+def _layout_key(batch):
+    """Treedef + per-leaf rank: the inputs `dp_batch_specs` depends on."""
+    return (
+        jax.tree.structure(batch),
+        tuple(np.ndim(l) for l in jax.tree.leaves(batch)),
+    )
 
 
 def make_dp_multi_step(
@@ -203,7 +218,7 @@ def make_dp_multi_step(
     cache = {}
 
     def multi_step(state, batch, rng):
-        key = jax.tree.structure(batch)
+        key = _layout_key(batch)
         fn = cache.get(key)
         if fn is None:
             one = jax.tree.map(lambda a: a[0], batch)

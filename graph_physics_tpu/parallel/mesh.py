@@ -4,7 +4,8 @@ Axis conventions for this framework:
   * 'dp' — data parallel: the batch axis of stacked graphs. Gradients and
     normalizer statistics all-reduce over it (XLA inserts the collectives
     under jit; SURVEY.md §2.4: the moral equivalent of the reference's
-    latent DDP seam).
+    latent DDP seam). The fused Pallas path cannot use GSPMD (custom
+    calls replicate) — it runs under shard_map instead: parallel/dp.py.
   * 'sp' — spatial/graph parallel: nodes+edges of ONE large mesh sharded
     across chips with halo gathers (parallel/sp.py) — the principled
     upgrade of the reference's METIS sub-mesh training.

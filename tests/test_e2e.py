@@ -222,7 +222,8 @@ def test_fused_train_resume_predict(workspace):
 def test_fused_dp_shardmap_train(workspace):
     """--fused --num_dp_devices: the fused fast path scales over a dp mesh
     via shard_map (GSPMD would replicate the Pallas calls); full CLI
-    train run on the 8-device CPU mesh."""
+    train run on the 8-device CPU mesh, incl. the multi-step dispatch
+    path (lax.scan inside shard_map)."""
     from graph_physics_tpu.cli.train import main as train_main
 
     d, cfg_path = workspace
@@ -233,6 +234,7 @@ def test_fused_dp_shardmap_train(workspace):
         "--warmup", "2",
         "--packed", "--bf16", "--fused",
         "--num_dp_devices", "4",
+        "--steps_per_dispatch", "2",
         "--out_dir", str(d / "runs_fused_dp"),
         "--run_name", "rfd",
     ]) == 0

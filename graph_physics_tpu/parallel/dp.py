@@ -9,12 +9,13 @@ training would not scale past one chip. This module runs the SAME train
 step inside ``jax.shard_map`` over the 'dp' axis instead: each device
 executes the fused kernels on its local batch shard, gradients are
 pmean-ed over 'dp' after ``value_and_grad`` (the classic DDP reduction —
-exact here because nothing inside the differentiated function crosses
-shards: normalizer psums sit behind ``stop_gradient``), and normalizer
-statistics psum through the simulator's ``axis_name``. ``check_vma`` is
-False by necessity — Pallas calls carry no vma annotations — which is
-why the explicit-pmean formulation is used instead of sp.py's
-vma-tracked loss-psum one.
+exact even under uneven per-shard mask/deselected counts, because plain
+losses use a global-denominator masked mean and no differentiated path
+crosses shards; see make_train_step's ``dp_axis_name`` docstring), and
+normalizer statistics psum through the simulator's ``axis_name``.
+``check_vma`` is False by necessity — Pallas calls carry no vma
+annotations — which is why the explicit-pmean formulation is used
+instead of sp.py's vma-tracked loss-psum one.
 
 Reference seam being upgraded: the latent DDP of the reference's
 Lightning trainer (SURVEY.md §2.4; lightning_module.py runs single-GPU
@@ -59,6 +60,10 @@ def dp_batch_specs(batch: MeshGraph, packed: bool, axis_name: str = "dp"):
             updates[f.name] = None
         elif f.name in _PACKED_2D_BATCHED:
             updates[f.name] = P(None, axis_name)
+        elif f.name == "time":
+            # pack() keeps per-frame times as a [B] array (packed.py):
+            # batch axis 0, unlike every other packed leaf
+            updates[f.name] = P(axis_name) if np.ndim(v) >= 1 else P()
         elif f.name == "tiling_idx":
             updates[f.name] = jax.tree.map(lambda _: P(), v)
         else:
@@ -97,15 +102,7 @@ def make_dp_train_step(
     """
     from graph_physics_tpu.training.step import make_train_step
 
-    sim_axes = simulator.axis_name
-    sim_axes = (sim_axes,) if isinstance(sim_axes, str) else (sim_axes or ())
-    if axis_name not in sim_axes:
-        raise ValueError(
-            f"make_dp_train_step: simulator.axis_name={simulator.axis_name!r} "
-            f"must include {axis_name!r} so normalizer statistics psum "
-            "across the batch shards (build the Simulator with "
-            f"axis_name={axis_name!r})"
-        )
+    _validate_sim_axis(simulator, axis_name, "make_dp_train_step")
 
     inner = make_train_step(
         simulator, optimizer, loss_fn,
@@ -134,15 +131,12 @@ def make_dp_train_step(
     # and on leaf ranks, so resolve them per batch LAYOUT (cached —
     # the layout is stable across steps of a run)
     cache = {}
-    ndev = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    ndev = int(mesh.shape[axis_name])
 
     def step(state, batch, rng):
-        b = batch.x.shape[1] if packed else batch.x.shape[0]
-        if b % ndev:
-            raise ValueError(
-                f"dp shard_map: batch size {b} must divide evenly over "
-                f"the {ndev} '{axis_name}' devices"
-            )
+        _validate_batch_divides(
+            batch.x.shape[1] if packed else batch.x.shape[0], ndev, axis_name
+        )
         key = _layout_key(batch)
         fn = cache.get(key)
         if fn is None:
@@ -159,6 +153,26 @@ def _layout_key(batch):
         jax.tree.structure(batch),
         tuple(np.ndim(l) for l in jax.tree.leaves(batch)),
     )
+
+
+def _validate_sim_axis(simulator, axis_name: str, who: str) -> None:
+    sim_axes = simulator.axis_name
+    sim_axes = (sim_axes,) if isinstance(sim_axes, str) else (sim_axes or ())
+    if axis_name not in sim_axes:
+        raise ValueError(
+            f"{who}: simulator.axis_name={simulator.axis_name!r} "
+            f"must include {axis_name!r} so normalizer statistics psum "
+            "across the batch shards (build the Simulator with "
+            f"axis_name={axis_name!r})"
+        )
+
+
+def _validate_batch_divides(b: int, ndev: int, axis_name: str) -> None:
+    if b % ndev:
+        raise ValueError(
+            f"dp shard_map: batch size {b} must divide evenly over "
+            f"the {ndev} '{axis_name}' devices"
+        )
 
 
 def make_dp_multi_step(
@@ -182,6 +196,9 @@ def make_dp_multi_step(
     :func:`make_dp_train_step` on each batch slice.
     """
     from graph_physics_tpu.training.step import make_train_step
+
+    _validate_sim_axis(simulator, axis_name, "make_dp_multi_step")
+    ndev = int(mesh.shape[axis_name])
 
     inner = make_train_step(
         simulator, optimizer, loss_fn,
@@ -218,6 +235,9 @@ def make_dp_multi_step(
     cache = {}
 
     def multi_step(state, batch, rng):
+        _validate_batch_divides(
+            batch.x.shape[2] if packed else batch.x.shape[1], ndev, axis_name
+        )
         key = _layout_key(batch)
         fn = cache.get(key)
         if fn is None:

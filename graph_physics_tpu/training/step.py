@@ -115,15 +115,41 @@ def make_train_step(
     transforms.make_device_preprocess to compose noise + world features).
 
     ``dp_axis_name`` marks the step as running INSIDE ``shard_map`` over a
-    data-parallel mesh axis (parallel/dp.py): the loss is pmean-ed over
-    that axis before differentiation so — under ``check_vma=True``
-    replication tracking — every shard's AD already yields the identical
-    global gradient (same mechanism as parallel/sp.py). Build the
-    simulator with ``axis_name=dp_axis_name`` so normalizer statistics
-    psum globally. Leave None for single-device or GSPMD execution.
+    data-parallel mesh axis (parallel/dp.py). Mechanism (check_vma is
+    False there — Pallas calls carry no vma annotations — so AD through
+    collectives is avoided entirely): plain losses use a global-denominator
+    masked mean (numerator local ×axis_size, denominator psum-ed with no
+    gradient path), and ``step_body`` pmeans the per-shard gradients after
+    ``value_and_grad`` — together exactly the single-device masked mean
+    and its gradient, even when deselected/mask counts differ per shard.
+    MultiLoss batch vmaps are per-sample-complete means and are exact
+    under the plain grad pmean already. Build the simulator with
+    ``axis_name=dp_axis_name`` so normalizer statistics psum globally.
+    Leave None for single-device or GSPMD execution.
     """
     is_multi = isinstance(loss_fn, MultiLoss)
     mask_types = tuple(int(m) for m in mask_types)
+
+    dp_mean = None
+    if dp_axis_name is not None:
+        def dp_mean(errors, mask):
+            """Global masked mean, exact across uneven per-shard masks:
+            num stays LOCAL (scaled by axis_size so the caller's grad/
+            metric pmean reproduces the global sum), den is the psum-ed
+            global mask count — same num/den contract as loss._masked_mean
+            and parallel/sp.make_sp_mean. No differentiated collective:
+            den has no parameter dependence, so check_vma=False psum
+            transpose semantics never matter."""
+            mf = mask.astype(jnp.float32)
+            extra = errors.shape[mask.ndim:]
+            cols = 1
+            for s in extra:
+                cols *= int(s)
+            m = mf.reshape(mf.shape + (1,) * len(extra))
+            num = jnp.sum(errors.astype(jnp.float32) * m)
+            den = jax.lax.psum(jnp.sum(mf), dp_axis_name) * cols
+            n = jax.lax.axis_size(dp_axis_name)
+            return n * num / jnp.maximum(den, 1.0)
 
     def compute_loss(params, sim_state: SimulatorState, graph: MeshGraph, mtp_rng):
         mp = model_params(params)
@@ -190,7 +216,7 @@ def make_train_step(
             else:
                 total, terms = per_graph(inp)
         else:
-            total = loss_fn.fn(inp, mask_types=mask_types)
+            total = loss_fn.fn(inp, mask_types=mask_types, mean_fn=dp_mean)
             terms = [total]
 
         stats: Dict[str, jnp.ndarray] = {}
@@ -251,11 +277,15 @@ def make_train_step(
         )(state.params, state.sim_state, graph, mtp_rng)
 
         if dp_axis_name is not None:
-            # classic DDP reduction: nothing in compute_loss crosses
-            # shards (normalizer psums sit behind stop_gradient), so the
-            # global gradient is exactly the pmean of per-shard gradients
-            # (equal shard sizes). Works under check_vma=False — required
-            # because Pallas calls don't carry vma annotations.
+            # DDP reduction. Exactness: no differentiated path crosses
+            # shards (normalizer psums sit behind stop_gradient; dp_mean's
+            # denominator psum carries no parameter dependence), and the
+            # per-shard loss is axis_size·local_num/global_den (plain
+            # losses) or a mean of per-sample-complete means (MultiLoss
+            # vmaps), so pmean of per-shard grads IS the global gradient —
+            # including uneven deselected/mask counts per shard. Works
+            # under check_vma=False — required because Pallas calls don't
+            # carry vma annotations.
             grads = jax.lax.pmean(grads, dp_axis_name)
 
         updates, new_opt_state = optimizer.update(
@@ -268,8 +298,10 @@ def make_train_step(
         for i, t_ in enumerate(terms):
             metrics[f"loss_term_{i}"] = t_
         if dp_axis_name is not None:
-            # terms/stats are shard-local means; loss/grad_norm are already
-            # replicated (pmean of a replicated value is the identity)
+            # all metrics are shard-local at this point (including loss —
+            # the dp_mean numerator is local); this pmean is what makes
+            # them the global values. grad_norm is computed from the
+            # already-pmean-ed grads, so its pmean is the identity.
             metrics = jax.tree.map(
                 lambda m: jax.lax.pmean(m, dp_axis_name), metrics
             )

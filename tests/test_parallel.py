@@ -733,3 +733,68 @@ def test_dp_shardmap_multiloss_matches_single_device():
         st_ref.params, st_dp.params,
     )
     assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_dp_shardmap_uneven_mask_exactness():
+    """The dp masked mean must equal the GLOBAL masked mean even when
+    deselected counts differ per sample (and so per shard): the
+    numerator stays local (×axis_size), the denominator psums — a naive
+    mean-of-shard-means would weight shards with fewer masked nodes
+    more heavily."""
+    import copy
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training import packed as pk
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+    from tests.test_train_step import make_setup
+
+    sim, opt, _ = make_setup(noise_scale=0.0)
+    gs = [tiny_graph(frame=i, num_steps=16) for i in range(8)]
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *gs
+    )
+    # wildly uneven deselection across samples: sample i masks out its
+    # first 3*i valid nodes
+    n_nodes = stacked.x.shape[1]
+    desel = np.zeros((8, n_nodes), bool)
+    for i in range(8):
+        desel[i, : 3 * i] = True
+    stacked = stacked.replace(deselected=desel)
+    batch = jax.tree.map(jnp.asarray, pk.pack(stacked))
+
+    ref_step = make_train_step(sim, opt, LossType.L2LOSS, None, donate=False)
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch)
+    st_ref, m_ref = ref_step(state, batch, jax.random.PRNGKey(1))
+
+    sim_dp = copy.copy(sim)
+    sim_dp.axis_name = "dp"
+    mesh = make_mesh(dp=8, sp=1)
+    dp_step = dp_lib.make_dp_train_step(
+        sim_dp, opt, LossType.L2LOSS, mesh, packed=True, donate=False
+    )
+    specs = dp_lib.dp_batch_specs(batch, packed=True)
+    batch_sh = jax.device_put(
+        batch,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    repl = NamedSharding(mesh, P())
+    state2 = init_train_state(sim_dp, opt, jax.random.PRNGKey(0), batch)
+    state2 = jax.device_put(state2, jax.tree.map(lambda _: repl, state2))
+    st_dp, m_dp = dp_step(state2, batch_sh, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_ref["loss"]), rtol=1e-5, atol=1e-6
+    )
+    deltas = jax.tree.map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        ),
+        st_ref.params, st_dp.params,
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-5

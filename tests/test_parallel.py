@@ -798,3 +798,57 @@ def test_dp_shardmap_uneven_mask_exactness():
         st_ref.params, st_dp.params,
     )
     assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_dp_shardmap_mtp_smoke():
+    """Spatial-MTP aux loss composes with the dp shard_map path (per-shard
+    center sampling from the folded rng; stats pmean-ed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training import config as config_lib
+    from graph_physics_tpu.training import packed as pk
+    from graph_physics_tpu.training import schedule
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state
+
+    param = {
+        "model": {
+            "type": "epd", "message_passing_num": 1, "hidden_size": 16,
+            "node_input_size": 2, "output_size": 2, "edge_input_size": 3,
+        },
+        "index": {
+            "feature_index_start": 0, "feature_index_end": 2,
+            "output_index_start": 0, "output_index_end": 2, "node_type_index": 2,
+        },
+        "training": {
+            "use_spatial_mtp": True, "spatial_mtp_centers_per_step": 8,
+            "spatial_mtp_max_neighbors": 6,
+        },
+    }
+    model = config_lib.get_model(param)
+    sim = config_lib.get_simulator(param, model, axis_name="dp")
+    mtp = config_lib.get_mtp_setup(param)
+    opt = schedule.make_optimizer(1e-3, 5, 100)
+    mesh = make_mesh(dp=8, sp=1)
+    step_fn = dp_lib.make_dp_train_step(
+        sim, opt, LossType.L2LOSS, mesh, packed=True, donate=False, mtp=mtp
+    )
+    gs = [tiny_graph(frame=i, num_steps=16) for i in range(8)]
+    batch = pk.pack(jax.tree.map(lambda *xs: np.stack(xs), *gs))
+    batch = jax.tree.map(jnp.asarray, batch)
+    specs = dp_lib.dp_batch_specs(batch, packed=True)
+    batch = jax.device_put(
+        batch,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    repl = NamedSharding(mesh, P())
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch, mtp=mtp)
+    state = jax.device_put(state, jax.tree.map(lambda _: repl, state))
+    s1, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["sp_mtp/pairs"]) > 0
+    assert int(s1.step) == 1

@@ -195,17 +195,20 @@ def budget_world_pairs(
         axis=1,
     )
 
-    def _ranks(endpoint: np.ndarray) -> np.ndarray:
-        order = np.lexsort((d, endpoint))
-        grp = np.r_[True, endpoint[order][1:] != endpoint[order][:-1]]
-        starts = np.flatnonzero(grp)
-        sizes = np.diff(np.r_[starts, p])
-        within = np.arange(p) - np.repeat(starts, sizes)
-        rk = np.empty(p, np.int64)
-        rk[order] = within
-        return rk
-
-    rank = np.maximum(_ranks(pairs[:, 0]), _ranks(pairs[:, 1]))
+    # per-NODE distance ranks over the UNION of a node's appearances in
+    # both pair columns (a node can be the min id of some pairs and the
+    # max id of others; ranking the columns separately would split its
+    # partner list into two independent sequences and break fairness)
+    endpoint = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    dd = np.concatenate([d, d])
+    order = np.lexsort((dd, endpoint))
+    grp = np.r_[True, endpoint[order][1:] != endpoint[order][:-1]]
+    starts = np.flatnonzero(grp)
+    sizes = np.diff(np.r_[starts, 2 * p])
+    within = np.arange(2 * p) - np.repeat(starts, sizes)
+    rk = np.empty(2 * p, np.int64)
+    rk[order] = within
+    rank = np.maximum(rk[:p], rk[p:])
     sel = np.lexsort((d, rank))[:keep_n]
     kept = pairs[sel]
     warnings.warn(

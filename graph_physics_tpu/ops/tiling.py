@@ -315,6 +315,7 @@ def plan_wb_buckets(
     wb_buckets: int,
     window_blocks_multiple: int = 1,
     min_groups: int = 8,
+    wb_cap: Optional[int] = None,
 ) -> Tuple[Tuple[int, int, int], ...]:
     """Contiguous-segment plan over per-group unit counts.
 
@@ -325,7 +326,10 @@ def plan_wb_buckets(
     ``min_groups`` are not worth a separate kernel dispatch and are
     rejected during the DP. wb_b is rounded up to
     ``window_blocks_multiple`` so bucket shapes quantize the same way
-    tiling shapes do.
+    tiling shapes do — and clamped to ``wb_cap`` (pass the tiling's
+    window_blocks: build_edge_tiling clamps ITS wb to n_pad//window_unit
+    after rounding, so an un-capped round-up here could exceed the
+    win_start column count and index the prefetch array out of bounds).
     """
     counts = np.asarray(counts, np.int64)
     g = len(counts)
@@ -333,12 +337,17 @@ def plan_wb_buckets(
     if g == 0 or k == 1:
         wb = int(_round_up(int(counts.max()) if g else 1,
                            window_blocks_multiple))
+        if wb_cap is not None:
+            wb = min(wb, int(wb_cap))
         return ((0, g, wb),)
     # suffix maxima let segment cost be O(1): max(counts[i:j]) via a
     # sparse table is overkill at G ~ hundreds; precompute max for all
     # (i, j) lazily through running maxima inside the DP loops instead.
     INF = float("inf")
-    ru = lambda v: int(_round_up(int(v), window_blocks_multiple))  # noqa: E731
+
+    def ru(v):
+        w = int(_round_up(int(v), window_blocks_multiple))
+        return w if wb_cap is None else min(w, int(wb_cap))
     # dp[b][j] = min cost of covering [0, j) with b buckets
     dp = [[INF] * (g + 1) for _ in range(k + 1)]
     cut = [[0] * (g + 1) for _ in range(k + 1)]

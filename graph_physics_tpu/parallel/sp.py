@@ -316,15 +316,12 @@ def make_sp_mean(axis_name: str):
     of every loss matches the unsharded value exactly (and so do its
     gradients under vma-tracked AD)."""
 
+    from graph_physics_tpu.training.loss import masked_num_den
+
     def mean(errors, mask):
-        mf = mask.astype(jnp.float32)
-        extra = errors.shape[mask.ndim:]
-        cols = 1
-        for s in extra:
-            cols *= int(s)
-        m = mf.reshape(mf.shape + (1,) * len(extra))
-        num = jax.lax.psum(jnp.sum(errors.astype(jnp.float32) * m), axis_name)
-        den = jax.lax.psum(jnp.sum(mf), axis_name) * cols
+        num, den = masked_num_den(errors, mask)
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
         return num / jnp.maximum(den, 1.0)
 
     return mean

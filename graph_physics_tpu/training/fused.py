@@ -56,6 +56,10 @@ class FusedTopologyManager:
         self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray]]] = {}
         #: shape-bucket key -> (simulator clone, jitted step_fn)
         self._steps: Dict[Any, Tuple[Any, Any]] = {}
+        #: win_start content digest -> bucket plan; the O(wb_buckets·G²)
+        #: planning DP runs 2-3× per batch through key_for/step_for in the
+        #: hot loop — it is a pure function of win_start, so memoize it
+        self._plans: Dict[Any, Any] = {}
 
     def _batch_tiling(self, batch: MeshGraph):
         """Geometry-only EdgeTiling reconstructed from a CONVERTED batch's
@@ -86,10 +90,21 @@ class FusedTopologyManager:
     def _bucket_plan(self, win_start: np.ndarray):
         if self.wb_buckets <= 1:
             return None
-        counts = tiling_lib.unit_counts_from_win(win_start)
+        import zlib
+
+        win = np.ascontiguousarray(np.asarray(win_start), np.int32)
+        key = (win.shape, zlib.crc32(win.tobytes()))
+        if key in self._plans:
+            return self._plans[key]
+        counts = tiling_lib.unit_counts_from_win(win)
         plan = tiling_lib.plan_wb_buckets(
-            counts, self.wb_buckets, self.window_blocks_multiple)
-        return plan if len(plan) > 1 else None
+            counts, self.wb_buckets, self.window_blocks_multiple,
+            # bucket widths must never exceed the tiling's (possibly
+            # capped, non-multiple) win_start column count
+            wb_cap=win.shape[1])
+        plan = plan if len(plan) > 1 else None
+        self._plans[key] = plan
+        return plan
 
     def key_for(self, batch: MeshGraph, base_sim=None):
         """Shape-bucket key of a (converted) batch's topology — for outer

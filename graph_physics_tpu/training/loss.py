@@ -62,13 +62,15 @@ def node_loss_mask(
     return m
 
 
-def _masked_mean(errors: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """mean(errors[mask]) for [..., N, C...] errors and [..., N] row mask.
-
-    Shape-polymorphic: works for single graphs ([N, C]), stacked batches
-    ([B, N, C] — averages over the whole batch like the reference does on
-    PyG mega-batches) and gradient tensors ([N, C, D]).
-    """
+def masked_num_den(
+    errors: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(numerator, denominator) of the masked mean, for [..., N, C...]
+    errors and [..., N] row mask — THE single source of the masked-mean
+    shape contract. Shape-polymorphic: single graphs ([N, C]), stacked
+    batches ([B, N, C]), gradient tensors ([N, C, D]). The denominator is
+    unclamped so sharded reducers (parallel/sp.make_sp_mean, the dp mean
+    in training/step.py) can psum the parts before dividing."""
     mf = mask.astype(jnp.float32)
     extra = errors.shape[mask.ndim :]
     cols = 1
@@ -76,8 +78,13 @@ def _masked_mean(errors: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         cols *= int(s)
     m = mf.reshape(mf.shape + (1,) * len(extra))
     num = jnp.sum(errors.astype(jnp.float32) * m)
-    den = jnp.maximum(jnp.sum(mf) * cols, 1.0)
-    return num / den
+    return num, jnp.sum(mf) * cols
+
+
+def _masked_mean(errors: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """mean(errors[mask]) — see :func:`masked_num_den`."""
+    num, den = masked_num_den(errors, mask)
+    return num / jnp.maximum(den, 1.0)
 
 
 def _smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
@@ -89,18 +96,23 @@ def _smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
 # data-space losses (normalized Δ)
 # ----------------------------------------------------------------------
 
-def masked_l2_parts(graph, network_output, target, mask_types=DEFAULT_MASK_TYPES,
-                    deselected=None):
-    """(numerator, denominator) of the masked MSE — the single source of
-    the L2 masking semantics, shared by :func:`l2_loss` and the sp
-    training loss (which psums the parts across shards before dividing)."""
+def l2_err_mask(graph, network_output, target, mask_types=DEFAULT_MASK_TYPES,
+                deselected=None):
+    """(squared error, node mask) of the masked MSE — the single source
+    of the L2 masking semantics."""
     m = node_loss_mask(graph, mask_types, deselected)
     err = (network_output.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-    mf = m.astype(jnp.float32)
-    mb = mf.reshape(mf.shape + (1,) * (err.ndim - mf.ndim))
-    num = jnp.sum(err * mb)
-    den = jnp.sum(mf) * int(np.prod(err.shape[mf.ndim:]))
-    return num, den
+    return err, m
+
+
+def masked_l2_parts(graph, network_output, target, mask_types=DEFAULT_MASK_TYPES,
+                    deselected=None):
+    """(numerator, denominator) of the masked MSE, shared by
+    :func:`l2_loss` and the sp training loss (which psums the parts
+    across shards before dividing)."""
+    return masked_num_den(
+        *l2_err_mask(graph, network_output, target, mask_types, deselected)
+    )
 
 
 def l2_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES,
@@ -108,17 +120,12 @@ def l2_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES,
     """Masked MSE on normalized targets (loss.py:37-75).
 
     ``mean_fn`` (here and in every loss below) overrides the masked-mean
-    reduction — the sp training step injects a psum-ing reducer so the
-    SAME term formulas run sharded (parallel/sp.py)."""
-    if mean_fn is not None:
-        m = node_loss_mask(inp.graph, mask_types, inp.deselected)
-        err = (inp.network_output.astype(jnp.float32)
-               - inp.target.astype(jnp.float32)) ** 2
-        return mean_fn(err, m)
-    num, den = masked_l2_parts(
+    reduction — the sp/dp training steps inject psum-ing reducers so the
+    SAME term formulas run sharded (parallel/sp.py, training/step.py)."""
+    err, m = l2_err_mask(
         inp.graph, inp.network_output, inp.target, mask_types, inp.deselected
     )
-    return num / jnp.maximum(den, 1.0)
+    return (mean_fn or _masked_mean)(err, m)
 
 
 def cosine_loss(inp: LossInputs, mask_types=DEFAULT_MASK_TYPES,

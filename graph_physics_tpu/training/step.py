@@ -136,18 +136,12 @@ def make_train_step(
             """Global masked mean, exact across uneven per-shard masks:
             num stays LOCAL (scaled by axis_size so the caller's grad/
             metric pmean reproduces the global sum), den is the psum-ed
-            global mask count — same num/den contract as loss._masked_mean
-            and parallel/sp.make_sp_mean. No differentiated collective:
-            den has no parameter dependence, so check_vma=False psum
-            transpose semantics never matter."""
-            mf = mask.astype(jnp.float32)
-            extra = errors.shape[mask.ndim:]
-            cols = 1
-            for s in extra:
-                cols *= int(s)
-            m = mf.reshape(mf.shape + (1,) * len(extra))
-            num = jnp.sum(errors.astype(jnp.float32) * m)
-            den = jax.lax.psum(jnp.sum(mf), dp_axis_name) * cols
+            global mask count — shape contract from loss.masked_num_den.
+            No differentiated collective: den has no parameter
+            dependence, so check_vma=False psum transpose semantics
+            never matter."""
+            num, den = loss_lib.masked_num_den(errors, mask)
+            den = jax.lax.psum(den, dp_axis_name)
             n = jax.lax.axis_size(dp_axis_name)
             return n * num / jnp.maximum(den, 1.0)
 

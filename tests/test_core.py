@@ -163,3 +163,29 @@ def test_budget_world_pairs_under_budget_untouched():
     wedges = np.array([[0, 1], [1, 0]], np.int32)
     out = mesh_lib.budget_world_pairs(wedges, pos, 10)
     np.testing.assert_array_equal(out, wedges)
+
+
+def test_budget_world_pairs_union_ranks():
+    """A node's partner ranks must be computed over the UNION of its
+    appearances in both (min-id, max-id) pair columns: node m with a near
+    partner below it and far partners above it must have its far pairs
+    ranked behind the near one (review finding: per-column ranking split
+    the partner list and kept far pairs while dropping near ones)."""
+    from graph_physics_tpu.core import mesh as mesh_lib
+
+    # geometry: node 5 at origin; node 3 very close; nodes 6..9 far away;
+    # pairs (3,5) [5 is max id] and (5,6)..(5,9) [5 is min id]
+    pos = np.zeros((10, 2), np.float32)
+    pos[3] = (0.1, 0.0)
+    for j, far in enumerate([6, 7, 8, 9]):
+        pos[far] = (5.0 + j, 0.0)
+    pairs = [(3, 5), (5, 6), (5, 7), (5, 8), (5, 9)]
+    s = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int32)
+    r = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int32)
+    wedges = np.stack([s, r])
+
+    out = mesh_lib.budget_world_pairs(wedges, pos, budget=4)  # keep 2 pairs
+    und = {(min(a, b), max(a, b)) for a, b in out.T.tolist()}
+    # the near pair must survive; the two farthest must be dropped
+    assert (3, 5) in und, und
+    assert (5, 9) not in und and (5, 8) not in und, und

@@ -274,6 +274,16 @@ class Trainer:
             state, meta = ckpt_lib.restore_checkpoint(self.manager, state)
             if meta:
                 self.run_metadata.update(meta)
+            if self.sharding is not None:
+                # orbax restores arrays COMMITTED to their save-time
+                # device (single-device); under a dp mesh the jitted
+                # shard_map step rejects that placement against the
+                # mesh-sharded batch — re-place the state replicated.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                state = jax.device_put(
+                    state, NamedSharding(self._mesh, P())
+                )
         self.state = state
         return state
 

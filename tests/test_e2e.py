@@ -238,11 +238,26 @@ def test_fused_dp_shardmap_train(workspace):
         "--out_dir", str(d / "runs_fused_dp"),
         "--run_name", "rfd",
     ]) == 0
+    # resume under the mesh: orbax restores single-device state; the
+    # jitted shard_map step must re-shard it transparently
+    assert train_main([
+        "--training_parameters_path", cfg_path,
+        "--epochs", "2",
+        "--batch_size", "4",
+        "--warmup", "2",
+        "--packed", "--bf16", "--fused",
+        "--num_dp_devices", "4",
+        "--steps_per_dispatch", "2",
+        "--out_dir", str(d / "runs_fused_dp"),
+        "--run_name", "rfd",
+        "--resume_training",
+    ]) == 0
     metrics = [
         json.loads(l)
         for l in open(d / "runs_fused_dp" / "rfd" / "rfd.metrics.jsonl")
     ]
-    assert any(
-        np.isfinite(m["val_all_rollout_rmse"])
+    vals = [
+        m["val_all_rollout_rmse"]
         for m in metrics if "val_all_rollout_rmse" in m
-    )
+    ]
+    assert len(vals) >= 2 and all(np.isfinite(v) for v in vals)

@@ -29,9 +29,16 @@ from graph_physics_tpu.ops.fused_gnblock import LANES as LANES_
 
 Dtype = Any
 
+def gelu_exact(x):
+    """Erf-form GELU. The reference's ``nn.GELU()`` defaults to the exact
+    (erf) form; ``jax.nn.gelu``'s default is the tanh approximation, which
+    diverges by up to ~1e-3 — enough to fail cross-framework parity."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 ACTIVATIONS = {
     "relu": nn.relu,
-    "gelu": nn.gelu,
+    "gelu": gelu_exact,
     "silu": nn.silu,
 }
 
@@ -125,7 +132,7 @@ class GatedMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         width = self.expansion_factor * self.hidden_size
-        act = nn.silu if self.use_silu else nn.gelu
+        act = nn.silu if self.use_silu else gelu_exact
         left = act(nn.Dense(width, dtype=self.dtype)(x))
         right = nn.Dense(width, dtype=self.dtype)(x)
         return left * right
@@ -495,14 +502,19 @@ class TemporalAttention(nn.Module):
         if senders is not None:
             y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
         else:
+            # adj=None fallback, matching the reference EXACTLY: its q/k/v
+            # are reshaped (N, d, H) — heads LAST — so the dense
+            # ``q @ k.transpose(-2, -1)`` (reference layers.py:509-520)
+            # batches over N and computes a NODE-LOCAL d x d softmax mix
+            # over the head axis, not cross-node attention. Transolver's
+            # temporal head (reference transolver.py:386-390) runs this
+            # path. Node-local => padded nodes cannot contaminate valid
+            # ones, so node_mask is not needed here.
             logits = jnp.einsum(
-                "n...hd,m...hd->...hnm", q, k, preferred_element_type=jnp.float32
-            )
-            logits = logits / math.sqrt(dh)
-            if node_mask is not None:
-                logits = jnp.where(node_mask[None, None, :], logits, -jnp.inf)
+                "...hi,...hj->...ij", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(dh)
             alpha = jax.nn.softmax(logits, axis=-1)
-            y = jnp.einsum("...hnm,m...hd->n...hd", alpha.astype(v.dtype), v)
+            y = jnp.einsum("...ij,...hj->...hi", alpha.astype(v.dtype), v)
 
         out = nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(
             y.reshape(lead + (self.hidden_size,))

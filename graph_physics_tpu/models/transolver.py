@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from graph_physics_tpu.models.layers import MLP, TemporalAttention
+from graph_physics_tpu.models.layers import MLP, TemporalAttention, gelu_exact
 
 Dtype = Any
 
@@ -102,8 +102,8 @@ class PhysicsAttention(nn.Module):
 
         # learned per-node/head temperature (+0.5-init bias, clamp 0.01)
         t = nn.Dense(g, dtype=self.dtype, name="proj_temperature_0")(x_mid)
-        t = nn.Dense(1, dtype=self.dtype, name="proj_temperature_1")(nn.gelu(t))
-        t = nn.gelu(t)
+        t = nn.Dense(1, dtype=self.dtype, name="proj_temperature_1")(gelu_exact(t))
+        t = gelu_exact(t)
         bias = self.param(
             "bias", lambda k, s: jnp.full(s, 0.5, jnp.float32), (1, h, 1)
         )
@@ -196,12 +196,13 @@ class TransolverBlock(nn.Module):
             name="Attn",
         )
         fx = fx + attn(
-            nn.LayerNorm(dtype=self.dtype, name="ln_1")(fx),
+            # epsilon=1e-5 matches torch nn.LayerNorm (flax default is 1e-6)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(fx),
             pos,
             node_mask,
             deterministic,
         )
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(fx)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(fx)
         h = MLP(
             hidden_size=self.hidden_dim * self.mlp_ratio,
             out_size=self.hidden_dim,
@@ -213,7 +214,7 @@ class TransolverBlock(nn.Module):
         )(h)
         fx = fx + h
         if self.last_layer:
-            fx = nn.LayerNorm(dtype=self.dtype, name="ln_3")(fx)
+            fx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_3")(fx)
             fx = nn.Dense(self.out_dim, dtype=self.dtype, name="mlp2")(fx)
         return fx
 

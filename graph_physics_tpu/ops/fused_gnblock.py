@@ -78,7 +78,14 @@ class FusedBlockConfig:
 # ----------------------------------------------------------------------
 
 def _act(name: str):
-    return {"relu": jax.nn.relu, "silu": jax.nn.silu, "gelu": jax.nn.gelu}[name]
+    # "gelu" is the exact (erf) form, matching the reference's torch
+    # nn.GELU default — NOT jax.nn.gelu's tanh approximation
+    # (models/layers.gelu_exact is the XLA-side twin).
+    return {
+        "relu": jax.nn.relu,
+        "silu": jax.nn.silu,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    }[name]
 
 
 def _act_grad(name: str, pre: jnp.ndarray) -> jnp.ndarray:
@@ -89,12 +96,11 @@ def _act_grad(name: str, pre: jnp.ndarray) -> jnp.ndarray:
     if name == "silu":
         s = jax.nn.sigmoid(pre)
         return s * (1.0 + pre * (1.0 - s))
-    if name == "gelu":  # tanh approximation, matching jax.nn.gelu default
-        c = math.sqrt(2.0 / math.pi)
-        inner = c * (pre + 0.044715 * pre**3)
-        t = jnp.tanh(inner)
-        dinner = c * (1.0 + 3 * 0.044715 * pre**2)
-        return 0.5 * (1.0 + t) + 0.5 * pre * (1.0 - t * t) * dinner
+    if name == "gelu":  # exact form: d/dx [x·Φ(x)] = Φ(x) + x·φ(x)
+        x = pre.astype(jnp.float32)
+        phi_cdf = 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+        pdf = jnp.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
+        return (phi_cdf + x * pdf).astype(pre.dtype)
     raise NotImplementedError(name)
 
 

@@ -1,0 +1,202 @@
+"""Import shims that make the ACTUAL reference PyTorch package runnable.
+
+The reference (``/root/reference/graphphysics``) depends on
+``torch_geometric``, ``dgl.sparse`` and ``loguru``, none of which are in
+this image. For cross-framework parity tests we want to execute the
+reference modules themselves — so this module installs small FUNCTIONAL
+stand-ins before the reference is imported:
+
+* ``torch_geometric.nn.MessagePassing`` — a working ``propagate`` for
+  ``aggr="add", flow="source_to_target"`` with PyG's ``_i``/``_j`` suffix
+  resolution (targets/sources), enough to run the reference
+  ``GraphNetBlock`` (reference layers.py:890-1149) bit-for-bit.
+* ``dgl.sparse`` — dense-backed ``spmatrix`` / ``bsddmm`` / ``bspmm`` /
+  per-row sparse ``softmax`` implementing the batched semantics the
+  reference attention uses (reference layers.py:493-561): values live on
+  the edge list, batch axis last.
+* ``loguru`` / ``torch_geometric.data.Data`` — inert carriers.
+
+Installing ``dgl.sparse`` FIRST matters: the reference's
+``HAS_DGL_SPARSE`` flag is resolved at import time of
+``graphphysics.models.layers`` / ``processors`` and selects the sparse
+code path these tests exercise.
+"""
+
+from __future__ import annotations
+
+import inspect
+import sys
+import types
+
+import torch
+
+REF_ROOT = "/root/reference"
+
+
+# ----------------------------------------------------------------------
+# torch_geometric stub
+# ----------------------------------------------------------------------
+
+class Data:
+    """Attribute bag matching torch_geometric.data.Data usage here."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+class MessagePassing(torch.nn.Module):
+    """Functional subset of PyG MessagePassing.
+
+    Supports what the reference GraphNetBlock needs: sum aggregation with
+    ``flow="source_to_target"`` (messages aggregate at ``edge_index[1]``),
+    and keyword resolution where ``name_j`` gathers rows at
+    ``edge_index[0]`` (sources) and ``name_i`` at ``edge_index[1]``
+    (targets) of any ``name`` passed to ``propagate``.
+    """
+
+    def __init__(self, aggr: str = "add", flow: str = "source_to_target",
+                 **_kw):
+        super().__init__()
+        if aggr != "add" or flow != "source_to_target":
+            raise NotImplementedError(
+                f"stub MessagePassing only supports aggr='add', "
+                f"flow='source_to_target' (got {aggr!r}, {flow!r})"
+            )
+
+    def propagate(self, edge_index, size=None, **kwargs):
+        src, dst = edge_index[0], edge_index[1]
+
+        def resolve(names):
+            out = {}
+            for name in names:
+                if name.endswith("_j") and name[:-2] in kwargs:
+                    out[name] = kwargs[name[:-2]][src]
+                elif name.endswith("_i") and name[:-2] in kwargs:
+                    out[name] = kwargs[name[:-2]][dst]
+                elif name in kwargs:
+                    out[name] = kwargs[name]
+            return out
+
+        msg = self.message(**resolve(inspect.signature(self.message).parameters))
+        n = size[1] if size is not None else int(edge_index.max()) + 1
+        aggr_out = torch.zeros((n,) + msg.shape[1:], dtype=msg.dtype)
+        aggr_out.index_add_(0, dst, msg)
+        upd_names = list(inspect.signature(self.update).parameters)[1:]
+        return self.update(aggr_out, **resolve(upd_names))
+
+    def message(self, x_j):  # pragma: no cover - default never used here
+        return x_j
+
+    def update(self, aggr_out):  # pragma: no cover
+        return aggr_out
+
+
+# ----------------------------------------------------------------------
+# dgl.sparse stub (dense-backed, exact semantics on the edge list)
+# ----------------------------------------------------------------------
+
+class SparseMatrix:
+    """(indices [2, E], shape (N, N), val [E] or [E, B])."""
+
+    def __init__(self, indices, shape, val=None):
+        self.indices = indices
+        self.shape = shape
+        if val is None:
+            val = torch.ones(indices.shape[1])
+        self.val = val
+
+    def softmax(self) -> "SparseMatrix":
+        """Row-wise softmax over the stored entries (dgl A.softmax())."""
+        row = self.indices[0]
+        v = self.val
+        squeeze = v.dim() == 1
+        vv = v.unsqueeze(1) if squeeze else v
+        m = torch.full((self.shape[0], vv.shape[1]), float("-inf"),
+                       dtype=vv.dtype)
+        m.index_reduce_(0, row, vv, "amax", include_self=True)
+        e = torch.exp(vv - m[row])
+        den = torch.zeros_like(m).index_add_(0, row, e)
+        out = e / den[row]
+        return SparseMatrix(self.indices, self.shape,
+                            out.squeeze(1) if squeeze else out)
+
+    def astype(self, dtype) -> "SparseMatrix":
+        return SparseMatrix(self.indices, self.shape, self.val.to(dtype))
+
+
+def spmatrix(indices, val=None, shape=None) -> SparseMatrix:
+    if shape is None:
+        n = int(indices.max()) + 1
+        shape = (n, n)
+    return SparseMatrix(indices, shape, val)
+
+
+def bsddmm(A: SparseMatrix, x1: torch.Tensor, x2: torch.Tensor) -> SparseMatrix:
+    """Sampled (batched) dense-dense matmul: val[e, b] = x1[row_e, :, b] ·
+    x2[:, col_e, b]; x1 [N, D, B], x2 [D, N, B]."""
+    row, col = A.indices[0], A.indices[1]
+    val = torch.einsum("edb,edb->eb", x1[row], x2.permute(1, 0, 2)[col])
+    return SparseMatrix(A.indices, A.shape, val)
+
+
+def bspmm(attn: SparseMatrix, v: torch.Tensor) -> torch.Tensor:
+    """out[i, :, b] = Σ_{(i,j) ∈ A} val[e, b] · v[j, :, b]; v [N, D, B]."""
+    row, col = attn.indices[0], attn.indices[1]
+    out = torch.zeros_like(v)
+    out.index_add_(0, row, v[col] * attn.val.unsqueeze(1))
+    return out
+
+
+# ----------------------------------------------------------------------
+
+
+def install_reference() -> None:
+    """Install all stubs (idempotent) and put the reference on sys.path."""
+    if "dgl" not in sys.modules:
+        dgl = types.ModuleType("dgl")
+        dgl_sparse = types.ModuleType("dgl.sparse")
+        dgl_sparse.SparseMatrix = SparseMatrix
+        dgl_sparse.spmatrix = spmatrix
+        dgl_sparse.bsddmm = bsddmm
+        dgl_sparse.bspmm = bspmm
+        dgl.sparse = dgl_sparse
+        sys.modules["dgl"] = dgl
+        sys.modules["dgl.sparse"] = dgl_sparse
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tgd = types.ModuleType("torch_geometric.data")
+        tgd.Data = Data
+        tgn = types.ModuleType("torch_geometric.nn")
+        tgn.MessagePassing = MessagePassing
+
+        class TransformerConv(torch.nn.Module):
+            """Import-time placeholder only: the reference instantiates it
+            solely on the no-DGL fallback path, which these tests never
+            take (the dgl.sparse stub is installed)."""
+
+            def __init__(self, *a, **k):  # pragma: no cover
+                raise NotImplementedError(
+                    "stub TransformerConv must not be constructed"
+                )
+
+        tgn.TransformerConv = TransformerConv
+        tg.data = tgd
+        tg.nn = tgn
+        sys.modules.update(
+            {
+                "torch_geometric": tg,
+                "torch_geometric.data": tgd,
+                "torch_geometric.nn": tgn,
+            }
+        )
+    if "loguru" not in sys.modules:
+        lg = types.ModuleType("loguru")
+
+        class _Logger:
+            def __getattr__(self, _k):
+                return lambda *a, **kw: None
+
+        lg.logger = _Logger()
+        sys.modules["loguru"] = lg
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)

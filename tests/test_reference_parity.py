@@ -15,63 +15,20 @@ CosineWarmupScheduler. Skips cleanly when the reference tree is absent.
 
 import math
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-REF_ROOT = "/root/reference"
-
 import jax
 import jax.numpy as jnp
 
-
-def _install_reference():
-    """Make ``graphphysics`` importable: dependency stubs + sys.path."""
-    if "torch_geometric" not in sys.modules:
-        tg = types.ModuleType("torch_geometric")
-        tgd = types.ModuleType("torch_geometric.data")
-
-        class Data:
-            def __init__(self, **kw):
-                self.__dict__.update(kw)
-
-        tgd.Data = Data
-        tgn = types.ModuleType("torch_geometric.nn")
-
-        class MessagePassing(torch.nn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
-
-        tgn.MessagePassing = MessagePassing
-        tg.data = tgd
-        tg.nn = tgn
-        sys.modules.update(
-            {
-                "torch_geometric": tg,
-                "torch_geometric.data": tgd,
-                "torch_geometric.nn": tgn,
-            }
-        )
-    if "loguru" not in sys.modules:
-        lg = types.ModuleType("loguru")
-
-        class _Logger:
-            def __getattr__(self, _k):
-                return lambda *a, **kw: None
-
-        lg.logger = _Logger()
-        sys.modules["loguru"] = lg
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-
+from tests.reference_stub import REF_ROOT, install_reference
 
 if not os.path.isdir(os.path.join(REF_ROOT, "graphphysics")):
     pytest.skip("reference tree not available", allow_module_level=True)
-_install_reference()
+install_reference()
 
 from graphphysics.utils import loss as ref_loss  # noqa: E402
 from graphphysics.utils import vectorial_operators as ref_vop  # noqa: E402

@@ -43,6 +43,20 @@ class Data:
     def __init__(self, **kw):
         self.__dict__.update(kw)
 
+    @property
+    def num_nodes(self):
+        for name in ("x", "pos"):
+            v = self.__dict__.get(name)
+            if v is not None:
+                return v.size(0)
+        return None
+
+    def clone(self):
+        out = {}
+        for k, v in self.__dict__.items():
+            out[k] = v.clone() if isinstance(v, torch.Tensor) else v
+        return Data(**out)
+
 
 class MessagePassing(torch.nn.Module):
     """Functional subset of PyG MessagePassing.
@@ -89,6 +103,101 @@ class MessagePassing(torch.nn.Module):
 
     def update(self, aggr_out):  # pragma: no cover
         return aggr_out
+
+
+# ----------------------------------------------------------------------
+# torch_geometric.transforms / utils stubs (functional, PyG semantics)
+#
+# Caveat: these re-implement PyG's documented behavior (FaceToEdge,
+# Cartesian(norm=False), Distance(norm=False), to_undirected-with-
+# coalesce) — they are independent code, but they encode the SAME reading
+# of the PyG contract as this repo's numpy implementations, so a shared
+# misreading of e.g. the Cartesian sign convention would not be caught.
+# The norm column and all set-level/edge-topology checks are
+# convention-free.
+# ----------------------------------------------------------------------
+
+
+def to_undirected(edge_index: torch.Tensor, num_nodes=None) -> torch.Tensor:
+    """Reverse-union + coalesce (dedup, sorted row-major), as PyG."""
+    e = edge_index.long()
+    n = int(num_nodes) if num_nodes is not None else int(e.max()) + 1
+    both = torch.cat([e, torch.stack([e[1], e[0]])], dim=1)
+    key = torch.unique(both[0] * n + both[1], sorted=True)
+    return torch.stack([key // n, key % n])
+
+
+class BaseTransform:
+    pass
+
+
+class Compose(BaseTransform):
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, data):
+        for t in self.transforms:
+            data = t(data)
+        return data
+
+
+class FaceToEdge(BaseTransform):
+    """data.face [3, F] -> undirected data.edge_index."""
+
+    def __init__(self, remove_faces: bool = True):
+        self.remove_faces = remove_faces
+
+    def __call__(self, data):
+        face = data.face
+        edge_index = torch.cat([face[:2], face[1:], face[::2]], dim=1)
+        data.edge_index = to_undirected(edge_index, num_nodes=data.num_nodes)
+        if self.remove_faces:
+            data.face = None
+        return data
+
+
+class Cartesian(BaseTransform):
+    """Appends pos[src] - pos[dst] to edge_attr (norm=False only)."""
+
+    def __init__(self, norm: bool = True, cat: bool = True):
+        if norm:
+            raise NotImplementedError("stub Cartesian supports norm=False")
+        self.cat = cat
+
+    def __call__(self, data):
+        row, col = data.edge_index[0], data.edge_index[1]
+        cart = data.pos[row] - data.pos[col]
+        pseudo = getattr(data, "edge_attr", None)
+        if pseudo is not None and self.cat:
+            data.edge_attr = torch.cat(
+                [pseudo, cart.type_as(data.pos)], dim=-1
+            )
+        else:
+            data.edge_attr = cart
+        return data
+
+
+class Distance(BaseTransform):
+    """Appends ||pos[dst] - pos[src]|| to edge_attr (norm=False only)."""
+
+    def __init__(self, norm: bool = True, cat: bool = True):
+        if norm:
+            raise NotImplementedError("stub Distance supports norm=False")
+        self.cat = cat
+
+    def __call__(self, data):
+        row, col = data.edge_index[0], data.edge_index[1]
+        dist = torch.norm(data.pos[col] - data.pos[row], p=2, dim=-1).view(
+            -1, 1
+        )
+        pseudo = getattr(data, "edge_attr", None)
+        if pseudo is not None and self.cat:
+            data.edge_attr = torch.cat(
+                [pseudo, dist.type_as(data.pos)], dim=-1
+            )
+        else:
+            data.edge_attr = dist
+        return data
 
 
 # ----------------------------------------------------------------------
@@ -180,13 +289,26 @@ def install_reference() -> None:
                 )
 
         tgn.TransformerConv = TransformerConv
+        tgt = types.ModuleType("torch_geometric.transforms")
+        tgt.BaseTransform = BaseTransform
+        tgt.Compose = Compose
+        tgt.FaceToEdge = FaceToEdge
+        tgt.Cartesian = Cartesian
+        tgt.Distance = Distance
+        tgu = types.ModuleType("torch_geometric.utils")
+        tgu.to_undirected = to_undirected
+        tgd.Batch = Data  # Batch used only as a carrier here
         tg.data = tgd
         tg.nn = tgn
+        tg.transforms = tgt
+        tg.utils = tgu
         sys.modules.update(
             {
                 "torch_geometric": tg,
                 "torch_geometric.data": tgd,
                 "torch_geometric.nn": tgn,
+                "torch_geometric.transforms": tgt,
+                "torch_geometric.utils": tgu,
             }
         )
     if "loguru" not in sys.modules:

@@ -25,6 +25,7 @@ code path these tests exercise.
 from __future__ import annotations
 
 import inspect
+import math
 import sys
 import types
 
@@ -201,6 +202,67 @@ class Distance(BaseTransform):
 
 
 # ----------------------------------------------------------------------
+# torch_geometric pooling stubs (SelectTopK / KNNGraph / knn_interpolate)
+#
+# The reference DownSampler consumes ONLY select_out.node_index, and every
+# PyG score nonlinearity (softmax / tanh / score-over-norm) is monotone —
+# so the stub ranks by the raw projected score; the selected set is
+# identical to PyG's for any nonlinearity choice.
+# ----------------------------------------------------------------------
+
+
+class SelectTopK(torch.nn.Module):
+    """score = (attn · weight), keep top ceil(ratio·N) (PyG SelectTopK)."""
+
+    def __init__(self, in_channels, ratio=0.5, min_score=None, act="tanh"):
+        super().__init__()
+        self.ratio = ratio
+        self.weight = torch.nn.Parameter(torch.randn(1, in_channels))
+
+    def forward(self, attn, batch=None):
+        score = (attn * self.weight).sum(dim=-1)
+        k = math.ceil(self.ratio * attn.size(0))
+        node_index = torch.topk(score, k).indices
+        return types.SimpleNamespace(node_index=node_index)
+
+
+class KNNGraph:
+    """PyG KNNGraph transform: k nearest non-self neighbors in pos space;
+    force_undirected closes + dedups via to_undirected."""
+
+    def __init__(self, k=6, loop=False, force_undirected=False):
+        self.k = k
+        self.loop = loop
+        self.force_undirected = force_undirected
+
+    def __call__(self, data):
+        pos = data.pos
+        n = pos.size(0)
+        d2 = torch.cdist(pos, pos) ** 2
+        if not self.loop:
+            d2.fill_diagonal_(float("inf"))
+        k = min(self.k, n - (0 if self.loop else 1))
+        nbr = torch.topk(d2, k, largest=False).indices  # [N, k]
+        dst = torch.arange(n).repeat_interleave(k)
+        src = nbr.reshape(-1)
+        edge_index = torch.stack([src, dst])
+        if self.force_undirected:
+            edge_index = to_undirected(edge_index, num_nodes=n)
+        data.edge_index = edge_index
+        return data
+
+
+def knn_interpolate(x, pos_x, pos_y, batch_x=None, batch_y=None, k=3):
+    """Inverse-square-distance weighted kNN interpolation (PyG)."""
+    d2 = torch.cdist(pos_y, pos_x) ** 2  # [N, M]
+    kk = min(k, pos_x.size(0))
+    dist, idx = torch.topk(d2, kk, largest=False)  # [N, kk]
+    w = 1.0 / torch.clamp(dist, min=1e-16)
+    num = (x[idx] * w.unsqueeze(-1)).sum(dim=1)
+    return num / w.sum(dim=1, keepdim=True)
+
+
+# ----------------------------------------------------------------------
 # dgl.sparse stub (dense-backed, exact semantics on the edge list)
 # ----------------------------------------------------------------------
 
@@ -295,9 +357,18 @@ def install_reference() -> None:
         tgt.FaceToEdge = FaceToEdge
         tgt.Cartesian = Cartesian
         tgt.Distance = Distance
+        tgt.KNNGraph = KNNGraph
         tgu = types.ModuleType("torch_geometric.utils")
         tgu.to_undirected = to_undirected
         tgd.Batch = Data  # Batch used only as a carrier here
+        tg_pool = types.ModuleType("torch_geometric.nn.pool")
+        tg_select = types.ModuleType("torch_geometric.nn.pool.select")
+        tg_select.SelectTopK = SelectTopK
+        tg_pool.select = tg_select
+        tg_unpool = types.ModuleType("torch_geometric.nn.unpool")
+        tg_unpool.knn_interpolate = knn_interpolate
+        tgn.pool = tg_pool
+        tgn.unpool = tg_unpool
         tg.data = tgd
         tg.nn = tgn
         tg.transforms = tgt
@@ -307,6 +378,9 @@ def install_reference() -> None:
                 "torch_geometric": tg,
                 "torch_geometric.data": tgd,
                 "torch_geometric.nn": tgn,
+                "torch_geometric.nn.pool": tg_pool,
+                "torch_geometric.nn.pool.select": tg_select,
+                "torch_geometric.nn.unpool": tg_unpool,
                 "torch_geometric.transforms": tgt,
                 "torch_geometric.utils": tgu,
             }

@@ -92,7 +92,7 @@ def test_rcm_reduces_bandwidth():
     assert tiling_lib.build_edge_tiling(s3, r3, n, max_window_blocks=4) is not None
 
 
-@pytest.mark.parametrize("activation", ["relu", "silu"])
+@pytest.mark.parametrize("activation", ["relu", "silu", "gelu"])
 def test_fused_block_matches_reference(activation):
     f, b = 32, 4  # B*F = 128 = one lane chunk
     pos, ei = _toy_graph()

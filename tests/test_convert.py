@@ -295,3 +295,64 @@ def test_convert_cli_restores_through_predict_path(tmp_path):
     _assert_state_matches(state.sim_state.output_norm,
                           ref_sim._output_normalizer)
     assert meta["converted_from"] == str(ck)
+
+
+def test_convert_then_finetune(tmp_path):
+    """A migrated reference checkpoint fine-tunes through the real train
+    CLI (gpt-convert → gpt-train --resume_training)."""
+    from graph_physics_tpu.cli.convert import main as convert_main
+    from graph_physics_tpu.cli.train import main as train_main
+    from graph_physics_tpu.dataset import synthetic
+
+    w = str(tmp_path)
+    train_h5, meta = synthetic.write_h5_dataset(
+        f"{w}/train.h5", num_trajectories=1, nx=8, ny=6, num_steps=5,
+        meta_path=f"{w}/meta.json",
+    )
+    hidden, mp = 16, 2
+    cfg = {
+        "dataset": {"extension": "h5", "train_path": train_h5,
+                    "test_path": train_h5, "meta_path": meta,
+                    "targets": ["velocity"], "khop": 1},
+        "model": {"type": "epd", "message_passing_num": mp,
+                  "hidden_size": hidden, "node_input_size": 2,
+                  "output_size": 2, "edge_input_size": 3},
+        "index": {"feature_index_start": 0, "feature_index_end": 2,
+                  "output_index_start": 0, "output_index_end": 2,
+                  "node_type_index": 2},
+        "transformations": {"preprocessing": {"noise": 0, "masking": 0},
+                            "world_pos_parameters": {"use": False}},
+        "training": {},
+    }
+    cfg_path = f"{w}/config.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    torch.manual_seed(31)
+    model = ref_processors.EncodeProcessDecode(
+        message_passing_num=mp, node_input_size=2 + 9, edge_input_size=3,
+        output_size=2, hidden_size=hidden,
+    )
+    ref_sim = RefSimulator(
+        node_input_size=2 + 9, edge_input_size=3, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2,
+        node_type_index=2, model=model, device="cpu",
+    )
+    ref_sim.save_checkpoint(f"{w}/ref/sim.pt")
+
+    convert_main([
+        "--torch_checkpoint", f"{w}/ref/sim.pt",
+        "--training_parameters_path", cfg_path,
+        "--output_dir", f"{w}/runs/ft/checkpoints",
+    ])
+    train_main([
+        "--training_parameters_path", cfg_path,
+        "--epochs", "1", "--batch_size", "1", "--warmup", "2",
+        "--out_dir", f"{w}/runs", "--run_name", "ft",
+        "--resume_training",
+    ])
+    lines = [json.loads(l) for l in
+             open(f"{w}/runs/ft/ft.metrics.jsonl").read().splitlines()]
+    assert lines and np.isfinite(lines[-1]["val_all_rollout_rmse"])
+    assert lines[-1]["step"] > 0  # it actually trained past the converted step

@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "--skip_rollout", action="store_true",
         help="export only the single-frame eval step",
     )
+    p.add_argument(
+        "--static_time", action="store_true",
+        help="fix the rollout trajectory length to the example's (default: "
+        "symbolic — one artifact serves any length, falling back to "
+        "static if the model/transform stack can't lower polymorphically)",
+    )
     p.add_argument("--use_previous_data", action="store_true")
     p.add_argument("--previous_data_start", type=int, default=4)
     p.add_argument("--previous_data_end", type=int, default=7)
@@ -105,10 +111,10 @@ def main(argv=None):
         simulator, params, state.sim_state, single, platforms=platforms
     )
     rollout_ex = None
+    symbolic_used = False
     if not args.skip_rollout:
         frames = stack_frames(ds.trajectory_frames(0))
-        rollout_ex = serving.export_rollout(
-            simulator, params, state.sim_state, frames,
+        kwargs = dict(
             platforms=platforms,
             previous_data_slice=(
                 (args.previous_data_start, args.previous_data_end)
@@ -118,6 +124,23 @@ def main(argv=None):
             frame_transform=make_eval_transform(world_dev),
             dynamic_world_edges=dynamic_we,
         )
+        if not args.static_time:
+            try:
+                rollout_ex = serving.export_rollout(
+                    simulator, params, state.sim_state, frames,
+                    symbolic_time=True, **kwargs,
+                )
+                symbolic_used = True
+            except Exception as e:  # noqa: BLE001 — fall back to static
+                print(
+                    "[gpt-export] symbolic-length rollout lowering failed "
+                    f"({type(e).__name__}); exporting with the example's "
+                    f"static length T={int(frames.x.shape[0])}."
+                )
+        if rollout_ex is None:
+            rollout_ex = serving.export_rollout(
+                simulator, params, state.sim_state, frames, **kwargs
+            )
 
     manifest = serving.save_exported(
         args.out_dir,
@@ -129,6 +152,7 @@ def main(argv=None):
             ),
             "checkpoint": os.path.abspath(args.model_path),
             "step": int(jax.device_get(state.step)),
+            "rollout_symbolic_time": symbolic_used,
         },
     )
     names = list(manifest["artifacts"])

@@ -163,12 +163,27 @@ def export_rollout(
     sim_state: SimulatorState,
     example_frames: MeshGraph,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    symbolic_time: bool = False,
     **rollout_kwargs,
 ) -> jax_export.Exported:
+    """With ``symbolic_time=True`` the trajectory length is exported as a
+    symbolic dimension — ONE artifact rolls out trajectories of any length
+    (node/edge padding buckets stay static, matching the training
+    contract)."""
     fn = make_rollout_export_fn(simulator, **rollout_kwargs)
+    fd = graph_to_dict(example_frames)
+    if symbolic_time:
+        t_dim = jax_export.symbolic_shape("T")[0]
+        frames_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(
+                (t_dim,) + jnp.shape(a)[1:], jnp.asarray(a).dtype
+            ),
+            fd,
+        )
+    else:
+        frames_specs = _specs(fd)
     return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
-        _specs(params), _specs(state_to_dict(sim_state)),
-        _specs(graph_to_dict(example_frames)),
+        _specs(params), _specs(state_to_dict(sim_state)), frames_specs
     )
 
 

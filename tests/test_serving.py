@@ -84,13 +84,15 @@ def test_eval_step_composes_under_jit(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_rollout_roundtrip(tmp_path):
+@pytest.mark.parametrize("symbolic", [False, True])
+def test_rollout_roundtrip(tmp_path, symbolic):
     sim, params, _ = _sim_and_params(seed=2)
     frames = stack_frames(
         [to_jax(tiny_graph(frame=t)) for t in range(3)]
     )
     state = sim.init_state()
-    ex = export_rollout(sim, params, state, frames, platforms=("cpu",))
+    ex = export_rollout(sim, params, state, frames, platforms=("cpu",),
+                        symbolic_time=symbolic)
     save_exported(str(tmp_path), rollout=ex)
 
     loaded = load_exported(str(tmp_path))
@@ -103,6 +105,17 @@ def test_rollout_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(res["rmse_all_rollout"]),
                                np.asarray(ref.rmse_all_rollout),
                                rtol=1e-6, atol=1e-6)
+
+    if symbolic:
+        # ONE artifact serves a different trajectory length
+        frames5 = stack_frames(
+            [to_jax(tiny_graph(frame=t)) for t in range(5)]
+        )
+        res5 = loaded.rollout(params, state, frames5)
+        ref5 = make_rollout_fn(sim)(params, state, frames5)
+        np.testing.assert_allclose(np.asarray(res5["predictions"]),
+                                   np.asarray(ref5.predictions),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_export_cli(tmp_path):
@@ -158,6 +171,7 @@ def test_export_cli(tmp_path):
     ])
 
     loaded = load_exported(f"{w}/artifacts")
+    assert loaded.manifest["rollout_symbolic_time"]  # default path
     frames = stack_frames(ds.trajectory_frames(0))
     res = loaded.rollout(model_params(state.params), state.sim_state, frames)
     ref = make_rollout_fn(simulator)(

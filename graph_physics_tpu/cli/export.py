@@ -36,6 +36,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="export only the single-frame eval step",
     )
     p.add_argument(
+        "--serve_batch_size", type=int, default=None,
+        help="also export a vmapped eval step over B same-bucket graphs "
+        "(batched-inference artifact for production serving)",
+    )
+    p.add_argument(
         "--static_time", action="store_true",
         help="fix the rollout trajectory length to the example's (default: "
         "symbolic — one artifact serves any length, falling back to "
@@ -110,6 +115,12 @@ def main(argv=None):
     eval_ex = serving.export_eval_step(
         simulator, params, state.sim_state, single, platforms=platforms
     )
+    batched_ex = None
+    if args.serve_batch_size:
+        batched_ex = serving.export_eval_step(
+            simulator, params, state.sim_state, single, platforms=platforms,
+            batch_size=args.serve_batch_size,
+        )
     rollout_ex = None
     symbolic_used = False
     if not args.skip_rollout:
@@ -146,6 +157,7 @@ def main(argv=None):
         args.out_dir,
         eval_step=eval_ex,
         rollout=rollout_ex,
+        batched_eval_step=batched_ex,
         extra_manifest={
             "training_parameters_path": os.path.abspath(
                 args.training_parameters_path

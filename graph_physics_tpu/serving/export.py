@@ -38,6 +38,7 @@ from graph_physics_tpu.models.normalizer import NormalizerState
 from graph_physics_tpu.models.simulator import Simulator, SimulatorState
 
 EVAL_FILE = "eval_step.jaxexport"
+EVAL_BATCHED_FILE = "eval_step_batched.jaxexport"
 ROLLOUT_FILE = "rollout.jaxexport"
 MANIFEST_FILE = "manifest.json"
 
@@ -149,11 +150,21 @@ def export_eval_step(
     sim_state: SimulatorState,
     example_graph: MeshGraph,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    batch_size: Optional[int] = None,
 ) -> jax_export.Exported:
+    """``batch_size=None`` exports the single-graph step; an int exports a
+    vmapped step taking ``[B, ...]``-leading graph leaves (same padding
+    bucket) — the batched-inference shape for production serving."""
     fn = make_eval_fn(simulator)
+    graph_specs = _specs(graph_to_dict(example_graph))
+    if batch_size is not None:
+        fn = jax.vmap(fn, in_axes=(None, None, 0))
+        graph_specs = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct((batch_size,) + s.shape, s.dtype),
+            graph_specs,
+        )
     return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
-        _specs(params), _specs(state_to_dict(sim_state)),
-        _specs(graph_to_dict(example_graph)),
+        _specs(params), _specs(state_to_dict(sim_state)), graph_specs
     )
 
 
@@ -191,6 +202,7 @@ def save_exported(
     out_dir: str,
     eval_step: Optional[jax_export.Exported] = None,
     rollout: Optional[jax_export.Exported] = None,
+    batched_eval_step: Optional[jax_export.Exported] = None,
     extra_manifest: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Serialize artifacts + a human-readable manifest; returns the manifest."""
@@ -212,6 +224,10 @@ def save_exported(
         with open(os.path.join(out_dir, EVAL_FILE), "wb") as f:
             f.write(eval_step.serialize())
         manifest["artifacts"]["eval_step"] = describe(eval_step)
+    if batched_eval_step is not None:
+        with open(os.path.join(out_dir, EVAL_BATCHED_FILE), "wb") as f:
+            f.write(batched_eval_step.serialize())
+        manifest["artifacts"]["eval_step_batched"] = describe(batched_eval_step)
     if rollout is not None:
         with open(os.path.join(out_dir, ROLLOUT_FILE), "wb") as f:
             f.write(rollout.serialize())
@@ -239,6 +255,7 @@ class LoadedServingModel:
         with open(os.path.join(out_dir, MANIFEST_FILE)) as f:
             self.manifest = json.load(f)
         self._eval = self._load(EVAL_FILE)
+        self._eval_batched = self._load(EVAL_BATCHED_FILE)
         self._rollout = self._load(ROLLOUT_FILE)
 
     def _load(self, name: str) -> Optional[jax_export.Exported]:
@@ -261,6 +278,14 @@ class LoadedServingModel:
             raise FileNotFoundError(f"no {EVAL_FILE} in {self.dir}")
         sim_state, graph = self._as_dicts(sim_state, graph)
         return self._eval.call(params, sim_state, graph)
+
+    def eval_step_batched(self, params, sim_state, graphs):
+        """``graphs``: MeshGraph (or dict) with [B, ...]-leading leaves,
+        B = the batch size fixed at export."""
+        if self._eval_batched is None:
+            raise FileNotFoundError(f"no {EVAL_BATCHED_FILE} in {self.dir}")
+        sim_state, graphs = self._as_dicts(sim_state, graphs)
+        return self._eval_batched.call(params, sim_state, graphs)
 
     def rollout(self, params, sim_state, frames):
         if self._rollout is None:

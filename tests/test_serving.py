@@ -84,6 +84,26 @@ def test_eval_step_composes_under_jit(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_batched_eval_step(tmp_path):
+    """vmapped serving artifact: B same-bucket graphs per call, per-graph
+    outputs equal to B independent single-graph forwards."""
+    sim, params, g = _sim_and_params(seed=3)
+    state = _accumulated_state(sim, params, g)
+    ex = export_eval_step(sim, params, state, g, platforms=("cpu",),
+                          batch_size=3)
+    save_exported(str(tmp_path), batched_eval_step=ex)
+    loaded = load_exported(str(tmp_path))
+
+    graphs = [to_jax(tiny_graph(frame=t)) for t in range(3)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+    out = loaded.eval_step_batched(params, state, stacked)
+    assert np.asarray(out).shape[0] == 3
+    for b, gb in enumerate(graphs):
+        ref = sim.forward(params, state, gb, is_training=False).outputs
+        np.testing.assert_allclose(np.asarray(out)[b], np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("symbolic", [False, True])
 def test_rollout_roundtrip(tmp_path, symbolic):
     sim, params, _ = _sim_and_params(seed=2)

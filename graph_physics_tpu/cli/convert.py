@@ -69,13 +69,9 @@ def main(argv=None) -> None:
         # weights have no place in a Simulator/predict artifact. MTP is a
         # train-time auxiliary loss only, so rollouts are unaffected; a
         # resumed fine-tune re-warms the MTP head from scratch.
-        b, l, d = 2, 1 + mtp.cfg.max_neighbors, mtp.cfg.d_model
-        mtp_params = mtp.encoder.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((b, l, d)),
-            jnp.zeros((b, l), bool),
-        )
-        params = {"model": params, "mtp": mtp_params}
+        from graph_physics_tpu.training.step import wrap_mtp_params
+
+        params = wrap_mtp_params(params, mtp, jax.random.PRNGKey(0))
         print(
             "[gpt-convert] note: config enables spatial MTP; the MTP "
             "encoder is freshly initialized (aux-loss head only — "

@@ -61,65 +61,33 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
-    from graph_physics_tpu.dataset.loader import BatchLoader
+    from graph_physics_tpu.cli.common import load_inference_stack
     from graph_physics_tpu.serving import export as serving
-    from graph_physics_tpu.training import checkpoint as ckpt_lib
-    from graph_physics_tpu.training import config as config_lib
-    from graph_physics_tpu.training import schedule as schedule_lib
     from graph_physics_tpu.training.rollout import stack_frames
-    from graph_physics_tpu.training.step import init_train_state, model_params
+    from graph_physics_tpu.training.step import model_params
     from graph_physics_tpu.training.transforms import make_eval_transform
 
-    param = config_lib.load_params(args.training_parameters_path)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-
-    extra_node_features = None
-    if args.external:
-        from graph_physics_tpu.external import get_feature_builder
-
-        extra_node_features = get_feature_builder(args.external)
-
-    model = config_lib.get_model(param, dtype=dtype)
-    simulator = config_lib.get_simulator(param, model)
-    _, world_dev = config_lib.get_world_configs(param)
-
-    use_prev = args.use_previous_data or bool(extra_node_features)
-    frame_cfg = config_lib.get_frame_config(
-        param, masking_ratio=0.0, use_previous_data=use_prev,
-        extra_node_features=extra_node_features,
-    )
-    dynamic_we = config_lib.get_dynamic_world_edges(param)
-    if dynamic_we is not None and frame_cfg.world is not None:
-        import dataclasses
-
-        frame_cfg = dataclasses.replace(
-            frame_cfg, world=dataclasses.replace(frame_cfg.world, radius=1e-12)
-        )
-    ds = config_lib.get_dataset(param, frame_cfg, switch_to_val=True)
-
-    optimizer = schedule_lib.make_optimizer(1e-3, 1, 1)
-    example = next(iter(BatchLoader(ds, 1, shuffle=False, device_put=False)))
-    mtp = config_lib.get_mtp_setup(param, dtype=dtype)
-    abstract = init_train_state(
-        simulator, optimizer, jax.random.PRNGKey(0), example, mtp=mtp
-    )
-    manager = ckpt_lib.make_manager(args.model_path)
-    state, _ = ckpt_lib.restore_checkpoint(manager, abstract)
+    stack = load_inference_stack(args)
+    simulator, ds, state = stack.simulator, stack.dataset, stack.state
+    world_dev, dynamic_we = stack.world_dev, stack.dynamic_world_edges
     params = model_params(state.params)
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
-    single = jax.tree.map(lambda a: a[0], example)  # strip the batch axis
+    single = jax.tree.map(lambda a: a[0], stack.example)  # strip batch axis
+    # the SAME per-frame eval transform the rollout applies (world-pos
+    # edge features) — both artifacts must compute the same function
+    eval_transform = make_eval_transform(world_dev)
 
     eval_ex = serving.export_eval_step(
-        simulator, params, state.sim_state, single, platforms=platforms
+        simulator, params, state.sim_state, single, platforms=platforms,
+        frame_transform=eval_transform,
     )
     batched_ex = None
     if args.serve_batch_size:
         batched_ex = serving.export_eval_step(
             simulator, params, state.sim_state, single, platforms=platforms,
-            batch_size=args.serve_batch_size,
+            batch_size=args.serve_batch_size, frame_transform=eval_transform,
         )
     rollout_ex = None
     symbolic_used = False
@@ -132,7 +100,7 @@ def main(argv=None):
                 if args.use_previous_data
                 else None
             ),
-            frame_transform=make_eval_transform(world_dev),
+            frame_transform=eval_transform,
             dynamic_world_edges=dynamic_we,
         )
         if not args.static_time:
@@ -145,8 +113,8 @@ def main(argv=None):
             except Exception as e:  # noqa: BLE001 — fall back to static
                 print(
                     "[gpt-export] symbolic-length rollout lowering failed "
-                    f"({type(e).__name__}); exporting with the example's "
-                    f"static length T={int(frames.x.shape[0])}."
+                    f"({type(e).__name__}: {e}); exporting with the "
+                    f"example's static length T={int(frames.x.shape[0])}."
                 )
         if rollout_ex is None:
             rollout_ex = serving.export_rollout(

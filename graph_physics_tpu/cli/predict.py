@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
 import numpy as np
 
 
@@ -35,56 +34,15 @@ def main(argv=None):
 
     _honor_platform_env()
 
-    import jax.numpy as jnp
-
-    from graph_physics_tpu.dataset.loader import BatchLoader
-    from graph_physics_tpu.training import checkpoint as ckpt_lib
-    from graph_physics_tpu.training import config as config_lib
-    from graph_physics_tpu.training import schedule as schedule_lib
+    from graph_physics_tpu.cli.common import load_inference_stack
     from graph_physics_tpu.training.rollout import make_rollout_fn, stack_frames
-    from graph_physics_tpu.training.step import init_train_state, model_params
+    from graph_physics_tpu.training.step import model_params
     from graph_physics_tpu.training.transforms import make_eval_transform
     from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesWriter
 
-    param = config_lib.load_params(args.training_parameters_path)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-
-    extra_node_features = None
-    if args.external:
-        from graph_physics_tpu.external import get_feature_builder
-
-        extra_node_features = get_feature_builder(args.external)
-
-    model = config_lib.get_model(param, dtype=dtype)
-    simulator = config_lib.get_simulator(param, model)
-    _, world_dev = config_lib.get_world_configs(param)
-
-    use_prev = args.use_previous_data or bool(extra_node_features)
-    # remove_noise=True: get_preprocessing parity (predict.py:69-75)
-    frame_cfg = config_lib.get_frame_config(
-        param, masking_ratio=0.0, use_previous_data=use_prev,
-        extra_node_features=extra_node_features,
-    )
-    dynamic_we = config_lib.get_dynamic_world_edges(param)
-    if dynamic_we is not None and frame_cfg.world is not None:
-        import dataclasses
-
-        frame_cfg = dataclasses.replace(
-            frame_cfg, world=dataclasses.replace(frame_cfg.world, radius=1e-12)
-        )
-    ds = config_lib.get_dataset(param, frame_cfg, switch_to_val=True)
-
-    # restore
-    optimizer = schedule_lib.make_optimizer(1e-3, 1, 1)
-    example = next(
-        iter(BatchLoader(ds, 1, shuffle=False, device_put=False))
-    )
-    mtp = config_lib.get_mtp_setup(param, dtype=dtype)
-    abstract = init_train_state(
-        simulator, optimizer, jax.random.PRNGKey(0), example, mtp=mtp
-    )
-    manager = ckpt_lib.make_manager(args.model_path)
-    state, _ = ckpt_lib.restore_checkpoint(manager, abstract)
+    stack = load_inference_stack(args)
+    simulator, ds, state = stack.simulator, stack.dataset, stack.state
+    world_dev, dynamic_we = stack.world_dev, stack.dynamic_world_edges
 
     rollout = make_rollout_fn(
         simulator,

@@ -1,0 +1,394 @@
+"""Uniform-degree ("NK") fused edge attention — receiver ops for free.
+
+The blocked-CSR attention kernel (:mod:`ops.fused_edge_attention`) spends
+most of its MXU time on one-hot contractions; per backward grid step,
+SEVEN of its ~12 contractions exist only to move values between edge rows
+and receiver rows (q/g_out/denominator gathers, denominator/dq/softmax
+scatters). This kernel removes ALL of them with a layout change instead
+of scheduling:
+
+  * every receiver gets exactly K edge slots (K = max in-degree, padded
+    with sentinel senders), laid out **k-major**: slot ``k·nb + r`` for a
+    receiver r's k-th edge. Receiver-aligned [nb, lanes] tiles are then
+    STATIC row slices of the [K·nb, lanes] edge tile:
+      - broadcast node→edges = concatenate K copies (row concat),
+      - reduce edges→node (softmax denominator, output, dq, softmax
+        correction) = Σ of K static slices — pure VPU adds, no Mosaic
+        relayout, no one-hot matmuls.
+  * only the sender side keeps one-hot contractions (k/v window gathers
+    forward, dk/dv window scatters backward) plus the per-head SDDMM
+    ones-contractions — 3 forward / 6 backward vs 6 / 12, at a row
+    inflation of K·nb / Emax (≈1.1–1.4x on bounded-degree meshes).
+
+Trade-off: K is the MAX in-degree, so degree-skewed graphs inflate rows;
+``build_nk_tiling`` returns None when inflation exceeds
+``max_row_inflation`` and callers fall back to the blocked-CSR kernel.
+Mesh graphs (bounded degree ~7–10) sit squarely in the win region.
+
+Numerics match ops/edge_attention.edge_attention exactly (same masked
+softmax contract; padded slots and empty receivers contribute nothing),
+which itself replaces the reference's DGL bsddmm/bspmm path
+(graphphysics/models/layers.py:493-556).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graph_physics_tpu.ops.fused_gnblock import LANES, _dot, _dot_t
+from graph_physics_tpu.ops.fused_edge_attention import (
+    _dh_group_ones,
+    _grouped_dot,
+)
+from graph_physics_tpu.ops.tiling import _round_up
+
+
+@dataclass(frozen=True, eq=False)
+class NKTiling:
+    """Uniform-degree blocked layout (host-built, static per topology).
+
+    Shapes: G = node blocks, S = K * node_block slots per block.
+    Slot k·nb + r holds receiver (g·nb + r)'s k-th incoming edge.
+    """
+
+    #: [G * S] int32 — original edge id per slot; -1 on padding.
+    perm: np.ndarray
+    #: [G, S] int32 — sender index local to the group's concatenated
+    #: window units; sentinel (= window rows) on padded slots.
+    sidx: np.ndarray
+    #: [G, wb] int32 — window units per group (arbitrary, ascending).
+    win_start: np.ndarray
+    k_slots: int  # K
+    node_block: int
+    window_blocks: int
+    num_nodes: int  # padded (multiple of node_block)
+    window_unit: int = 64
+
+    @property
+    def num_groups(self) -> int:
+        return self.num_nodes // self.node_block
+
+    @property
+    def slots(self) -> int:
+        return self.k_slots * self.node_block
+
+
+def build_nk_tiling(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    edge_mask: Optional[np.ndarray] = None,
+    node_block: int = 128,
+    max_window_blocks: int = 16,
+    window_unit: int = 64,
+    k_multiple: int = 1,
+    max_row_inflation: float = 2.0,
+) -> Optional[NKTiling]:
+    """Build the uniform-degree layout, or None when it doesn't pay.
+
+    Returns None when (a) a sender window exceeds the cap (reorder with
+    rcm_order first) or (b) K·N exceeds ``max_row_inflation`` × the edge
+    count (degree-skewed graph — the blocked-CSR kernel is better there).
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    if edge_mask is not None:
+        keep = np.asarray(edge_mask, bool)
+    else:
+        keep = np.ones(senders.shape[0], bool)
+    orig_ids = np.nonzero(keep)[0]
+    s = senders[orig_ids]
+    r = receivers[orig_ids]
+
+    n_pad = _round_up(max(num_nodes, 1), node_block)
+    n_groups = n_pad // node_block
+
+    order = np.argsort(r, kind="stable")  # receiver-major, stable edge order
+    s, r, orig_ids = s[order], r[order], orig_ids[order]
+    deg = np.bincount(r, minlength=n_pad)
+    k_slots = int(deg.max()) if deg.size else 1
+    k_slots = max(_round_up(max(k_slots, 1), k_multiple), 1)
+    if s.size and k_slots * n_pad > max_row_inflation * max(s.size, 1) + n_pad:
+        return None  # degree-skewed: row inflation would eat the win
+
+    # rank of each edge within its receiver's run (receiver-sorted)
+    run_start = np.zeros(n_pad + 1, np.int64)
+    run_start[1:] = np.cumsum(deg)
+    rank = np.arange(s.size) - run_start[r]
+
+    # sender windows per receiver block (same contract as build_edge_tiling)
+    assert node_block % window_unit == 0
+    gid = r // node_block
+    group_units = []
+    for g in range(n_groups):
+        seg = s[gid == g]
+        group_units.append(
+            np.unique(seg // window_unit) if seg.size else np.zeros(1, np.int64)
+        )
+    wb = max((len(u) for u in group_units), default=1)
+    wb = min(wb, max(n_pad // window_unit, 1))
+    if wb * window_unit > max_window_blocks * node_block:
+        return None
+
+    win_rows = wb * window_unit
+    slots = k_slots * node_block
+    win_units = np.zeros((n_groups, wb), np.int64)
+    perm = np.full(n_groups * slots, -1, np.int64)
+    sidx = np.full((n_groups, slots), win_rows, np.int64)  # sentinel
+    local_r = r - gid * node_block
+    slot_in_group = rank * node_block + local_r  # k-major
+    unit_rank = np.empty_like(s)
+    for g in range(n_groups):
+        units = group_units[g]
+        win_units[g, : len(units)] = units
+        win_units[g, len(units):] = units[0]
+        m = gid == g
+        if not m.any():
+            continue
+        unit_rank[m] = np.searchsorted(units, s[m] // window_unit)
+    lidx = unit_rank * window_unit + s % window_unit
+    flat = gid * slots + slot_in_group
+    perm[flat] = orig_ids
+    sidx[gid, slot_in_group] = lidx
+
+    return NKTiling(
+        perm=perm.astype(np.int32),
+        sidx=sidx.astype(np.int32),
+        win_start=win_units.astype(np.int32),
+        k_slots=k_slots,
+        node_block=node_block,
+        window_blocks=wb,
+        num_nodes=n_pad,
+        window_unit=window_unit,
+    )
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+
+def _ksum(x, k_slots, nb):
+    """Σ of the K static [nb, lanes] row slices of a [K·nb, lanes] tile."""
+    acc = x[0:nb]
+    for k in range(1, k_slots):
+        acc = acc + x[k * nb : (k + 1) * nb]
+    return acc
+
+
+def _ktile(x, k_slots):
+    """Broadcast a [nb, lanes] node tile to [K·nb, lanes] edge rows."""
+    return jnp.concatenate([x] * k_slots, axis=0)
+
+
+def _nk_common(dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs):
+    slots = kk * nb
+    w_rows = wb * wu
+    sid = sidx_ref[0]
+    oh_sT = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_rows, slots), 0) == sid
+    ).astype(jnp.bfloat16)
+    kw = jnp.concatenate([r[:] for r in kw_refs], axis=0)
+    vw = jnp.concatenate([r[:] for r in vw_refs], axis=0)
+    ke = _dot_t(oh_sT, kw).astype(jnp.bfloat16)  # [S, lanes]
+    ve = _dot_t(oh_sT, vw).astype(jnp.bfloat16)
+    qe = _ktile(qj_ref[:], kk).astype(jnp.bfloat16)
+
+    ones_dh = _dh_group_ones(dh)
+    logits = _grouped_dot(qe, ke, ones_dh, slots, lanes) / math.sqrt(dh)
+    # global-shift softmax: any per-receiver-constant shift cancels in
+    # num/den (see fused_edge_attention for the underflow caveat)
+    shift = jnp.max(logits)
+    valid = sid.reshape(slots, 1) < w_rows
+    p = jnp.where(
+        valid, jnp.exp(logits.reshape(slots, lanes) - shift), 0.0
+    ).astype(jnp.bfloat16)
+    denom = _ksum(p.astype(jnp.float32), kk, nb)  # fp32 [nb, lanes]
+    return oh_sT, qe, ke, ve, p, denom
+
+
+def _nk_fwd_kernel(dh, wb, wu, nb, kk, lanes,
+                   win_start_ref, sidx_ref, qj_ref, *rest):
+    kw_refs = rest[:wb]
+    vw_refs = rest[wb : 2 * wb]
+    out_ref = rest[2 * wb]
+    _oh, _qe, _ke, ve, p, denom = _nk_common(
+        dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs)
+    num = _ksum((p * ve).astype(jnp.float32), kk, nb)
+    out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
+    out_ref[:] = out.astype(jnp.bfloat16)
+
+
+def _nk_bwd_kernel(dh, wb, wu, nb, kk, lanes,
+                   win_start_ref, sidx_ref, qj_ref, *rest):
+    kw_refs = rest[:wb]
+    vw_refs = rest[wb : 2 * wb]
+    g_out_ref = rest[2 * wb]
+    dq_ref, dkw_ref, dvw_ref = rest[2 * wb + 1 :]
+
+    oh_sT, qe, ke, ve, p, denom = _nk_common(
+        dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs)
+
+    inv = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+    # identical softmax backward algebra to fused_edge_attention._bwd_kernel
+    # (pre-scaled g' = inv·g_out), but every receiver move is a static
+    # K-slice tile/sum instead of an oh_rN contraction:
+    gp = (g_out_ref[:].astype(jnp.float32) * inv).astype(jnp.bfloat16)
+    gpe = _ktile(gp, kk)                                     # edges (free)
+    g_ve = (p * gpe).astype(jnp.bfloat16)
+    ones_dh = _dh_group_ones(dh)
+    abar = _grouped_dot(ve, gpe, ones_dh, kk * nb, lanes)    # fp32 rows
+    abar2 = abar.reshape(kk * nb, lanes).astype(jnp.bfloat16)
+    s_r = _ksum((p * abar2).astype(jnp.float32), kk, nb) * inv
+    s_e = _ktile(s_r.astype(jnp.bfloat16), kk)
+    g_logit = (p * (abar2 - s_e)).astype(jnp.bfloat16)
+    g_logit = (g_logit / math.sqrt(dh)).astype(jnp.bfloat16)
+
+    dq_ref[:] = _ksum((g_logit * ke).astype(jnp.float32), kk, nb).astype(
+        jnp.bfloat16)
+    dkw_ref[:] = _dot(oh_sT, (g_logit * qe).astype(jnp.bfloat16)).astype(
+        jnp.bfloat16)
+    dvw_ref[:] = _dot(oh_sT, g_ve).astype(jnp.bfloat16)
+
+
+def fused_edge_attention_nk(
+    q: jnp.ndarray,  # [N, B, h, dh] packed
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    tiling: NKTiling,
+    interpret: bool = False,
+    lanes: int = 1024,
+    lanes_bwd: int = 512,
+    tiling_idx=None,  # runtime (win_start, sidx) — compile-once buckets
+) -> jnp.ndarray:
+    """Edge-masked multi-head attention on the uniform-degree layout.
+
+    Same contract as ops/fused_edge_attention.fused_edge_attention; node
+    arrays must be padded to ``tiling.num_nodes``.
+    """
+    n, b, h, dh = q.shape
+    total_lanes = b * h * dh
+    assert n == tiling.num_nodes, (n, tiling.num_nodes)
+    assert LANES % dh == 0, f"head dim {dh} must divide {LANES}"
+    assert total_lanes % LANES == 0
+
+    def _fit(l):
+        l = max(min(l, total_lanes), LANES)
+        while total_lanes % l != 0:
+            l -= LANES
+        return l
+
+    win_rows_ = tiling.window_blocks * tiling.window_unit
+    if win_rows_ > 512:
+        lanes = min(lanes, 512)
+        lanes_bwd = min(lanes_bwd, 128)
+    if win_rows_ > 1280:
+        lanes = min(lanes, 256)
+        lanes_bwd = min(lanes_bwd, 128)
+    lanes = _fit(lanes)
+    lanes_bwd = _fit(lanes_bwd)
+    g_blocks = tiling.num_groups
+    nb = tiling.node_block
+    kk = tiling.k_slots
+    wb = tiling.window_blocks
+    wu = tiling.window_unit
+    slots = tiling.slots
+
+    dtype = jnp.bfloat16
+    q2 = q.reshape(n, total_lanes).astype(dtype)
+    k2 = k.reshape(n, total_lanes).astype(dtype)
+    v2 = v.reshape(n, total_lanes).astype(dtype)
+
+    if tiling_idx is not None:
+        win_in, sidx_in = tiling_idx
+        win_start = jnp.asarray(win_in, jnp.int32)
+        sidx = jnp.asarray(sidx_in, jnp.int32)[:, None, :]
+    else:
+        sidx = jnp.asarray(tiling.sidx)[:, None, :]
+        win_start = jnp.asarray(tiling.win_start)
+    blk_node = win_start.reshape(-1).astype(jnp.int32)
+
+    def _vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def _specs(l):
+        grid = (total_lanes // l, g_blocks)
+        group_spec = _vspec((1, 1, slots), lambda c, g, ws: (g, 0, 0))
+        node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
+        win_specs = [
+            _vspec((wu, l), partial(lambda kix, c, g, ws: (ws[g, kix], c), kix))
+            for kix in range(wb)
+        ]
+        dw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
+        return grid, group_spec, node_spec, win_specs, dw_spec
+
+    def _fwd(q2, k2, v2):
+        grid, group_spec, node_spec, win_specs, _ = _specs(lanes)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[group_spec, node_spec] + win_specs + win_specs,
+            out_specs=[node_spec],
+        )
+        kernel = partial(_nk_fwd_kernel, dh, wb, wu, nb, kk, lanes)
+        (out,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((n, total_lanes), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(win_start, sidx, q2, *([k2] * wb), *([v2] * wb))
+        return out
+
+    @jax.custom_vjp
+    def run(q2, k2, v2):
+        return _fwd(q2, k2, v2)
+
+    def run_fwd(q2, k2, v2):
+        return run(q2, k2, v2), (q2, k2, v2)
+
+    def run_bwd(res, g_out):
+        q2, k2, v2 = res
+        grid, group_spec, node_spec, win_specs, dw_spec = _specs(lanes_bwd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[group_spec, node_spec] + win_specs + win_specs
+            + [node_spec],  # g_out
+            out_specs=[node_spec, dw_spec, dw_spec],
+        )
+        kernel = partial(_nk_bwd_kernel, dh, wb, wu, nb, kk, lanes_bwd)
+        dq, dkw, dvw = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+            ],
+            interpret=interpret,
+        )(win_start, sidx, q2, *([k2] * wb), *([v2] * wb),
+          g_out.astype(dtype))
+
+        def reduce_windows(dw):
+            blocks = dw.reshape(g_blocks * wb, wu, total_lanes)
+            return jax.ops.segment_sum(
+                blocks, blk_node, num_segments=n // wu
+            ).reshape(n, total_lanes).astype(dtype)
+
+        return dq, reduce_windows(dkw), reduce_windows(dvw)
+
+    run.defvjp(run_fwd, run_bwd)
+    out2 = run(q2, k2, v2)
+    return out2.reshape(n, b, h, dh)

@@ -50,12 +50,22 @@ DEFAULT_PLATFORMS: Tuple[str, ...] = ("cpu", "tpu")
 # ----------------------------------------------------------------------
 
 
-def graph_to_dict(graph: MeshGraph) -> Dict[str, jnp.ndarray]:
+#: MeshGraph fields that only exist for supervision/loss/bookkeeping —
+#: stripped from the single-frame eval artifact's signature so a serving
+#: host never has to fabricate ground-truth arrays (Simulator.prepare
+#: handles their absence). The rollout artifact keeps them: it genuinely
+#: consumes y (RMSE, BC write-back).
+SUPERVISION_FIELDS = ("y", "next_data", "deselected", "traj_index")
+
+
+def graph_to_dict(
+    graph: MeshGraph, drop: Tuple[str, ...] = ()
+) -> Dict[str, jnp.ndarray]:
     """Array fields of a MeshGraph as a plain dict (None fields dropped)."""
     out = {}
     for f in dataclasses.fields(graph):
         v = getattr(graph, f.name)
-        if v is None:
+        if v is None or f.name in drop:
             continue
         if isinstance(v, tuple):  # tiling_idx — train-path only
             continue
@@ -109,15 +119,19 @@ def _specs(tree):
     )
 
 
-def make_eval_fn(simulator: Simulator):
+def make_eval_fn(simulator: Simulator, frame_transform=None):
     """``(params, state_dict, graph_dict) -> outputs [N, out]`` — the
     physical-space single-frame prediction (simulator eval contract,
-    reference models/simulator.py:178-191)."""
+    reference models/simulator.py:178-191). ``frame_transform`` is the
+    same per-frame eval transform the rollout applies (e.g. world-pos
+    edge features) so both artifacts compute the same function."""
 
     def eval_fn(params, state_dict, graph_dict):
+        g = dict_to_graph(graph_dict)
+        if frame_transform is not None:
+            g = frame_transform(g)
         out = simulator.forward(
-            params, dict_to_state(state_dict), dict_to_graph(graph_dict),
-            is_training=False,
+            params, dict_to_state(state_dict), g, is_training=False
         )
         return out.outputs
 
@@ -151,12 +165,13 @@ def export_eval_step(
     example_graph: MeshGraph,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
     batch_size: Optional[int] = None,
+    frame_transform=None,
 ) -> jax_export.Exported:
     """``batch_size=None`` exports the single-graph step; an int exports a
     vmapped step taking ``[B, ...]``-leading graph leaves (same padding
     bucket) — the batched-inference shape for production serving."""
-    fn = make_eval_fn(simulator)
-    graph_specs = _specs(graph_to_dict(example_graph))
+    fn = make_eval_fn(simulator, frame_transform=frame_transform)
+    graph_specs = _specs(graph_to_dict(example_graph, drop=SUPERVISION_FIELDS))
     if batch_size is not None:
         fn = jax.vmap(fn, in_axes=(None, None, 0))
         graph_specs = jax.tree.map(
@@ -266,17 +281,35 @@ class LoadedServingModel:
             return jax_export.deserialize(f.read())
 
     @staticmethod
-    def _as_dicts(sim_state, graph):
+    def _graph_fields(exported: jax_export.Exported) -> set:
+        """Graph-dict keys in the artifact's call signature (from in_tree:
+        args pytree is ((params, state_dict, graph_dict), kwargs))."""
+        args, _kwargs = jax.tree.unflatten(
+            exported.in_tree, [0] * exported.in_tree.num_leaves
+        )
+        return set(args[2].keys())
+
+    @staticmethod
+    def _as_dicts(exported, sim_state, graph):
         if isinstance(sim_state, SimulatorState):
             sim_state = state_to_dict(sim_state)
         if isinstance(graph, MeshGraph):
             graph = graph_to_dict(graph)
-        return sim_state, graph
+        # filter to the artifact's signature (e.g. the eval artifact
+        # strips SUPERVISION_FIELDS — a caller's val-style graph with y
+        # populated must still be accepted)
+        fields = LoadedServingModel._graph_fields(exported)
+        missing = fields - set(graph)
+        if missing:
+            raise ValueError(
+                f"graph is missing fields the artifact requires: {sorted(missing)}"
+            )
+        return sim_state, {k: graph[k] for k in fields}
 
     def eval_step(self, params, sim_state, graph):
         if self._eval is None:
             raise FileNotFoundError(f"no {EVAL_FILE} in {self.dir}")
-        sim_state, graph = self._as_dicts(sim_state, graph)
+        sim_state, graph = self._as_dicts(self._eval, sim_state, graph)
         return self._eval.call(params, sim_state, graph)
 
     def eval_step_batched(self, params, sim_state, graphs):
@@ -284,13 +317,13 @@ class LoadedServingModel:
         B = the batch size fixed at export."""
         if self._eval_batched is None:
             raise FileNotFoundError(f"no {EVAL_BATCHED_FILE} in {self.dir}")
-        sim_state, graphs = self._as_dicts(sim_state, graphs)
+        sim_state, graphs = self._as_dicts(self._eval_batched, sim_state, graphs)
         return self._eval_batched.call(params, sim_state, graphs)
 
     def rollout(self, params, sim_state, frames):
         if self._rollout is None:
             raise FileNotFoundError(f"no {ROLLOUT_FILE} in {self.dir}")
-        sim_state, frames = self._as_dicts(sim_state, frames)
+        sim_state, frames = self._as_dicts(self._rollout, sim_state, frames)
         return self._rollout.call(params, sim_state, frames)
 
 

@@ -43,6 +43,18 @@ def model_params(params):
     return params
 
 
+def wrap_mtp_params(params, mtp: "MTPSetup", rng: jax.Array):
+    """Wrap processor params with a freshly-initialized MTP encoder — the
+    single definition of the {'model':..., 'mtp':...} pytree shape (used
+    by init_train_state and by gpt-convert, which must emit the exact
+    structure the abstract restore expects)."""
+    b, l, d = 2, 1 + mtp.cfg.max_neighbors, mtp.cfg.d_model
+    mtp_params = mtp.encoder.init(
+        rng, jnp.zeros((b, l, d)), jnp.zeros((b, l), bool)
+    )
+    return {"model": params, "mtp": mtp_params}
+
+
 @dataclass(frozen=True)
 class MTPSetup:
     """Spatial-MTP wiring: config + encoder module + shared-head applier.
@@ -78,13 +90,7 @@ def init_train_state(
 ) -> TrainState:
     params = simulator.init_params(rng, example)
     if mtp is not None:
-        b, l, d = 2, 1 + mtp.cfg.max_neighbors, mtp.cfg.d_model
-        mtp_params = mtp.encoder.init(
-            jax.random.fold_in(rng, 1),
-            jnp.zeros((b, l, d)),
-            jnp.zeros((b, l), bool),
-        )
-        params = {"model": params, "mtp": mtp_params}
+        params = wrap_mtp_params(params, mtp, jax.random.fold_in(rng, 1))
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),

@@ -176,6 +176,8 @@ def _graphnet_block(sd: _SD, p: str) -> Dict[str, Any]:
     if sd.has(f"{p}.gate_proj.weight"):
         params["gate_proj"] = _dense(sd, f"{p}.gate_proj")
         params["gate_pos"] = jnp.asarray(sd.take(f"{p}.gate_pos"), jnp.float32)
+    if sd.has(f"{p}.rope_inv_freq"):  # non-persistent in the reference, but
+        sd.take(f"{p}.rope_inv_freq")  # tolerate checkpoints that carry it
     return params
 
 
@@ -196,6 +198,11 @@ def _attention(sd: _SD, p: str, hidden: int, heads: int) -> Dict[str, Any]:
     }
     if sd.has(f"{p}.gate_proj.weight"):
         params["gate_proj"] = _dense(sd, f"{p}.gate_proj", col_perm=perm)
+    if sd.has(f"{p}.rope_inv_freq"):
+        # persistent RoPE frequency buffer (reference layers.py:619,
+        # registered when use_rope_embeddings=True) — deterministic from
+        # config; our flax side recomputes it. Consume and discard.
+        sd.take(f"{p}.rope_inv_freq")
     return params
 
 

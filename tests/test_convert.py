@@ -231,6 +231,34 @@ def test_convert_transformer_temporal_gated():
     _tree_equal(params, {"params": expected})
 
 
+def test_convert_transformer_rope_buffer():
+    """RoPE-enabled reference checkpoints carry a persistent
+    'rope_inv_freq' buffer (reference layers.py:619) — it must be consumed
+    (it is deterministic from config), not crash the strict mapping."""
+    heads = 4
+    torch.manual_seed(7)
+    ref = ref_processors.EncodeTransformDecode(
+        message_passing_num=1, node_input_size=7, output_size=OUT,
+        hidden_size=H, num_heads=heads, use_rope_embeddings=True,
+        rope_pos_dimension=2,
+    )
+    sd = ref.state_dict()
+    assert any(k.endswith("rope_inv_freq") for k in sd)
+    flat = {f"model.{k}": v for k, v in sd.items()}
+    param = {"model": {
+        "type": "transformer", "message_passing_num": 1,
+        "node_input_size": 7 - 9, "edge_input_size": EDGE_IN,
+        "output_size": OUT, "hidden_size": H, "num_heads": heads,
+    }}
+    params, _ = convert_lib.convert_state_dict(flat, param)
+    expected = {
+        "nodes_encoder": _mlp_params(ref.nodes_encoder),
+        "decode_module": _mlp_params(ref.decode_module),
+        "block_0": _transformer_params(ref.processor_list[0], H, heads),
+    }
+    _tree_equal(params, {"params": expected})
+
+
 def test_convert_transolver():
     """TransolverProcessor checkpoint (heads-first layouts — no perms);
     the dead condition-embedding Linear is consumed but not emitted."""

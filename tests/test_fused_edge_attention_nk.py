@@ -1,0 +1,138 @@
+"""Uniform-degree (NK) fused edge attention: layout + fwd/grad parity.
+
+Mirrors tests/test_fused_edge_attention.py against the same XLA reference
+(ops/edge_attention) and additionally cross-checks the two fused kernels
+against each other on the identical graph.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graph_physics_tpu.core import mesh as mesh_lib
+from graph_physics_tpu.dataset import synthetic
+from graph_physics_tpu.ops import edge_attention as ea
+from graph_physics_tpu.ops.fused_edge_attention_nk import (
+    build_nk_tiling,
+    fused_edge_attention_nk,
+)
+
+
+def _setup(nx=14, ny=10, b=2, h=4, dh=16, seed=0):
+    traj = synthetic.make_trajectory(nx, ny, num_steps=2)
+    pos = traj["mesh_pos"][0]
+    senders, receivers = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
+    t = build_nk_tiling(senders, receivers, len(pos), node_block=128)
+    assert t is not None
+    n = t.num_nodes
+    key = jax.random.PRNGKey(seed)
+    q = jax.random.normal(key, (n, b, h, dh), jnp.float32) * 0.5
+    k = jax.random.normal(jax.random.fold_in(key, 1), (n, b, h, dh)) * 0.5
+    v = jax.random.normal(jax.random.fold_in(key, 2), (n, b, h, dh)) * 0.5
+    return t, n, senders, receivers, q, k, v
+
+
+def _xla_ref(q, k, v, senders, receivers):
+    return ea.edge_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        jnp.asarray(senders), jnp.asarray(receivers),
+        edge_mask=jnp.ones(senders.shape[0], bool),
+    )
+
+
+def test_nk_tiling_layout():
+    """Every edge lands in exactly one slot of its receiver's K run, with
+    the correct window-local sender index."""
+    t, n, senders, receivers, *_ = _setup()
+    nb, kk, wu = t.node_block, t.k_slots, t.window_unit
+    deg = np.bincount(np.asarray(receivers), minlength=n)
+    assert kk == int(deg.max())
+    seen = 0
+    for g in range(t.num_groups):
+        units = t.win_start[g]
+        for slot in range(t.slots):
+            e = t.perm[g * t.slots + slot]
+            if e < 0:
+                assert t.sidx[g, slot] == t.window_blocks * wu
+                continue
+            seen += 1
+            r_local = slot % nb
+            assert receivers[e] == g * nb + r_local
+            lidx = t.sidx[g, slot]
+            unit = units[lidx // wu]
+            assert senders[e] == unit * wu + lidx % wu
+    assert seen == len(senders)
+
+
+def test_nk_forward_matches_xla():
+    t, n, senders, receivers, q, k, v = _setup()
+    out_ref = _xla_ref(q, k, v, senders, receivers)
+    out_f = fused_edge_attention_nk(q, k, v, t, interpret=True)
+    a = np.asarray(out_ref, np.float32)
+    c = np.asarray(out_f, np.float32)
+    n_real = int(senders.max()) + 1
+    np.testing.assert_allclose(c[:n_real], a[:n_real], rtol=0.06, atol=0.03)
+    # empty receivers return zeros
+    has_in = np.zeros(n, bool)
+    has_in[np.asarray(receivers)] = True
+    if (~has_in).any():
+        np.testing.assert_array_equal(np.asarray(out_f)[~has_in], 0.0)
+
+
+def test_nk_matches_blocked_csr_kernel():
+    """The two fused kernels agree bit-for-bit-ish on the same graph."""
+    from graph_physics_tpu.ops import tiling as tiling_lib
+    from graph_physics_tpu.ops.fused_edge_attention import fused_edge_attention
+
+    t_nk, n, senders, receivers, q, k, v = _setup(nx=12, ny=9, seed=3)
+    t_csr = tiling_lib.build_edge_tiling(senders, receivers,
+                                         int(senders.max()) + 1,
+                                         node_block=128)
+    assert t_csr is not None and t_csr.num_nodes == n
+    out_nk = fused_edge_attention_nk(q, k, v, t_nk, interpret=True)
+    out_csr = fused_edge_attention(q, k, v, t_csr, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_nk, np.float32), np.asarray(out_csr, np.float32),
+        rtol=0.03, atol=0.02,
+    )
+
+
+def test_nk_grads_match():
+    t, n, senders, receivers, q, k, v = _setup(nx=12, ny=8, seed=5)
+    cot = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _xla_ref(q, k, v, senders, receivers).astype(jnp.float32) * cot
+        )
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            fused_edge_attention_nk(q, k, v, t, interpret=True).astype(
+                jnp.float32) * cot
+        )
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    v_fus, g_fus = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=0.03)
+    for a, c, name in zip(g_ref, g_fus, ["dq", "dk", "dv"]):
+        a = np.asarray(a, np.float32)
+        c = np.asarray(c, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(c / scale, a / scale, atol=0.04,
+                                   err_msg=name)
+
+
+def test_nk_rejects_degree_skew():
+    """A hub node forces K to the hub degree; the builder bails out."""
+    hub_edges = 64
+    senders = np.arange(hub_edges, dtype=np.int64) + 1
+    receivers = np.zeros(hub_edges, np.int64)
+    # plus a sparse ring so other nodes have degree 1
+    ring_s = np.arange(1, 65, dtype=np.int64)
+    ring_r = ring_s % 64 + 1
+    s = np.concatenate([senders, ring_s])
+    r = np.concatenate([receivers, ring_r])
+    t = build_nk_tiling(s, r, 65, node_block=128, max_row_inflation=2.0)
+    assert t is None

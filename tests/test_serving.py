@@ -63,6 +63,16 @@ def test_eval_step_roundtrip(tmp_path):
     # manifest records the lowered platforms + signatures
     man = json.loads((tmp_path / "manifest.json").read_text())
     assert man["artifacts"]["eval_step"]["platforms"] == ["cpu", "tpu"]
+    # the eval artifact's signature must NOT demand supervision fields —
+    # a serving host has no ground-truth y (the example graph had one)
+    assert g.y is not None
+    fields = loaded._graph_fields(loaded._eval)
+    assert not fields & {"y", "next_data", "deselected", "traj_index"}
+    import dataclasses as _dc
+
+    out2 = loaded.eval_step(params, state, _dc.replace(g, y=None))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_eval_step_composes_under_jit(tmp_path):

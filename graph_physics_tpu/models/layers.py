@@ -265,6 +265,14 @@ class Attention(nn.Module):
     #: blocked-CSR layout (ops/tiling.py): runs the edge attention through
     #: the fused Pallas kernel on packed bf16 inputs (None = XLA path)
     tiling: Optional[Any] = None
+    #: uniform-degree layout (ops/fused_edge_attention_nk.py): preferred
+    #: over the blocked-CSR kernel when set (fewer one-hot contractions —
+    #: receiver-side moves become static K-slices). Must be built from the
+    #: SAME edge set as ``tiling`` (validated via the CSR edge-count
+    #: check); static-topology dispatch only (skipped when the graph
+    #: carries runtime tiling_idx — bucket-shared traces would bake the
+    #: wrong NK indices).
+    nk_tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     def _fused_attn_ok(self, x, senders, kv, return_attention) -> bool:
@@ -331,15 +339,30 @@ class Attention(nn.Module):
         if senders is not None and self._fused_attn_ok(
             x, senders, kv, return_attention
         ):
-            from graph_physics_tpu.ops.fused_edge_attention import (
-                fused_edge_attention,
+            use_nk = (
+                self.nk_tiling is not None
+                and tiling_idx is None  # static-topology dispatch only
+                and self.nk_tiling.num_nodes == self.tiling.num_nodes
             )
+            if use_nk:
+                from graph_physics_tpu.ops.fused_edge_attention_nk import (
+                    fused_edge_attention_nk,
+                )
 
-            y = fused_edge_attention(
-                q, k, v, self.tiling,
-                interpret=jax.default_backend() != "tpu",
-                tiling_idx=tiling_idx,
-            ).astype(self.dtype)
+                y = fused_edge_attention_nk(
+                    q, k, v, self.nk_tiling,
+                    interpret=jax.default_backend() != "tpu",
+                ).astype(self.dtype)
+            else:
+                from graph_physics_tpu.ops.fused_edge_attention import (
+                    fused_edge_attention,
+                )
+
+                y = fused_edge_attention(
+                    q, k, v, self.tiling,
+                    interpret=jax.default_backend() != "tpu",
+                    tiling_idx=tiling_idx,
+                ).astype(self.dtype)
         elif senders is not None:
             y = ea.edge_attention(
                 q, k, v, senders, receivers, edge_mask,
@@ -399,6 +422,8 @@ class TransformerBlock(nn.Module):
     sp_halo_size: Optional[int] = None
     #: blocked-CSR layout enabling the fused Pallas edge-attention kernel
     tiling: Optional[Any] = None
+    #: uniform-degree layout (preferred; see Attention.nk_tiling)
+    nk_tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -424,6 +449,7 @@ class TransformerBlock(nn.Module):
             sp_axis_name=self.sp_axis_name,
             sp_halo_size=self.sp_halo_size,
             tiling=self.tiling,
+            nk_tiling=self.nk_tiling,
             dtype=self.dtype,
             name="attention",
         )(

@@ -179,6 +179,10 @@ class EncodeTransformDecode(nn.Module):
     #: blocked-CSR edge layout (ops/tiling.py) — runs the edge attention
     #: through the fused Pallas kernel on packed bf16 batches
     edge_tiling: Optional[Any] = None
+    #: uniform-degree attention layout (ops/fused_edge_attention_nk) —
+    #: preferred over edge_tiling's kernel when set; must be built from
+    #: the same edge set (static-topology dispatch only)
+    edge_tiling_nk: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,6 +219,7 @@ class EncodeTransformDecode(nn.Module):
                 sp_axis_name=self.sp_axis_name,
                 sp_halo_size=self.sp_halo_size,
                 tiling=self.edge_tiling,
+                nk_tiling=self.edge_tiling_nk,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(

@@ -124,6 +124,59 @@ def test_nk_grads_match():
                                    err_msg=name)
 
 
+def test_etd_nk_attention_matches_xla():
+    """EncodeTransformDecode with edge_tiling_nk (NK attention) vs the
+    plain XLA path, same params, packed bf16 batch."""
+    from graph_physics_tpu.models.processors import EncodeTransformDecode
+    from graph_physics_tpu.ops import tiling as tiling_lib
+    from graph_physics_tpu.ops.tiling import apply_to_graph
+    from tests.helpers import tiny_graph
+
+    b = 2
+    g = tiny_graph(nx=14, ny=10)
+    t = tiling_lib.build_edge_tiling(
+        np.asarray(g.senders), np.asarray(g.receivers), int(g.n_node),
+        edge_mask=np.asarray(g.edge_mask), node_block=128)
+    t_nk = build_nk_tiling(
+        np.asarray(g.senders), np.asarray(g.receivers), int(g.n_node),
+        edge_mask=np.asarray(g.edge_mask), node_block=128)
+    assert t_nk is not None and t_nk.num_nodes == t.num_nodes
+    gt = apply_to_graph(g, t)
+
+    key = jax.random.PRNGKey(4)
+    n0 = g.x.shape[0]
+    x0 = jax.random.normal(key, (n0, b, 4), jnp.float32) * 0.5
+    gp = jax.tree.map(jnp.asarray, g)
+    gp = gp.replace(x=jnp.asarray(x0))
+    n_t = t.num_nodes
+    x_t = jnp.zeros((n_t, b, 4))
+    x_t = x_t.at[: min(n0, n_t)].set(x0[: min(n0, n_t)])
+    gt = jax.tree.map(jnp.asarray, gt)
+    gt = gt.replace(x=x_t, tiling_idx=None)  # static-topology dispatch
+
+    kwargs = dict(
+        message_passing_num=2, node_input_size=4, output_size=2,
+        hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+    )
+    m_xla = EncodeTransformDecode(**kwargs)
+    m_nk = EncodeTransformDecode(edge_tiling=t, edge_tiling_nk=t_nk, **kwargs)
+    params = m_xla.init(jax.random.fold_in(key, 1), gp)
+    out_xla = m_xla.apply(params, gp)
+    out_nk = m_nk.apply(params, gt)
+
+    n_real = int(g.n_node)
+    a = np.asarray(out_xla, np.float32)[:n_real]
+    c = np.asarray(out_nk, np.float32)[:n_real]
+    np.testing.assert_allclose(c, a, rtol=0.1, atol=0.1)
+
+    def loss(p):
+        return jnp.sum(m_nk.apply(p, gt).astype(jnp.float32)[:n_real] ** 2)
+
+    grads = jax.grad(loss)(params)
+    kp = grads["params"]["block_0"]["attention"]["k_proj"]["kernel"]
+    assert float(np.abs(np.asarray(kp)).max()) > 0
+
+
 def test_nk_rejects_degree_skew():
     """A hub node forces K to the hub degree; the builder bails out."""
     hub_edges = 64

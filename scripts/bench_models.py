@@ -123,6 +123,35 @@ def main():
             message_passing_num=10, node_input_size=2 + 9, output_size=2,
             hidden_size=64, num_heads=4, dtype=jnp.bfloat16, edge_tiling=t,
         ), graph=g_tiled, batch=bt)
+
+    # uniform-degree (NK) attention variant (static-topology dispatch:
+    # tiling_idx must be None or the Attention layer falls back to CSR)
+    if only is None or only in "transformer_nk":
+        import dataclasses as _dc
+        import os as _os
+
+        from graph_physics_tpu.ops.fused_edge_attention_nk import (
+            build_nk_tiling,
+        )
+
+        t_nk = build_nk_tiling(
+            np.asarray(g.senders), np.asarray(g.receivers), int(g.n_node),
+            edge_mask=np.asarray(g.edge_mask))
+        if t_nk is not None:
+            t_csr = t if t is not None else tiling_lib.build_edge_tiling(
+                np.asarray(g.senders), np.asarray(g.receivers),
+                int(g.n_node), edge_mask=np.asarray(g.edge_mask))
+            g_nk = _dc.replace(
+                g_tiled if t is not None
+                else tiling_lib.apply_to_graph(g, t_csr),
+                tiling_idx=None,
+            )
+            bt = int(_os.environ.get("BM_TF_BATCH", "64"))
+            bench("transformer_nk", EncodeTransformDecode(
+                message_passing_num=10, node_input_size=2 + 9, output_size=2,
+                hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+                edge_tiling=t_csr, edge_tiling_nk=t_nk,
+            ), graph=g_nk, batch=bt)
     # Transolver consumes [B, N, F] stacked batches (its physics attention
     # adds its own batch dim; the packed [N, B, F] layout doesn't apply)
     if want("transolver"):

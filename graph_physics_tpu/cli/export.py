@@ -41,6 +41,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "(batched-inference artifact for production serving)",
     )
     p.add_argument(
+        "--serve_dp_devices", type=int, default=None,
+        help="shard the batched eval step's batch axis over this many "
+        "devices (data-parallel serving artifact; requires that many "
+        "devices visible at export and at load, and "
+        "--serve_batch_size divisible by it)",
+    )
+    p.add_argument(
         "--static_time", action="store_true",
         help="fix the rollout trajectory length to the example's (default: "
         "symbolic — one artifact serves any length, falling back to "
@@ -85,9 +92,22 @@ def main(argv=None):
     )
     batched_ex = None
     if args.serve_batch_size:
+        dp_mesh = None
+        if args.serve_dp_devices:
+            import numpy as np
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < args.serve_dp_devices:
+                raise SystemExit(
+                    f"--serve_dp_devices {args.serve_dp_devices} but only "
+                    f"{len(devs)} devices visible"
+                )
+            dp_mesh = Mesh(np.array(devs[: args.serve_dp_devices]), ("dp",))
         batched_ex = serving.export_eval_step(
             simulator, params, state.sim_state, single, platforms=platforms,
             batch_size=args.serve_batch_size, frame_transform=eval_transform,
+            dp_mesh=dp_mesh,
         )
     rollout_ex = None
     symbolic_used = False

@@ -166,10 +166,17 @@ def export_eval_step(
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
     batch_size: Optional[int] = None,
     frame_transform=None,
+    dp_mesh: Optional[jax.sharding.Mesh] = None,
 ) -> jax_export.Exported:
     """``batch_size=None`` exports the single-graph step; an int exports a
     vmapped step taking ``[B, ...]``-leading graph leaves (same padding
-    bucket) — the batched-inference shape for production serving."""
+    bucket) — the batched-inference shape for production serving.
+
+    ``dp_mesh`` (requires ``batch_size`` divisible by the mesh size)
+    additionally shards the batch axis over the mesh's first axis with
+    replicated weights — ONE artifact runs data-parallel across the
+    serving host's chips (jax.export serializes the shardings; the
+    loading host calls it under a same-sized mesh)."""
     fn = make_eval_fn(simulator, frame_transform=frame_transform)
     graph_specs = _specs(graph_to_dict(example_graph, drop=SUPERVISION_FIELDS))
     if batch_size is not None:
@@ -178,7 +185,27 @@ def export_eval_step(
             lambda s: jax.ShapeDtypeStruct((batch_size,) + s.shape, s.dtype),
             graph_specs,
         )
-    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
+    if dp_mesh is None:
+        jit_fn = jax.jit(fn)
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if batch_size is None or batch_size % dp_mesh.size != 0:
+            raise ValueError(
+                f"dp_mesh needs batch_size divisible by mesh size "
+                f"({batch_size} vs {dp_mesh.size})"
+            )
+        axis = dp_mesh.axis_names[0]
+        rep = NamedSharding(dp_mesh, P())
+        shard_b = NamedSharding(dp_mesh, P(axis))
+        jit_fn = jax.jit(
+            fn,
+            in_shardings=(rep, rep, jax.tree.map(lambda _: shard_b,
+                                                 graph_specs)),
+            out_shardings=shard_b,
+        )
+    return jax_export.export(jit_fn, platforms=tuple(platforms))(
         _specs(params), _specs(state_to_dict(sim_state)), graph_specs
     )
 
@@ -314,11 +341,35 @@ class LoadedServingModel:
 
     def eval_step_batched(self, params, sim_state, graphs):
         """``graphs``: MeshGraph (or dict) with [B, ...]-leading leaves,
-        B = the batch size fixed at export."""
+        B = the batch size fixed at export.
+
+        dp-sharded artifacts (exported with ``dp_mesh``) are dispatched
+        under a same-sized mesh over this host's devices automatically."""
         if self._eval_batched is None:
             raise FileNotFoundError(f"no {EVAL_BATCHED_FILE} in {self.dir}")
-        sim_state, graphs = self._as_dicts(self._eval_batched, sim_state, graphs)
-        return self._eval_batched.call(params, sim_state, graphs)
+        ex = self._eval_batched
+        sim_state, graphs = self._as_dicts(ex, sim_state, graphs)
+        if ex.nr_devices <= 1:
+            return ex.call(params, sim_state, graphs)
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < ex.nr_devices:
+            raise ValueError(
+                f"artifact was exported for {ex.nr_devices} devices; this "
+                f"host has {len(devs)}"
+            )
+        mesh = Mesh(_np.array(devs[: ex.nr_devices]), ("dp",))
+        rep = NamedSharding(mesh, P())
+        shard_b = NamedSharding(mesh, P("dp"))
+        call = jax.jit(
+            ex.call,
+            in_shardings=(rep, rep, jax.tree.map(lambda _: shard_b, graphs)),
+            out_shardings=shard_b,
+        )
+        return call(params, sim_state, graphs)
 
     def rollout(self, params, sim_state, frames):
         if self._rollout is None:

@@ -114,6 +114,32 @@ def test_batched_eval_step(tmp_path):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_dp_sharded_batched_eval(tmp_path):
+    """Artifact exported with dp_mesh runs data-parallel over the serving
+    host's mesh; per-graph outputs equal independent forwards."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from jax.sharding import Mesh
+
+    sim, params, g = _sim_and_params(seed=4)
+    state = sim.init_state()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    ex = export_eval_step(sim, params, state, g, platforms=("cpu",),
+                          batch_size=8, dp_mesh=mesh)
+    assert ex.nr_devices == 8
+    save_exported(str(tmp_path), batched_eval_step=ex)
+    loaded = load_exported(str(tmp_path))
+
+    graphs = [to_jax(tiny_graph(frame=t % 6)) for t in range(8)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+    out = loaded.eval_step_batched(params, state, stacked)
+    assert "dp" in str(getattr(out, "sharding", ""))
+    for b in (0, 3, 7):
+        ref = sim.forward(params, state, graphs[b], is_training=False).outputs
+        np.testing.assert_allclose(np.asarray(out)[b], np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("symbolic", [False, True])
 def test_rollout_roundtrip(tmp_path, symbolic):
     sim, params, _ = _sim_and_params(seed=2)

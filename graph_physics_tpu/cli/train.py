@@ -53,6 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="dispatch the fused kernels as up to K window-width "
                         "buckets (graded meshes; groups sorted by touched "
                         "window units). 1 = single dispatch")
+    p.add_argument("--fused_attn_nk", action="store_true",
+                   help="transformer models: run the fused attention on "
+                        "the uniform-degree (NK) layout — half the one-hot "
+                        "contractions on bounded-degree meshes")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
@@ -190,6 +194,7 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch,
         fused=args.fused,
         fused_wb_buckets=args.fused_wb_buckets,
+        fused_attn_nk=args.fused_attn_nk,
     )
 
     num_steps = max(

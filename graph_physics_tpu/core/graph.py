@@ -83,6 +83,11 @@ class MeshGraph:
     #: every same-bucket topology (real datasets have ~1000 distinct
     #: meshes; baking indices in as constants would recompile per mesh).
     tiling_idx: Optional[Any] = None
+    #: ``(win_start [G, wb], sidx [G, K*nb])`` int32 — runtime indices of
+    #: the uniform-degree attention layout (ops/fused_edge_attention_nk);
+    #: carried alongside tiling_idx so bucket-shared compiles also serve
+    #: the NK kernel
+    tiling_idx_nk: Optional[Any] = None
 
     # ------------------------------------------------------------------
     @property

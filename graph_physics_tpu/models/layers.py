@@ -309,6 +309,7 @@ class Attention(nn.Module):
         kv: Optional[jnp.ndarray] = None,
         return_attention: bool = False,
         tiling_idx=None,  # runtime (win_start, sidx, ridx) of the graph
+        tiling_idx_nk=None,  # runtime (win_start, sidx) of the NK layout
     ) -> jnp.ndarray:
         if self.use_rope_embeddings and pos is None:
             raise ValueError("RoPE embeddings require positional information.")
@@ -341,8 +342,10 @@ class Attention(nn.Module):
         ):
             use_nk = (
                 self.nk_tiling is not None
-                and tiling_idx is None  # static-topology dispatch only
                 and self.nk_tiling.num_nodes == self.tiling.num_nodes
+                # static-topology dispatch, OR runtime NK indices riding
+                # the graph (bucket-shared compiles)
+                and (tiling_idx is None or tiling_idx_nk is not None)
             )
             if use_nk:
                 from graph_physics_tpu.ops.fused_edge_attention_nk import (
@@ -352,6 +355,7 @@ class Attention(nn.Module):
                 y = fused_edge_attention_nk(
                     q, k, v, self.nk_tiling,
                     interpret=jax.default_backend() != "tpu",
+                    tiling_idx=tiling_idx_nk,
                 ).astype(self.dtype)
             else:
                 from graph_physics_tpu.ops.fused_edge_attention import (
@@ -436,6 +440,7 @@ class TransformerBlock(nn.Module):
         node_mask: Optional[jnp.ndarray] = None,
         pos: Optional[jnp.ndarray] = None,
         tiling_idx=None,
+        tiling_idx_nk=None,
     ) -> jnp.ndarray:
         attn_out = Attention(
             hidden_size=self.hidden_size,
@@ -460,6 +465,7 @@ class TransformerBlock(nn.Module):
             node_mask,
             pos,
             tiling_idx=tiling_idx,
+            tiling_idx_nk=tiling_idx_nk,
         )
         x = x + attn_out
         ff = GatedMLPBlock(

@@ -230,6 +230,7 @@ class EncodeTransformDecode(nn.Module):
                 graph.node_mask,
                 pos,
                 tiling_idx=graph.tiling_idx,
+                tiling_idx_nk=graph.tiling_idx_nk,
             )
 
         if self.use_temporal_block:

@@ -92,6 +92,7 @@ def build_nk_tiling(
     window_unit: int = 64,
     k_multiple: int = 1,
     max_row_inflation: float = 2.0,
+    window_blocks_multiple: int = 1,
 ) -> Optional[NKTiling]:
     """Build the uniform-degree layout, or None when it doesn't pay.
 
@@ -135,7 +136,10 @@ def build_nk_tiling(
             np.unique(seg // window_unit) if seg.size else np.zeros(1, np.int64)
         )
     wb = max((len(u) for u in group_units), default=1)
-    wb = min(wb, max(n_pad // window_unit, 1))
+    # quantize so near-identical meshes share a shape bucket (padding
+    # window slots repeat the first unit; sentinel sidx keeps them inert)
+    wb = min(_round_up(wb, window_blocks_multiple),
+             max(n_pad // window_unit, 1))
     if wb * window_unit > max_window_blocks * node_block:
         return None
 

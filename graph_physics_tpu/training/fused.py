@@ -41,19 +41,25 @@ class FusedTopologyManager:
 
     def __init__(self, node_block: int = 128, max_window_blocks: int = 16,
                  edge_pad_multiple: int = 64, window_blocks_multiple: int = 2,
-                 window_unit: int = 64, wb_buckets: int = 1):
+                 window_unit: int = 64, wb_buckets: int = 1,
+                 build_nk: bool = False):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
         self.edge_pad_multiple = edge_pad_multiple
         self.window_blocks_multiple = window_blocks_multiple
         self.window_unit = window_unit
+        #: also build the uniform-degree (NK) attention layout per
+        #: topology and ride its runtime indices on the graph
+        #: (ops/fused_edge_attention_nk; transformer models only — the
+        #: step clone sets edge_tiling_nk when the model supports it)
+        self.build_nk = build_nk
         #: >1: sort node blocks by touched-window-unit count and dispatch
         #: the fused kernels as up to this many window-width buckets, so
         #: graded meshes (airfoil: wb 3..18, median 12) don't pay the max
         #: window width on every group. 1 = single dispatch (default).
         self.wb_buckets = wb_buckets
-        #: traj id -> (tiling or None, rcm permutation or None)
-        self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray]]] = {}
+        #: traj id -> (tiling or None, rcm perm or None, NK tiling or None)
+        self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray], Optional[Any]]] = {}
         #: shape-bucket key -> (simulator clone, jitted step_fn)
         self._steps: Dict[Any, Tuple[Any, Any]] = {}
         #: win_start content digest -> bucket plan; the O(wb_buckets·G²)
@@ -87,6 +93,33 @@ class FusedTopologyManager:
             buckets=self._bucket_plan(win),
         )
 
+    def _batch_nk_tiling(self, batch: MeshGraph):
+        """Geometry-only NKTiling from a converted batch's runtime NK
+        indices (mirrors _batch_tiling)."""
+        ti = batch.tiling_idx_nk
+        if ti is None:
+            return None
+        from graph_physics_tpu.ops.fused_edge_attention_nk import NKTiling
+
+        win, sidx = (np.asarray(a) for a in ti)
+        return NKTiling(
+            perm=np.empty(0, np.int32),
+            sidx=sidx,
+            win_start=win,
+            k_slots=int(sidx.shape[1]) // self.node_block,
+            node_block=self.node_block,
+            window_blocks=int(win.shape[1]),
+            num_nodes=int(batch.x.shape[0]),
+            window_unit=self.window_unit,
+        )
+
+    @staticmethod
+    def nk_bucket_key(nk) -> Optional[Tuple]:
+        if nk is None:
+            return None
+        return (nk.k_slots, nk.node_block, nk.window_blocks,
+                nk.window_unit, nk.num_nodes)
+
     def _bucket_plan(self, win_start: np.ndarray):
         if self.wb_buckets <= 1:
             return None
@@ -114,7 +147,12 @@ class FusedTopologyManager:
         if base_sim is not None and not hasattr(base_sim.model, "edge_tiling"):
             return "xla"
         t = self._batch_tiling(batch)
-        return "xla" if t is None else self.bucket_key(t)
+        if t is None:
+            return "xla"
+        nk = (self._batch_nk_tiling(batch)
+              if base_sim is None or hasattr(base_sim.model, "edge_tiling_nk")
+              else None)
+        return (self.bucket_key(t), self.nk_bucket_key(nk))
 
     @staticmethod
     def bucket_key(t) -> Tuple:
@@ -164,8 +202,29 @@ class FusedTopologyManager:
                 perm = None  # not tileable: XLA fallback for this topology
         if t is not None and self.wb_buckets > 1:
             t, perm = self._sort_for_buckets(t, perm, send, recv, n_valid, kw)
-        self._tilings[key] = (t, perm)
-        return key, (t, perm)
+        nk = None
+        if t is not None and self.build_nk:
+            from graph_physics_tpu.ops.fused_edge_attention_nk import (
+                build_nk_tiling,
+            )
+
+            if perm is not None:
+                inv = np.argsort(perm)
+                s_f, r_f = inv[send], inv[recv]
+            else:
+                s_f, r_f = send, recv
+            nk = build_nk_tiling(
+                s_f, r_f, n_valid,
+                node_block=self.node_block,
+                max_window_blocks=self.max_window_blocks,
+                window_unit=self.window_unit,
+                window_blocks_multiple=self.window_blocks_multiple,
+                k_multiple=2,
+            )
+            if nk is not None and nk.num_nodes != t.num_nodes:
+                nk = None  # node-padding mismatch: CSR kernel only
+        self._tilings[key] = (t, perm, nk)
+        return key, (t, perm, nk)
 
     def _sort_for_buckets(self, t, perm, send, recv, n_valid, kw):
         """Re-permute node BLOCKS so groups are ordered by window-unit
@@ -197,18 +256,22 @@ class FusedTopologyManager:
         one entry per partition topology)."""
         for (t_id, _e, _c), entry in self._tilings.items():
             if t_id == traj:
-                return entry
+                return entry[0], entry[1]
         raise KeyError(traj)
 
     def transform_frame(self, g: MeshGraph) -> MeshGraph:
         """Convert one host-side frame into the blocked layout (no-op for
         untileable topologies)."""
-        _, (t, perm) = self._tiling_for(g)
+        _, (t, perm, nk) = self._tiling_for(g)
         if t is None:
             return g
         if perm is not None:
             g = _permute_nodes(g, perm)
-        return tiling_lib.apply_to_graph(g, t)
+        g = tiling_lib.apply_to_graph(g, t)
+        if nk is not None:
+            g = g.replace(tiling_idx_nk=(
+                nk.win_start.astype(np.int32), nk.sidx.astype(np.int32)))
+        return g
 
     # -- device-side step selection (runs in the train loop) ------------
     def step_for(self, batch: MeshGraph, base_sim, make_step: Callable):
@@ -218,10 +281,12 @@ class FusedTopologyManager:
         cached per trajectory so each topology compiles once.
         """
         t = self._batch_tiling(batch)
+        t_nk = (self._batch_nk_tiling(batch)
+                if hasattr(base_sim.model, "edge_tiling_nk") else None)
         if t is None or not hasattr(base_sim.model, "edge_tiling"):
             key = "xla"  # jit's own cache handles shape variety here
         else:
-            key = self.bucket_key(t)
+            key = (self.bucket_key(t), self.nk_bucket_key(t_nk))
         hit = self._steps.get(key)
         if hit is not None:
             return hit
@@ -241,7 +306,10 @@ class FusedTopologyManager:
 
             # the tiling attribute supplies ONLY static geometry here; the
             # per-topology indices arrive as batch.tiling_idx at run time
-            sim = clone_with_model(base_sim, base_sim.model.clone(edge_tiling=t))
+            updates = dict(edge_tiling=t)
+            if t_nk is not None:
+                updates["edge_tiling_nk"] = t_nk
+            sim = clone_with_model(base_sim, base_sim.model.clone(**updates))
             entry = (sim, make_step(sim))
         self._steps[key] = entry
         return entry

@@ -87,6 +87,11 @@ class TrainerConfig:
     #: graded meshes don't pay the max sender-window width everywhere;
     #: uniform meshes plan a single bucket automatically. 1 = off.
     fused_wb_buckets: int = 1
+    #: transformer models: also build the uniform-degree (NK) attention
+    #: layout per topology — receiver-side moves become static K-slices
+    #: (ops/fused_edge_attention_nk). Ignored for models without
+    #: edge_tiling_nk support (epd).
+    fused_attn_nk: bool = False
 
 
 class Trainer:
@@ -177,7 +182,8 @@ class Trainer:
             from graph_physics_tpu.training.fused import FusedTopologyManager
 
             self._fused_mgr = FusedTopologyManager(
-                wb_buckets=cfg.fused_wb_buckets)
+                wb_buckets=cfg.fused_wb_buckets,
+                build_nk=cfg.fused_attn_nk)
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,

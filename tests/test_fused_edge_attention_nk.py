@@ -177,6 +177,54 @@ def test_etd_nk_attention_matches_xla():
     assert float(np.abs(np.asarray(kp)).max()) > 0
 
 
+def test_nk_runtime_indices_bucket_sharing():
+    """The fused manager with build_nk=True rides NK runtime indices on
+    the graph: same-bucket topologies share ONE step key, and a model
+    cloned for one topology's geometry computes the other topology
+    correctly through the runtime (win_start, sidx) arrays."""
+    from graph_physics_tpu.models.processors import EncodeTransformDecode
+    from graph_physics_tpu.training.fused import FusedTopologyManager
+    from tests.test_fused_buckets import _jittered_mesh
+
+    mgr = FusedTopologyManager(build_nk=True)
+    graphs = [_jittered_mesh(s) for s in range(4)]
+    frames = [mgr.transform_frame(g) for g in graphs]
+    assert all(f.tiling_idx_nk is not None for f in frames)
+    keys = {mgr.key_for(f) for f in frames}
+    assert len(keys) == 1 and "xla" not in keys
+    (key,) = keys
+    assert key[1] is not None, "key must include the NK geometry"
+
+    b = 2
+    t_geo = mgr._batch_tiling(frames[0])
+    nk_geo = mgr._batch_nk_tiling(frames[0])
+    kwargs = dict(
+        message_passing_num=2, node_input_size=4, output_size=2,
+        hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+    )
+    m_xla = EncodeTransformDecode(**kwargs)
+    m_nk = EncodeTransformDecode(edge_tiling=t_geo, edge_tiling_nk=nk_geo,
+                                 **kwargs)
+
+    def packed(f, seed):
+        x = jax.random.normal(jax.random.PRNGKey(seed),
+                              (f.x.shape[0], b, 4), jnp.float32) * 0.5
+        return jax.tree.map(jnp.asarray, f).replace(x=x)
+
+    f0 = packed(frames[0], 0)
+    params = m_xla.init(jax.random.PRNGKey(1), f0)
+    for i, fr in enumerate(frames[:2]):
+        fp = packed(fr, 10 + i)
+        out_nk = m_nk.apply(params, fp)
+        out_ref = m_xla.apply(params, fp)
+        n_real = int(fr.n_node)
+        np.testing.assert_allclose(
+            np.asarray(out_nk, np.float32)[:n_real],
+            np.asarray(out_ref, np.float32)[:n_real],
+            rtol=0.1, atol=0.1, err_msg=f"topology {i}",
+        )
+
+
 def test_nk_rejects_degree_skew():
     """A hub node forces K to the hub degree; the builder bails out."""
     hub_edges = 64

@@ -66,6 +66,11 @@ def main(argv=None):
 
     _honor_platform_env()
     args = build_argparser().parse_args(argv)
+    if args.serve_dp_devices and not args.serve_batch_size:
+        raise SystemExit(
+            "--serve_dp_devices requires --serve_batch_size (the dp-sharded "
+            "artifact is the batched eval step)"
+        )
 
     import jax
 

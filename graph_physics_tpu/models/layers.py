@@ -269,9 +269,10 @@ class Attention(nn.Module):
     #: over the blocked-CSR kernel when set (fewer one-hot contractions —
     #: receiver-side moves become static K-slices). Must be built from the
     #: SAME edge set as ``tiling`` (validated via the CSR edge-count
-    #: check); static-topology dispatch only (skipped when the graph
-    #: carries runtime tiling_idx — bucket-shared traces would bake the
-    #: wrong NK indices).
+    #: check). Dispatch: static topologies (tiling_idx None) use this
+    #: tiling's baked indices; bucket-shared traces need runtime NK
+    #: indices (tiling_idx_nk) or they stay on the CSR kernel — baking
+    #: one topology's NK indices into a shared trace would be wrong.
     nk_tiling: Optional[Any] = None
     dtype: Dtype = jnp.float32
 

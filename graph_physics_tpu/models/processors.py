@@ -181,7 +181,8 @@ class EncodeTransformDecode(nn.Module):
     edge_tiling: Optional[Any] = None
     #: uniform-degree attention layout (ops/fused_edge_attention_nk) —
     #: preferred over edge_tiling's kernel when set; must be built from
-    #: the same edge set (static-topology dispatch only)
+    #: the same edge set. Static topologies dispatch on this tiling's
+    #: baked indices; bucket-shared compiles ride graph.tiling_idx_nk
     edge_tiling_nk: Optional[Any] = None
     dtype: Dtype = jnp.float32
 

@@ -299,6 +299,7 @@ class LoadedServingModel:
         self._eval = self._load(EVAL_FILE)
         self._eval_batched = self._load(EVAL_BATCHED_FILE)
         self._rollout = self._load(ROLLOUT_FILE)
+        self._batched_call = None  # dp-sharded jit wrapper, built once
 
     def _load(self, name: str) -> Optional[jax_export.Exported]:
         path = os.path.join(self.dir, name)
@@ -351,25 +352,31 @@ class LoadedServingModel:
         sim_state, graphs = self._as_dicts(ex, sim_state, graphs)
         if ex.nr_devices <= 1:
             return ex.call(params, sim_state, graphs)
-        import numpy as _np
-        from jax.sharding import Mesh, NamedSharding
-        from jax.sharding import PartitionSpec as P
+        if self._batched_call is None:
+            # build the sharded jit wrapper ONCE — this is the serving hot
+            # path; a per-request jit wrapper would retrace+recompile the
+            # whole module on every request
+            import numpy as _np
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
 
-        devs = jax.devices()
-        if len(devs) < ex.nr_devices:
-            raise ValueError(
-                f"artifact was exported for {ex.nr_devices} devices; this "
-                f"host has {len(devs)}"
+            devs = jax.devices()
+            if len(devs) < ex.nr_devices:
+                raise ValueError(
+                    f"artifact was exported for {ex.nr_devices} devices; "
+                    f"this host has {len(devs)}"
+                )
+            mesh = Mesh(_np.array(devs[: ex.nr_devices]), ("dp",))
+            rep = NamedSharding(mesh, P())
+            shard_b = NamedSharding(mesh, P("dp"))
+            self._batched_call = jax.jit(
+                ex.call,
+                in_shardings=(
+                    rep, rep, jax.tree.map(lambda _: shard_b, graphs)
+                ),
+                out_shardings=shard_b,
             )
-        mesh = Mesh(_np.array(devs[: ex.nr_devices]), ("dp",))
-        rep = NamedSharding(mesh, P())
-        shard_b = NamedSharding(mesh, P("dp"))
-        call = jax.jit(
-            ex.call,
-            in_shardings=(rep, rep, jax.tree.map(lambda _: shard_b, graphs)),
-            out_shardings=shard_b,
-        )
-        return call(params, sim_state, graphs)
+        return self._batched_call(params, sim_state, graphs)
 
     def rollout(self, params, sim_state, frames):
         if self._rollout is None:

@@ -86,6 +86,13 @@ def pack(stacked: MeshGraph) -> MeshGraph:
                 _shared(a, "tiling_idx") for a in stacked.tiling_idx
             )
         ),
+        tiling_idx_nk=(
+            None
+            if stacked.tiling_idx_nk is None
+            else tuple(
+                _shared(a, "tiling_idx_nk") for a in stacked.tiling_idx_nk
+            )
+        ),
     )
 
 

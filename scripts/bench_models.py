@@ -126,9 +126,8 @@ def main():
 
     # uniform-degree (NK) attention variant (static-topology dispatch:
     # tiling_idx must be None or the Attention layer falls back to CSR)
-    if only is None or only in "transformer_nk":
+    if want("transformer_nk"):
         import dataclasses as _dc
-        import os as _os
 
         from graph_physics_tpu.ops.fused_edge_attention_nk import (
             build_nk_tiling,
@@ -146,7 +145,7 @@ def main():
                 else tiling_lib.apply_to_graph(g, t_csr),
                 tiling_idx=None,
             )
-            bt = int(_os.environ.get("BM_TF_BATCH", "64"))
+            bt = int(os.environ.get("BM_TF_BATCH", "64"))
             bench("transformer_nk", EncodeTransformDecode(
                 message_passing_num=10, node_input_size=2 + 9, output_size=2,
                 hidden_size=64, num_heads=4, dtype=jnp.bfloat16,

@@ -225,6 +225,41 @@ def test_nk_runtime_indices_bucket_sharing():
         )
 
 
+def test_nk_indices_survive_pack_and_reach_step_clone():
+    """--fused_attn_nk end to end on the host side: transform_frame →
+    stack → pack() must KEEP tiling_idx_nk (regression: pack used to
+    rebuild the MeshGraph without it, silently disabling NK in training),
+    and step_for must clone edge_tiling_nk onto the model."""
+    from graph_physics_tpu.models.processors import EncodeTransformDecode
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.training.fused import FusedTopologyManager
+    from graph_physics_tpu.training.packed import pack
+    from tests.test_fused_buckets import _jittered_mesh
+
+    mgr = FusedTopologyManager(build_nk=True)
+    frame = mgr.transform_frame(_jittered_mesh(0))
+    assert frame.tiling_idx_nk is not None
+    batch = pack(jax.tree.map(lambda a: np.stack([np.asarray(a)] * 2), frame))
+    assert batch.tiling_idx_nk is not None, "pack() dropped tiling_idx_nk"
+
+    sim = Simulator(
+        node_input_size=2 + 9, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+        model=EncodeTransformDecode(
+            message_passing_num=1, node_input_size=2 + 9, output_size=2,
+            hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+        ),
+    )
+    clone, _step = mgr.step_for(batch, sim, lambda s: (lambda b: b))
+    assert clone.model.edge_tiling is not None
+    assert clone.model.edge_tiling_nk is not None, (
+        "step clone must carry the NK geometry"
+    )
+    key = mgr.key_for(batch, base_sim=sim)
+    assert key != "xla" and key[1] is not None
+
+
 def test_nk_rejects_degree_skew():
     """A hub node forces K to the hub degree; the builder bails out."""
     hub_edges = 64

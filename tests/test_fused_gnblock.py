@@ -453,7 +453,7 @@ def test_trainer_fused_path(tmp_path):
     t_f.fit()
     # both trajectories got a tiling (different topologies, both tileable)
     assert len(t_f._fused_mgr._tilings) == 2
-    assert all(t is not None for t, _ in t_f._fused_mgr._tilings.values())
+    assert all(e[0] is not None for e in t_f._fused_mgr._tilings.values())
     assert len(t_f._fused_mgr._steps) == 2
 
     t_x = make_trainer(False)

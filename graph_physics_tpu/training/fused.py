@@ -223,6 +223,13 @@ class FusedTopologyManager:
             )
             if nk is not None and nk.num_nodes != t.num_nodes:
                 nk = None  # node-padding mismatch: CSR kernel only
+            if nk is None:
+                print(
+                    "[fused] NK attention layout rejected for trajectory "
+                    f"{int(np.asarray(g.traj_index))} (degree skew or "
+                    "padding inflation); the blocked-CSR kernel serves it",
+                    flush=True,
+                )
         self._tilings[key] = (t, perm, nk)
         return key, (t, perm, nk)
 

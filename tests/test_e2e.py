@@ -312,3 +312,22 @@ def test_fused_nk_transformer_train(workspace, monkeypatch, tmp_path):
     ]
     vals = [m for m in metrics if "val_all_rollout_rmse" in m]
     assert vals and np.isfinite(vals[-1]["val_all_rollout_rmse"])
+
+    # the production combination: NK attention inside the dp shard_map
+    # (per-shard batch must keep B*hidden a multiple of 128 lanes:
+    # batch 4 over 2 devices -> local B=2, 2*64=128)
+    import jax as _jax
+
+    if len(_jax.devices()) >= 2:
+        calls.clear()
+        assert train_main([
+            "--training_parameters_path", str(cfg_t),
+            "--epochs", "1",
+            "--batch_size", "4",
+            "--warmup", "2",
+            "--packed", "--bf16", "--fused", "--fused_attn_nk",
+            "--num_dp_devices", "2",
+            "--out_dir", str(d / "runs_nk_dp"),
+            "--run_name", "rnkd",
+        ]) == 0
+        assert calls, "NK kernel must dispatch inside the dp shard_map"

@@ -114,6 +114,38 @@ def test_batched_eval_step(tmp_path):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("family", ["transformer", "transolver"])
+def test_eval_export_other_families(tmp_path, family):
+    """Every model family exports (epd is covered by the other tests)."""
+    from graph_physics_tpu.models.processors import (
+        EncodeTransformDecode,
+        TransolverProcessor,
+    )
+
+    g = to_jax(tiny_graph())
+    if family == "transformer":
+        model = EncodeTransformDecode(
+            message_passing_num=1, node_input_size=NODE_IN, output_size=2,
+            hidden_size=32, num_heads=4,
+        )
+    else:
+        model = TransolverProcessor(
+            message_passing_num=1, node_input_size=NODE_IN, output_size=2,
+            hidden_size=32, num_heads=4, slice_num=8,
+        )
+    sim = Simulator(NODE_IN, 0, 2, 0, 2, 0, 2, 2, model)
+    params = sim.init_params(jax.random.PRNGKey(0), g)
+    state = sim.init_state()
+    save_exported(
+        str(tmp_path),
+        eval_step=export_eval_step(sim, params, state, g, platforms=("cpu",)),
+    )
+    out = load_exported(str(tmp_path)).eval_step(params, state, g)
+    ref = sim.forward(params, state, g, is_training=False).outputs
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_dp_sharded_batched_eval(tmp_path):
     """Artifact exported with dp_mesh runs data-parallel over the serving
     host's mesh; per-graph outputs equal independent forwards."""

@@ -8,6 +8,7 @@ against each other on the identical graph.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from graph_physics_tpu.core import mesh as mesh_lib
 from graph_physics_tpu.dataset import synthetic
@@ -223,6 +224,57 @@ def test_nk_runtime_indices_bucket_sharing():
             np.asarray(out_ref, np.float32)[:n_real],
             rtol=0.1, atol=0.1, err_msg=f"topology {i}",
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nk_tiling_property_random_graphs(seed):
+    """Random sparse graphs (uneven degrees, empty receivers, multiple
+    node blocks, RCM order): the layout invariants hold and the kernel
+    matches the XLA reference."""
+    from graph_physics_tpu.ops import tiling as tiling_lib
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(150, 300))
+    e = int(rng.integers(2 * n, 5 * n))
+    senders = rng.integers(0, n, e)
+    # degree-bounded receivers: draw with replacement then cap via unique
+    receivers = rng.integers(0, n, e)
+    perm = tiling_lib.rcm_order(senders, receivers, n)
+    inv = np.argsort(perm)
+    senders, receivers = inv[senders], inv[receivers]
+    order = np.argsort(receivers, kind="stable")
+    senders, receivers = senders[order], receivers[order]
+
+    t = build_nk_tiling(senders, receivers, n, node_block=128,
+                        max_row_inflation=8.0)
+    if t is None:
+        pytest.skip("random graph too degree-skewed for NK")
+    # invariant: every edge in exactly one slot, senders/receivers correct
+    deg = np.bincount(receivers, minlength=t.num_nodes)
+    assert t.k_slots >= int(deg.max())
+    filled = t.perm[t.perm >= 0]
+    assert len(filled) == e and len(set(filled.tolist())) == e
+    nb, wu = t.node_block, t.window_unit
+    for g in range(t.num_groups):
+        units = t.win_start[g]
+        sl = t.perm[g * t.slots:(g + 1) * t.slots]
+        for slot in np.nonzero(sl >= 0)[0]:
+            eid = sl[slot]
+            assert receivers[eid] == g * nb + slot % nb
+            lidx = t.sidx[g, slot]
+            assert senders[eid] == units[lidx // wu] * wu + lidx % wu
+
+    b, h, dh = 1, 2, 64  # total lanes 128
+    key = jax.random.PRNGKey(seed + 50)
+    q = jax.random.normal(key, (t.num_nodes, b, h, dh), jnp.float32) * 0.5
+    k = jax.random.normal(jax.random.fold_in(key, 1), q.shape) * 0.5
+    v = jax.random.normal(jax.random.fold_in(key, 2), q.shape) * 0.5
+    out = fused_edge_attention_nk(q, k, v, t, interpret=True)
+    ref = _xla_ref(q, k, v, senders, receivers)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[:n], np.asarray(ref, np.float32)[:n],
+        rtol=0.06, atol=0.03,
+    )
 
 
 def test_nk_indices_survive_pack_and_reach_step_clone():

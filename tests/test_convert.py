@@ -231,6 +231,34 @@ def test_convert_transformer_temporal_gated():
     _tree_equal(params, {"params": expected})
 
 
+def test_convert_epd_option_variants():
+    """EPD with gated MLP blocks + φ-gated aggregation + RoPE + temporal
+    block: every optional parameter group maps (gate_proj/gate_pos,
+    GatedMLP structure, the temporal projections with head perms)."""
+    torch.manual_seed(19)
+    ref = ref_processors.EncodeProcessDecode(
+        message_passing_num=2, node_input_size=NODE_IN,
+        edge_input_size=EDGE_IN, output_size=OUT, hidden_size=H,
+        use_rope_embeddings=True, use_gated_attention=True,
+        use_gated_mlp=True, use_temporal_block=True,
+    )
+    sd = ref.state_dict()
+    flat = {f"model.{k}": v for k, v in sd.items()}
+    params, _ = convert_lib.convert_state_dict(flat, {"model": {
+        "type": "epd", "message_passing_num": 2, "node_input_size": FEAT,
+        "edge_input_size": EDGE_IN, "output_size": OUT, "hidden_size": H,
+    }})
+    expected = {
+        "nodes_encoder": _mlp_params(ref.nodes_encoder),
+        "edges_encoder": _mlp_params(ref.edges_encoder),
+        "decode_module": _mlp_params(ref.decode_module),
+        "temporal_block": _temporal_params(ref.temporal_block, H, 4),
+    }
+    for i, blk in enumerate(ref.processor_list):
+        expected[f"block_{i}"] = _gnb_params(blk)
+    _tree_equal(params, {"params": expected})
+
+
 def test_convert_transformer_rope_buffer():
     """RoPE-enabled reference checkpoints carry a persistent
     'rope_inv_freq' buffer (reference layers.py:619) — it must be consumed

@@ -26,12 +26,14 @@ def main():
     from __graft_entry__ import _cylinder_setup
     from graph_physics_tpu.training.step import init_train_state, make_multi_step
 
-    # trajectory-major packed batching + fused Pallas GraphNetBlocks
+    # trajectory-major packed batching + fused Pallas GraphNetBlocks.
+    # BENCH_GN_NK=1 flips to the uniform-degree (NK) GraphNetBlock kernel
+    # (ops/fused_gnblock_nk) for A/B runs.
     batch = 128
     inner = 200
     sim, opt, step_fn, batch_graph = _cylinder_setup(
         nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True,
-        fused=True,
+        fused=True, gn_nk=bool(int(os.environ.get("BENCH_GN_NK", "0"))),
     )
     state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
     rng = jax.random.PRNGKey(1)

@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="transformer models: run the fused attention on "
                         "the uniform-degree (NK) layout — half the one-hot "
                         "contractions on bounded-degree meshes")
+    p.add_argument("--fused_gn_nk", action="store_true",
+                   help="epd models: run the fused GraphNetBlock on the "
+                        "uniform-degree (NK) edge layout — receiver-side "
+                        "one-hot contractions become static K-slices "
+                        "(degree-skewed meshes fall back to blocked-CSR)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
@@ -195,6 +200,7 @@ def main(argv=None):
         fused=args.fused,
         fused_wb_buckets=args.fused_wb_buckets,
         fused_attn_nk=args.fused_attn_nk,
+        fused_gn_nk=args.fused_gn_nk,
     )
 
     num_steps = max(

@@ -608,6 +608,48 @@ def fused_path_ok(
     )
 
 
+def fused_path_ok_nk(
+    nk_tiling,
+    x,
+    edge_attr,
+    hidden_size: int,
+    dtype,
+    use_rope: bool,
+    use_gate: bool,
+    use_gated_mlp: bool,
+    sp_axis_name,
+    raw_edge: bool = False,
+) -> bool:
+    """Whether the uniform-degree (NK) fused GraphNetBlock applies.
+
+    Mirror of :func:`fused_path_ok` for graphs converted with
+    :func:`ops.tiling.apply_to_graph_nk` — the edge arrays must BE the NK
+    slot layout (``num_groups * slots`` rows)."""
+    from graph_physics_tpu.ops.fused_gnblock import LANES
+
+    t = nk_tiling
+    return (
+        t is not None
+        and dtype == jnp.bfloat16
+        and not use_rope
+        and not use_gate
+        and not use_gated_mlp
+        and sp_axis_name is None
+        and x.ndim == 3
+        and edge_attr.ndim == 3
+        and x.shape[-1] == hidden_size
+        and LANES % hidden_size == 0
+        and (x.shape[1] * hidden_size) % LANES == 0
+        and x.shape[0] == t.num_nodes
+        and edge_attr.shape[0] == t.num_groups * t.slots
+        and (
+            edge_attr.shape[-1] <= hidden_size // 2
+            if raw_edge
+            else edge_attr.shape[-1] == hidden_size
+        )
+    )
+
+
 class GraphNetBlock(nn.Module):
     """Message-passing block with edge+node MLP updates and residuals.
 
@@ -636,6 +678,12 @@ class GraphNetBlock(nn.Module):
     #: blocked-CSR layout (ops/tiling.py) enabling the fused Pallas kernel
     #: on packed [N, B, H] inputs; static per topology. None = XLA path.
     tiling: Optional[Any] = None
+    #: uniform-degree (NK) layout (ops/fused_edge_attention_nk.NKTiling) —
+    #: the graph's edge arrays must be in the NK slot order
+    #: (ops/tiling.apply_to_graph_nk). Set INSTEAD of ``tiling`` (the two
+    #: layouts order edges differently); dispatch prefers NK when its
+    #: shapes match.
+    nk_tiling: Optional[Any] = None
     #: last processor block: the fused kernel elides its dead edge-output
     #: traffic (fwd eout write, bwd g_eout read); the caller must not use
     #: the returned edge array
@@ -646,6 +694,14 @@ class GraphNetBlock(nn.Module):
         """Whether the fused Pallas path applies to these inputs."""
         return fused_path_ok(
             self.tiling, x, edge_attr, self.hidden_size, self.dtype,
+            self.use_rope, self.use_gate, self.use_gated_mlp,
+            self.sp_axis_name, raw_edge=raw_edge,
+        )
+
+    def _fused_ok_nk(self, x, edge_attr, raw_edge: bool = False) -> bool:
+        """Whether the uniform-degree fused path applies to these inputs."""
+        return fused_path_ok_nk(
+            self.nk_tiling, x, edge_attr, self.hidden_size, self.dtype,
             self.use_rope, self.use_gate, self.use_gated_mlp,
             self.sp_axis_name, raw_edge=raw_edge,
         )
@@ -669,6 +725,7 @@ class GraphNetBlock(nn.Module):
         phi: Optional[jnp.ndarray] = None,
         edge_encoder_params=None,  # folded edge encoder (fused path only)
         tiling_idx=None,  # runtime (win_start, sidx, ridx) of the graph
+        tiling_idx_nk=None,  # runtime (win_start, sidx) of the NK layout
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n = x.shape[0]
         if self.use_gated_mlp:
@@ -707,6 +764,32 @@ class GraphNetBlock(nn.Module):
             )
 
         fold = edge_encoder_params is not None
+        # NK dispatch requires the graph's edges to BE in the NK slot
+        # order; runtime CSR indices (tiling_idx) mark a CSR-ordered graph
+        # — never NK-dispatch those even when the shapes coincide (uniform
+        # meshes: slots == Emax exactly)
+        if tiling_idx is None and self._fused_ok_nk(x, edge_attr,
+                                                    raw_edge=fold):
+            _ = edge_block(jnp.zeros((0, 3 * self.hidden_size), self.dtype))
+            _ = node_block(jnp.zeros((0, 2 * self.hidden_size), self.dtype))
+            from graph_physics_tpu.ops.fused_gnblock_nk import (
+                fused_gn_block_nk,
+            )
+
+            x_new, e_new = fused_gn_block_nk(
+                x.astype(self.dtype),
+                edge_attr.astype(self.dtype),
+                edge_block.variables["params"],
+                node_block.variables["params"],
+                self.nk_tiling,
+                activation=self.activation,
+                layer_norm=self.layer_norm,
+                interpret=jax.default_backend() != "tpu",
+                edge_encoder_params=edge_encoder_params,
+                last_block=self.is_last_block,
+                tiling_idx=tiling_idx_nk,
+            )
+            return x_new.astype(x.dtype), e_new.astype(edge_attr.dtype)
         if self._fused_ok(x, edge_attr, raw_edge=fold):
             # materialize the MLP params (zero-row dummy: no compute), then
             # run the fused Pallas kernel on the same parameters

@@ -36,6 +36,7 @@ from graph_physics_tpu.models.layers import (
     TemporalAttention,
     TransformerBlock,
     fused_path_ok,
+    fused_path_ok_nk,
 )
 
 Dtype = Any
@@ -61,6 +62,11 @@ class EncodeProcessDecode(nn.Module):
     #: GraphNetBlock on packed batches; the graph's edge arrays must be in
     #: the blocked order (tiling.apply_to_graph).
     edge_tiling: Optional[Any] = None
+    #: uniform-degree (NK) edge layout (ops/fused_edge_attention_nk
+    #: .NKTiling) — runs the fused NK GraphNetBlock instead; the graph's
+    #: edge arrays must be in the NK slot order (tiling.apply_to_graph_nk).
+    #: Set INSTEAD of edge_tiling (the layouts order edges differently).
+    edge_tiling_nk: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,11 +96,19 @@ class EncodeProcessDecode(nn.Module):
             # RAW edge feature width.
             # module-global knob: read at call time so perf sweeps can
             # flip processors.FOLD_EDGE_ENCODER
-            fold = FOLD_EDGE_ENCODER and fused_path_ok(
-                self.edge_tiling, x, edge_attr, self.hidden_size,
-                self.dtype, self.use_rope_embeddings,
-                self.use_gated_attention, self.use_gated_mlp,
-                self.sp_axis_name, raw_edge=True,
+            fold = FOLD_EDGE_ENCODER and (
+                fused_path_ok(
+                    self.edge_tiling, x, edge_attr, self.hidden_size,
+                    self.dtype, self.use_rope_embeddings,
+                    self.use_gated_attention, self.use_gated_mlp,
+                    self.sp_axis_name, raw_edge=True,
+                )
+                or fused_path_ok_nk(
+                    self.edge_tiling_nk, x, edge_attr, self.hidden_size,
+                    self.dtype, self.use_rope_embeddings,
+                    self.use_gated_attention, self.use_gated_mlp,
+                    self.sp_axis_name, raw_edge=True,
+                )
             )
             if fold:
                 _ = edges_encoder(
@@ -126,6 +140,7 @@ class EncodeProcessDecode(nn.Module):
                 sp_axis_name=self.sp_axis_name,
                 sp_halo_size=self.sp_halo_size,
                 tiling=self.edge_tiling,
+                nk_tiling=self.edge_tiling_nk,
                 # the final edge output is dead (only x feeds the decoder/
                 # temporal block) — the fused kernel skips its traffic
                 is_last_block=(i == self.message_passing_num - 1),
@@ -141,6 +156,7 @@ class EncodeProcessDecode(nn.Module):
                 phi,
                 edge_encoder_params=enc_params if i == 0 else None,
                 tiling_idx=graph.tiling_idx,
+                tiling_idx_nk=graph.tiling_idx_nk,
             )
 
         if self.use_temporal_block:

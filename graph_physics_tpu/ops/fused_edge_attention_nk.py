@@ -81,6 +81,28 @@ class NKTiling:
     def slots(self) -> int:
         return self.k_slots * self.node_block
 
+    @property
+    def window_rows(self) -> int:
+        return self.window_blocks * self.window_unit
+
+    def expand_edges(self, edge_vals: np.ndarray, fill=0):
+        """Re-order a per-edge array [E, ...] into the NK slot layout
+        [G*S, ...] (padded slots get ``fill``) — mirror of
+        EdgeTiling.expand_edges."""
+        out_shape = (self.perm.shape[0],) + tuple(edge_vals.shape[1:])
+        out = np.full(out_shape, fill, dtype=edge_vals.dtype)
+        valid = self.perm >= 0
+        out[valid] = edge_vals[self.perm[valid]]
+        return out
+
+    def reduce_edges(self, slot_vals: np.ndarray, num_edges: int) -> np.ndarray:
+        """Inverse of :meth:`expand_edges` (host-side, for tests)."""
+        out = np.zeros((num_edges,) + tuple(slot_vals.shape[1:]),
+                       slot_vals.dtype)
+        valid = self.perm >= 0
+        out[self.perm[valid]] = slot_vals[valid]
+        return out
+
 
 def build_nk_tiling(
     senders: np.ndarray,

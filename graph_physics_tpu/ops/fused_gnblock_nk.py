@@ -1,0 +1,618 @@
+"""Uniform-degree ("NK") fused GraphNetBlock — receiver ops for free.
+
+The blocked-CSR GraphNetBlock kernel (:mod:`ops.fused_gnblock`) spends
+four of its one-hot MXU contractions per backward grid step purely on
+receiver-side moves (the ``x_recv`` gather and the message scatter in the
+rematerialized forward, the ``g_agg`` broadcast and the ``P_r`` reduction
+in the backward) — each one costs about as much MXU time as a full dense
+layer of the edge MLP. This kernel removes ALL of them with the same
+layout change the NK attention kernel uses
+(:mod:`ops.fused_edge_attention_nk`):
+
+  * every receiver gets exactly K edge slots (K = max in-degree, padded
+    with sentinel senders), laid out **k-major**: slot ``k·nb + r`` holds
+    receiver r's k-th incoming edge. Receiver-aligned [nb, lanes] tiles
+    are then STATIC row slices of the [K·nb, lanes] edge tile:
+      - broadcast node→edges (``x_recv`` gather, ``g_agg``) = concatenate
+        K copies — a row concat, no MXU work;
+      - reduce edges→node (message aggregation, ``P_r``) = Σ of K static
+        slices — pure VPU adds.
+  * the sender side keeps its windowed one-hot gathers/scatters and the
+    MLP matmuls — 2 one-hot contractions fwd / 3 bwd vs the CSR kernel's
+    4 / 7, at a row inflation of K·nb / Emax (zero on uniform meshes:
+    the cylinder bench mesh has K·nb == the CSR Emax exactly).
+
+Padded slots are masked ONCE at the edge-MLP output (``eh``), which keeps
+the residual edge stream exactly zero on padding and — because the output
+mask's VJP zeroes the incoming cotangent — keeps every weight-gradient
+row clean without per-term masking.
+
+Numerics match :func:`ops.fused_gnblock.fused_gn_block` on the shared
+edge set (same gather-after-pre-dot order, same bf16/fp32 flow); the
+contract being accelerated is the reference hot loop
+graphphysics/models/layers.py:1015-1102.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graph_physics_tpu.ops.fused_gnblock import (
+    FOLDED_LANES_BWD_CAP,
+    FOLDED_LANES_CAP,
+    LANES,
+    FusedBlockConfig,
+    _dot,
+    _dot_bt,
+    _dot_t,
+    _encode_e_fwd,
+    _enc_cfg,
+    _flatten_encoder,
+    _flatten_mlp,
+    _group_ones,
+    _mlp_bwd,
+    _mlp_fwd,
+    _parse_weight_refs,
+    _predot_gather,
+)
+from graph_physics_tpu.ops.fused_edge_attention_nk import (
+    NKTiling,
+    _ksum,
+    _ktile,
+)
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+def _nk_prologue(wb, wu, nb, kk, lanes, sidx_ref, xj_ref, xw_refs):
+    """Shared one-hot/valid builds. Only the SENDER side keeps a one-hot
+    ([w_rows, slots]); the receiver side is implicit in the k-major slot
+    order."""
+    k = lanes // LANES
+    slots = kk * nb
+    w_rows = wb * wu
+    xw = jnp.concatenate([r[:] for r in xw_refs], axis=0)  # [W, lanes]
+    xj = xj_ref[:]  # [nb, lanes]
+    sid = sidx_ref[0]  # [1, slots]
+    oh_sT = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_rows, slots), 0) == sid
+    ).astype(jnp.bfloat16)
+    valid = sid.reshape(slots, 1) < w_rows  # padded slots: sentinel sender
+    xjr = xj.reshape(nb * k, LANES)
+    xwr = xw.reshape(w_rows * k, LANES)
+    return k, slots, xj, xw, oh_sT, valid, xjr, xwr
+
+
+def _edge_fwd(cfg, wb, wu, nb, kk, lanes, sidx_ref, xj_ref, xw_refs, e_ref,
+              enc_refs, ew, ones_k):
+    """Forward through the (optionally folded-encoder +) edge MLP; returns
+    everything the node update and the backward need."""
+    k, slots, xj, xw, oh_sT, valid, xjr, xwr = _nk_prologue(
+        wb, wu, nb, kk, lanes, sidx_ref, xj_ref, xw_refs)
+    ew_first, ew_mid, ew_b, ew_scale = ew
+
+    enc_res = raw = None
+    if enc_refs is not None:
+        raw, er, enc_res = _encode_e_fwd(
+            cfg, slots, lanes, e_ref, enc_refs, ones_k)
+        e = er.reshape(slots, lanes)
+    else:
+        e = e_ref[:]  # [slots, lanes]
+        er = e.reshape(slots * k, LANES)
+
+    # x_recv gather = K-fold row concat of the pre-dotted node tile
+    # (gather(x) @ Kr == ktile(x @ Kr) in the k-major slot order)
+    pre_r = _dot(xjr, ew_first[1][:]).astype(jnp.bfloat16)
+    hr = _ktile(pre_r.reshape(nb, lanes), kk)  # [slots, lanes]
+    hs = _predot_gather(oh_sT, xw, ew_first[2], k)  # sender one-hot gather
+    h0 = (_dot(er, ew_first[0][:])
+          + hr.reshape(slots * k, LANES) + hs.reshape(slots * k, LANES))
+    edge_upd, (e_pres, e_rms) = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k,
+                                         cfg)
+    # mask padded slots ONCE at the MLP output: the residual edge stream
+    # stays exactly zero on padding, and the mask's VJP keeps every
+    # downstream gradient row clean
+    ehm = jnp.where(valid, edge_upd.reshape(slots, lanes),
+                    jnp.zeros((), jnp.bfloat16))
+    agg = _ksum(ehm.astype(jnp.float32), kk, nb).astype(jnp.bfloat16)
+    return (k, slots, xj, xjr, xwr, oh_sT, valid, e, er, raw, enc_res,
+            e_pres, e_rms, ehm, agg)
+
+
+def _nk_fwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
+                   lanes: int, win_start_ref, sidx_ref, xj_ref, *rest):
+    xw_refs = rest[:wb]
+    rest = rest[wb:]
+    e_ref = rest[0]
+    rest = rest[1:]
+    enc_refs = None
+    if cfg.n_enc_layers:
+        enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
+            rest, 1, cfg.n_enc_layers, cfg.layer_norm)
+        enc_refs = (enc_first, enc_mid, enc_b, enc_scale)
+    ew = _parse_weight_refs(rest, 3, cfg.n_edge_layers, cfg.layer_norm)
+    ew_first, ew_mid, ew_b, ew_scale, rest = ew
+    nw_first, nw_mid, nw_b, nw_scale, rest = _parse_weight_refs(
+        rest, 2, cfg.n_node_layers, cfg.layer_norm)
+    if cfg.last_block:
+        (xout_ref,) = rest
+        eout_ref = None
+    else:
+        xout_ref, eout_ref = rest
+
+    ones_k = _group_ones(cfg.feature_size)
+    (k, slots, xj, xjr, _xwr, _oh, _valid, e, _er, _raw, _enc_res,
+     _e_pres, _e_rms, ehm, agg) = _edge_fwd(
+        cfg, wb, wu, nb, kk, lanes, sidx_ref, xj_ref, xw_refs, e_ref,
+        enc_refs, (ew_first, ew_mid, ew_b, ew_scale), ones_k)
+
+    if eout_ref is not None:
+        eout_ref[:] = e + ehm
+
+    aggr = agg.reshape(nb * k, LANES)
+    hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
+    node_upd, _ = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale, ones_k, cfg)
+    xout_ref[:] = xj + node_upd.reshape(nb, lanes)
+
+
+def _nk_bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
+                   lanes: int, win_start_ref, sidx_ref, xj_ref, *rest):
+    xw_refs = rest[:wb]
+    rest = rest[wb:]
+    e_ref = rest[0]
+    rest = rest[1:]
+    enc_refs = None
+    if cfg.n_enc_layers:
+        enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
+            rest, 1, cfg.n_enc_layers, cfg.layer_norm)
+        enc_refs = (enc_first, enc_mid, enc_b, enc_scale)
+    ew_first, ew_mid, ew_b, ew_scale, rest = _parse_weight_refs(
+        rest, 3, cfg.n_edge_layers, cfg.layer_norm)
+    nw_first, nw_mid, nw_b, nw_scale, rest = _parse_weight_refs(
+        rest, 2, cfg.n_node_layers, cfg.layer_norm)
+    if cfg.last_block:
+        g_xout_ref = rest[0]
+        g_eout_ref = None
+        rest = rest[1:]
+    else:
+        g_xout_ref, g_eout_ref = rest[:2]
+        rest = rest[2:]
+    dx_ref, dxw_ref = rest[:2]
+    rest = rest[2:]
+    if cfg.n_enc_layers:
+        de_ref = None  # raw edge features carry no gradient
+        dw_all = rest
+    else:
+        de_ref = rest[0]
+        dw_all = rest[1:]
+    n_dw = len(dw_all) // 2
+    dw_refs = dw_all[:n_dw]
+    dw_scratch = dw_all[n_dw:]
+
+    ones_k = _group_ones(cfg.feature_size)
+
+    # ---- recompute forward ----
+    (k, slots, xj, xjr, xwr, oh_sT, valid, _e, er, raw, enc_res,
+     e_pres, e_rms, ehm, agg) = _edge_fwd(
+        cfg, wb, wu, nb, kk, lanes, sidx_ref, xj_ref, xw_refs, e_ref,
+        enc_refs, (ew_first, ew_mid, ew_b, ew_scale), ones_k)
+    aggr = agg.reshape(nb * k, LANES)
+    hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
+    _node_upd, (n_pres, n_rms) = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale,
+                                          ones_k, cfg)
+
+    # ---- backward (bf16 gradient flow) ----
+    g_xout = g_xout_ref[:]  # [nb, lanes]
+    g_eout = g_eout_ref[:] if g_eout_ref is not None else None
+    g_xout_r = g_xout.reshape(nb * k, LANES)
+
+    (g_xj_n, g_agg_r), dn_flat, _ = _mlp_bwd(
+        g_xout_r, [xjr, aggr], nw_first, nw_mid, nw_b, nw_scale, ones_k, cfg,
+        n_pres, n_rms)
+
+    # d(ehm) = g_eout + ktile(g_agg); the output mask's VJP zeroes padding
+    g_agg = g_agg_r.reshape(nb, lanes)
+    g_ehm = _ktile(g_agg, kk)
+    if g_eout is not None:
+        g_ehm = g_eout + g_ehm
+    g_eh = jnp.where(valid, g_ehm, jnp.zeros((), jnp.bfloat16))
+    g_eh_r = g_eh.reshape(slots * k, LANES)
+
+    (g_e_mlp,), de_flat, g_h0 = _mlp_bwd(
+        g_eh_r, [er], ew_first[:1], ew_mid, ew_b, ew_scale, ones_k, cfg,
+        e_pres, e_rms)
+    g_h0_2d = g_h0.reshape(slots, lanes)  # zero rows at padded slots
+    # P_r = Σ_k g_h0 slices (the CSR kernel's oh_rN scatter, now a VPU sum)
+    p_r = _ksum(g_h0_2d.astype(jnp.float32), kk, nb).astype(jnp.bfloat16)
+    p_s = _dot(oh_sT, g_h0_2d).astype(jnp.bfloat16)  # [W, lanes]
+    p_r_rows = p_r.reshape(nb * k, LANES)
+    p_s_rows = p_s.reshape(wb * wu * k, LANES)
+    d_kr = _dot_t(xjr, p_r_rows)  # [128, 128] fp32
+    d_ks = _dot_t(xwr, p_s_rows)
+    de_flat = [de_flat[0], d_kr, d_ks] + de_flat[1:]
+
+    # gradient wrt the residual-stream e (encoder output when folded)
+    g_e_total_r = g_e_mlp
+    if g_eout is not None:
+        g_e_total_r = g_e_total_r + g_eout.reshape(slots * k, LANES)
+    if de_ref is not None:
+        de_ref[:] = g_e_total_r.reshape(slots, lanes)
+
+    enc_flat: List[jnp.ndarray] = []
+    if enc_refs is not None:
+        enc_first, enc_mid, enc_b, enc_scale = enc_refs
+        _gi, enc_tail, g_h0_enc = _mlp_bwd(
+            g_e_total_r, [], [], enc_mid, enc_b, enc_scale, ones_k,
+            _enc_cfg(cfg), enc_res[0], enc_res[1])
+        r = cfg.enc_ratio
+        k_raw = (lanes // r) // LANES
+        g_h0e_2d = g_h0_enc.reshape(slots, lanes)
+        d_enc_first = sum(
+            _dot_t(
+                raw[:, j * LANES : (j + 1) * LANES],
+                g_h0e_2d[:, j * r * LANES : (j + 1) * r * LANES],
+            )
+            for j in range(k_raw)
+        )
+        enc_flat = [d_enc_first] + enc_tail
+
+    g_x_kr = _dot_bt(p_r_rows, ew_first[1][:]).astype(jnp.bfloat16)
+    dx_ref[:] = (
+        g_xout + g_xj_n.reshape(nb, lanes) + g_x_kr.reshape(nb, lanes)
+    )
+    dxw_ref[:] = _dot_bt(p_s_rows, ew_first[2][:]).astype(
+        jnp.bfloat16).reshape(wb * wu, lanes)
+
+    # ---- weight-grad accumulation across all grid steps ----
+    is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    is_last = (pl.program_id(0) == pl.num_programs(0) - 1) & (
+        pl.program_id(1) == pl.num_programs(1) - 1)
+    for sref, oref, val in zip(dw_scratch, dw_refs,
+                               enc_flat + de_flat + dn_flat):
+
+        @pl.when(is_first)
+        def _(sref=sref):
+            sref[:] = jnp.zeros_like(sref)
+
+        sref[:] += val.astype(jnp.float32)
+
+        @pl.when(is_last)
+        def _(sref=sref, oref=oref):
+            oref[:] = sref[:]
+
+
+# ----------------------------------------------------------------------
+# host-side wrapper
+# ----------------------------------------------------------------------
+
+def fused_gn_block_nk(
+    x: jnp.ndarray,  # [N, B, F] packed node features
+    edge_attr: jnp.ndarray,  # [G*S, B, F] edge features in NK slot order
+    #                          (raw [G*S, B, fe] with edge_encoder_params)
+    edge_params: dict,
+    node_params: dict,
+    tiling: NKTiling,
+    activation: str = "relu",
+    layer_norm: bool = True,
+    interpret: bool = False,
+    lanes: int = 1024,
+    lanes_bwd: int = 256,
+    edge_encoder_params: Optional[dict] = None,
+    last_block: bool = False,
+    tiling_idx: Optional[Tuple] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply one fused GraphNetBlock on the uniform-degree layout.
+
+    Same contract as :func:`ops.fused_gnblock.fused_gn_block`, with
+    ``edge_attr`` in the NK slot order (``tiling.perm`` /
+    :func:`ops.tiling.apply_to_graph_nk`). ``tiling_idx`` optionally
+    carries runtime ``(win_start, sidx)`` arrays (graph.tiling_idx_nk) so
+    one compiled program serves every same-bucket topology.
+    """
+    n, b, f = x.shape
+    assert LANES % f == 0, f"feature size {f} must divide {LANES}"
+    bg = LANES // f
+    total_lanes = b * f
+    assert total_lanes % LANES == 0
+
+    def _fit(l):
+        l = max(min(l, total_lanes), LANES)
+        while total_lanes % l != 0:
+            l -= LANES
+        return l
+
+    folded = edge_encoder_params is not None
+    assert n == tiling.num_nodes, (n, tiling.num_nodes)
+    g_blocks = tiling.num_groups
+    nb = tiling.node_block
+    kk = tiling.k_slots
+    slots = tiling.slots
+    wb = tiling.window_blocks
+    wu = tiling.window_unit
+    assert edge_attr.shape[0] == g_blocks * slots, (
+        edge_attr.shape, g_blocks, slots)
+
+    # lane caps: same VMEM budget rules as the CSR kernel (the edge tile
+    # is [slots, lanes] instead of [Emax, lanes] — comparable by the
+    # builder's inflation bound)
+    win_rows = wb * wu
+    if folded:
+        lanes = min(lanes, FOLDED_LANES_CAP)
+        lanes_bwd = min(lanes_bwd, FOLDED_LANES_BWD_CAP)
+    if win_rows > 512:
+        lanes = min(lanes, 512)
+        lanes_bwd = min(lanes_bwd, 256 if total_lanes <= 512 else 128)
+    if win_rows > 1280:
+        lanes = min(lanes, 256)
+        lanes_bwd = min(lanes_bwd, 128)
+    lanes = _fit(lanes)
+    lanes_bwd = _fit(lanes_bwd)
+
+    # folded-encoder channel ratio (same 128-alignment rule as CSR)
+    r = 1
+    if folded:
+        ks = [lanes // LANES, lanes_bwd // LANES]
+        fe = edge_attr.shape[-1]
+        for cand in range(min(ks), 0, -1):
+            if (all(kk_ % cand == 0 for kk_ in ks) and f % cand == 0
+                    and f // cand >= fe):
+                r = cand
+                break
+        assert f // r >= fe, "raw edge features wider than hidden size"
+
+    n_edge_layers = len([k for k in edge_params if k.startswith("Dense_")])
+    n_node_layers = len([k for k in node_params if k.startswith("Dense_")])
+    n_enc_layers = 0
+    if edge_encoder_params is not None:
+        n_enc_layers = len(
+            [k for k in edge_encoder_params if k.startswith("Dense_")])
+    cfg = FusedBlockConfig(
+        feature_size=f,
+        n_edge_layers=n_edge_layers,
+        n_node_layers=n_node_layers,
+        activation=activation,
+        layer_norm=layer_norm,
+        interpret=interpret,
+        n_enc_layers=n_enc_layers,
+        enc_ratio=r,
+        last_block=last_block,
+    )
+
+    dtype = jnp.bfloat16
+    x2 = x.reshape(n, total_lanes).astype(dtype)
+    enc_flat: list = []
+    if folded:
+        fe = edge_attr.shape[-1]
+        fe_pad = f // r
+        raw = edge_attr.astype(dtype)
+        if fe < fe_pad:
+            raw = jnp.pad(raw, ((0, 0), (0, 0), (0, fe_pad - fe)))
+        e2 = raw.reshape(g_blocks * slots, total_lanes // r)
+        enc_flat, _ = _flatten_encoder(
+            edge_encoder_params, r, f, dtype, layer_norm)
+    else:
+        e2 = edge_attr.reshape(g_blocks * slots, total_lanes).astype(dtype)
+
+    ew_flat, _ = _flatten_mlp(edge_params, 3, bg, dtype, layer_norm)
+    nw_flat, _ = _flatten_mlp(node_params, 2, bg, dtype, layer_norm)
+    n_enc = len(enc_flat)
+
+    if tiling_idx is not None:
+        win_in, sidx_in = tiling_idx
+        assert sidx_in.shape == (g_blocks, slots), (
+            sidx_in.shape, g_blocks, slots)
+        win_start = jnp.asarray(win_in, jnp.int32)
+        sidx = jnp.asarray(sidx_in, jnp.int32)[:, None, :]
+    else:
+        sidx = jnp.asarray(tiling.sidx)[:, None, :]
+        win_start = jnp.asarray(tiling.win_start)
+    blk_unit = win_start.reshape(-1).astype(jnp.int32)
+
+    def _vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def _const_spec(w):
+        nd = len(w.shape)
+        return _vspec(w.shape, partial(lambda nd_, c, g, ws: (0,) * nd_, nd))
+
+    def _specs(l):
+        grid = (total_lanes // l, g_blocks)
+        group_spec = _vspec((1, 1, slots), lambda c, g, ws: (g, 0, 0))
+        node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
+        edge_spec = _vspec((slots, l), lambda c, g, ws: (g, c))
+        edge_in_spec = _vspec((slots, l // r), lambda c, g, ws: (g, c))
+        win_specs = [
+            _vspec((wu, l), partial(lambda k_, c, g, ws: (ws[g, k_], c), k_))
+            for k_ in range(wb)
+        ]
+        weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
+        in_specs = ([group_spec, node_spec] + win_specs
+                    + [edge_in_spec] + weight_specs)
+        dxw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
+        return grid, in_specs, node_spec, edge_spec, dxw_spec
+
+    def _fwd(x2, e2, weights):
+        grid, in_specs, node_spec, edge_spec, _ = _specs(lanes)
+        out_specs = [node_spec]
+        out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
+        if not last_block:
+            out_specs.append(edge_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((g_blocks * slots, total_lanes), dtype))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        kernel = partial(_nk_fwd_kernel, cfg, wb, wu, nb, kk, lanes)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(win_start, sidx, x2, *([x2] * wb), e2, *weights)
+        if last_block:
+            return outs[0], e2
+        return outs[0], outs[1]
+
+    @jax.custom_vjp
+    def run(x2, e2, *weights):
+        return _fwd(x2, e2, weights)
+
+    def run_fwd(x2, e2, *weights):
+        out = run(x2, e2, *weights)
+        return out, (x2, e2, weights)
+
+    def run_bwd(res, g):
+        x2, e2, weights = res
+        g_xout, g_eout = g
+        g_xout = g_xout.astype(dtype)
+
+        dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                     for w in weights]
+        grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(lanes_bwd)
+        cot_specs = [node_spec]
+        cots = [g_xout]
+        if not last_block:
+            cot_specs.append(edge_spec)
+            cots.append(g_eout.astype(dtype))
+        out_specs = [node_spec, dxw_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+        ]
+        if n_enc == 0:
+            out_specs.append(edge_spec)  # de
+            out_shape.append(
+                jax.ShapeDtypeStruct((g_blocks * slots, total_lanes), dtype))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs + cot_specs,
+            out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
+            scratch_shapes=[pltpu.VMEM(s.shape, jnp.float32)
+                            for s in dw_shapes],
+        )
+        kernel = partial(_nk_bwd_kernel, cfg, wb, wu, nb, kk, lanes_bwd)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape + dw_shapes,
+            interpret=interpret,
+        )(win_start, sidx, x2, *([x2] * wb), e2, *weights, *cots)
+        dx_main, dxw = outs[0], outs[1]
+        if n_enc == 0:
+            de = outs[2]
+            dws = outs[3:]
+        else:
+            de = jnp.zeros_like(e2)  # raw features carry no gradient
+            dws = outs[2:]
+        dxw_blocks = dxw.reshape(g_blocks * wb, wu, total_lanes)
+        dx_extra = jax.ops.segment_sum(
+            dxw_blocks, blk_unit, num_segments=n // wu)
+        dws = [dw.astype(w.dtype) for dw, w in zip(dws, weights)]
+        dx = (dx_main.astype(jnp.float32)
+              + dx_extra.reshape(n, total_lanes).astype(jnp.float32))
+        return (dx.astype(dtype), de, *dws)
+
+    run.defvjp(run_fwd, run_bwd)
+
+    xout2, eout2 = run(x2, e2, *enc_flat, *ew_flat, *nw_flat)
+    xout = xout2.reshape(n, b, f)
+    if last_block:
+        return xout, edge_attr  # dead edge stream, unchanged
+    return xout, eout2.reshape(g_blocks * slots, b, f)
+
+
+# ----------------------------------------------------------------------
+# pure-JAX reference of the same NK-blocked semantics (tests)
+# ----------------------------------------------------------------------
+
+def blocked_reference_nk(x, edge_attr, edge_params, node_params,
+                         tiling: NKTiling, activation="relu",
+                         layer_norm=True, compute_dtype=jnp.float32):
+    """XLA implementation of exactly the NK-fused math, for parity tests
+    (mirrors :func:`ops.fused_gnblock.blocked_reference`)."""
+    import math
+
+    from graph_physics_tpu.ops.fused_gnblock import _act
+
+    n, b, f = x.shape
+    act = _act(activation)
+    cd = compute_dtype
+    is_bf = cd == jnp.bfloat16
+
+    def dense_f32(h, k):
+        return jax.lax.dot_general(
+            h.astype(cd), k.astype(cd),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dense(h, k):
+        out = dense_f32(h, k)
+        return out.astype(cd) if is_bf else out
+
+    def mlp(parts, params, extra_h0=()):
+        n_dense = len([k for k in params if k.startswith("Dense_")])
+        k0 = params["Dense_0"]["kernel"]
+        splits = np.cumsum([p.shape[-1] for p in parts])
+        k0_parts = jnp.split(k0, splits, axis=0)
+        h = sum(dense_f32(p, kp) for p, kp in zip(parts, k0_parts))
+        for ex in extra_h0:
+            h = h + ex.astype(jnp.float32)
+        if is_bf:
+            h = h.astype(cd)
+        h = h + params["Dense_0"]["bias"].astype(h.dtype)
+        for i in range(1, n_dense):
+            h = dense(act(h), params[f"Dense_{i}"]["kernel"])
+            h = h + params[f"Dense_{i}"]["bias"].astype(h.dtype)
+        if layer_norm:
+            s = params["RMSNorm_0"]["scale"]
+            gs = jnp.sum((h * h).astype(jnp.float32), -1, keepdims=True)
+            r_ = jnp.sqrt(gs + 1e-24) / math.sqrt(f)
+            inv = 1.0 / (r_ + 1e-8)
+            h = h * inv.astype(h.dtype) * s.astype(h.dtype)
+        return h
+
+    t = tiling
+    g_blocks, slots = t.sidx.shape
+    nb = t.node_block
+    sid = jnp.asarray(t.sidx).reshape(-1)
+    gids = jnp.repeat(jnp.arange(g_blocks), slots)
+    loc_r = jnp.tile(jnp.arange(slots) % nb, g_blocks)
+    wu_ = t.window_unit
+    win_rows = t.window_blocks * wu_
+    rank = jnp.minimum(sid // wu_, t.window_blocks - 1)
+    glob_s = jnp.asarray(t.win_start)[gids, rank] * wu_ + sid % wu_
+    glob_r = gids * nb + loc_r
+    valid = sid < win_rows
+    xc = x.astype(cd)
+    ec = edge_attr.astype(cd)
+    ek0 = edge_params["Dense_0"]["kernel"]
+    f_e = ec.shape[-1]
+    x_kr = dense(xc, ek0[f_e : f_e + f])
+    x_ks = dense(xc, ek0[f_e + f :])
+    hs = jnp.where(valid[:, None, None],
+                   x_ks[jnp.clip(glob_s, 0, n - 1)],
+                   jnp.zeros((), x_ks.dtype))
+    hr = x_kr[glob_r]  # every slot maps to a real receiver (k-major)
+    eh = mlp([ec], edge_params, extra_h0=(hr, hs))
+    ehm = jnp.where(valid[:, None, None], eh, jnp.zeros((), eh.dtype))
+    agg = jax.ops.segment_sum(
+        ehm.astype(jnp.float32), glob_r, num_segments=n).astype(cd)
+    nh = mlp([xc, agg], node_params)
+    return (xc + nh).astype(x.dtype), (ec + ehm).astype(edge_attr.dtype)

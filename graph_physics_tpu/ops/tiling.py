@@ -176,6 +176,71 @@ def apply_to_graph(graph, tiling: EdgeTiling):
     )
 
 
+def apply_to_graph_nk(graph, tiling):
+    """Convert a MeshGraph to the uniform-degree (NK) edge layout.
+
+    Mirror of :func:`apply_to_graph` for :class:`ops.fused_edge_attention_nk
+    .NKTiling`: nodes pad to ``tiling.num_nodes``; edge arrays re-order
+    into the k-major slot layout (slot ``k·nb + r`` = receiver r's k-th
+    incoming edge). Padded slots follow the repo convention (senders 0,
+    receivers N-1, mask False) so mask-aware XLA ops still work; the
+    fused NK kernels additionally consume the runtime
+    ``tiling_idx_nk = (win_start, sidx)`` copies attached here.
+    """
+    n_old = graph.x.shape[0]
+    n_new = tiling.num_nodes
+    pad_n = n_new - n_old
+    nb = tiling.node_block
+    slots = tiling.slots
+    gids = np.repeat(np.arange(tiling.num_groups), slots)
+    loc_r = np.tile(np.arange(slots) % nb, tiling.num_groups)
+    valid = tiling.perm >= 0
+    new_send = np.zeros(tiling.perm.shape[0], np.int32)
+    new_recv = np.full(tiling.perm.shape[0], n_new - 1, np.int32)
+    sidx_flat = tiling.sidx.reshape(-1)
+    wu = tiling.window_unit
+    rank = np.minimum(sidx_flat[valid] // wu, tiling.window_blocks - 1)
+    new_send[valid] = (
+        tiling.win_start[gids[valid], rank].astype(np.int64) * wu
+        + sidx_flat[valid] % wu
+    )
+    new_recv[valid] = gids[valid].astype(np.int64) * nb + loc_r[valid]
+
+    def pad_nodes(a, fill=0):
+        if a is None or pad_n == 0:
+            return a
+        a = np.asarray(a)
+        if pad_n < 0:
+            return a[:n_new]
+        pad = np.full((pad_n,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    from graph_physics_tpu.core.graph import PAD_NODE_TYPE
+
+    edge_attr = graph.edge_attr
+    if edge_attr is not None:
+        edge_attr = tiling.expand_edges(np.asarray(edge_attr))
+    return graph.replace(
+        x=pad_nodes(graph.x),
+        pos=pad_nodes(graph.pos),
+        node_type=pad_nodes(graph.node_type, PAD_NODE_TYPE),
+        node_mask=pad_nodes(graph.node_mask, False),
+        senders=new_send,
+        receivers=new_recv,
+        edge_mask=valid,
+        edge_attr=edge_attr,
+        y=pad_nodes(graph.y),
+        prev=pad_nodes(graph.prev),
+        next_data=pad_nodes(graph.next_data),
+        deselected=pad_nodes(graph.deselected, False),
+        phi=pad_nodes(graph.phi),
+        tiling_idx_nk=(
+            tiling.win_start.astype(np.int32),
+            tiling.sidx.astype(np.int32),
+        ),
+    )
+
+
 def rcm_order(senders: np.ndarray, receivers: np.ndarray, num_nodes: int) -> np.ndarray:
     """Reverse Cuthill–McKee node permutation (old id -> position given by
     perm; use ``new_id = inv[old_id]``). Returns the permutation array such

@@ -42,7 +42,7 @@ class FusedTopologyManager:
     def __init__(self, node_block: int = 128, max_window_blocks: int = 16,
                  edge_pad_multiple: int = 64, window_blocks_multiple: int = 2,
                  window_unit: int = 64, wb_buckets: int = 1,
-                 build_nk: bool = False):
+                 build_nk: bool = False, nk_layout: bool = False):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
         self.edge_pad_multiple = edge_pad_multiple
@@ -52,7 +52,13 @@ class FusedTopologyManager:
         #: topology and ride its runtime indices on the graph
         #: (ops/fused_edge_attention_nk; transformer models only — the
         #: step clone sets edge_tiling_nk when the model supports it)
-        self.build_nk = build_nk
+        self.build_nk = build_nk or nk_layout
+        #: convert frames into the NK SLOT layout itself (epd models:
+        #: the fused NK GraphNetBlock replaces the CSR kernel —
+        #: receiver-side one-hot contractions become static K-slices,
+        #: ops/fused_gnblock_nk). Topologies whose NK build fails
+        #: (degree skew) fall back to the CSR layout per trajectory.
+        self.nk_layout = nk_layout
         #: >1: sort node blocks by touched-window-unit count and dispatch
         #: the fused kernels as up to this many window-width buckets, so
         #: graded meshes (airfoil: wb 3..18, median 12) don't pay the max
@@ -147,11 +153,15 @@ class FusedTopologyManager:
         if base_sim is not None and not hasattr(base_sim.model, "edge_tiling"):
             return "xla"
         t = self._batch_tiling(batch)
-        if t is None:
-            return "xla"
         nk = (self._batch_nk_tiling(batch)
               if base_sim is None or hasattr(base_sim.model, "edge_tiling_nk")
               else None)
+        if t is None:
+            # NK-layout batch (nk_layout mode): the NK tiling IS the
+            # edge order; no CSR tiling rides the graph
+            if nk is not None:
+                return ("nk", self.nk_bucket_key(nk))
+            return "xla"
         return (self.bucket_key(t), self.nk_bucket_key(nk))
 
     @staticmethod
@@ -268,12 +278,19 @@ class FusedTopologyManager:
 
     def transform_frame(self, g: MeshGraph) -> MeshGraph:
         """Convert one host-side frame into the blocked layout (no-op for
-        untileable topologies)."""
+        untileable topologies).
+
+        ``nk_layout`` mode: frames convert into the NK SLOT layout
+        (apply_to_graph_nk — tiling_idx_nk rides, tiling_idx does NOT:
+        one edge order per graph); NK-rejected topologies fall back to
+        the CSR layout."""
         _, (t, perm, nk) = self._tiling_for(g)
         if t is None:
             return g
         if perm is not None:
             g = _permute_nodes(g, perm)
+        if self.nk_layout and nk is not None:
+            return tiling_lib.apply_to_graph_nk(g, nk)
         g = tiling_lib.apply_to_graph(g, t)
         if nk is not None:
             g = g.replace(tiling_idx_nk=(
@@ -290,8 +307,12 @@ class FusedTopologyManager:
         t = self._batch_tiling(batch)
         t_nk = (self._batch_nk_tiling(batch)
                 if hasattr(base_sim.model, "edge_tiling_nk") else None)
-        if t is None or not hasattr(base_sim.model, "edge_tiling"):
-            key = "xla"  # jit's own cache handles shape variety here
+        if not hasattr(base_sim.model, "edge_tiling"):
+            key = "xla"
+        elif t is None:
+            # NK-layout batch: the fused NK GraphNetBlock serves it
+            key = ("nk", self.nk_bucket_key(t_nk)) if t_nk is not None \
+                else "xla"
         else:
             key = (self.bucket_key(t), self.nk_bucket_key(t_nk))
         hit = self._steps.get(key)
@@ -312,10 +333,14 @@ class FusedTopologyManager:
             from graph_physics_tpu.models.simulator import clone_with_model
 
             # the tiling attribute supplies ONLY static geometry here; the
-            # per-topology indices arrive as batch.tiling_idx at run time
-            updates = dict(edge_tiling=t)
-            if t_nk is not None:
-                updates["edge_tiling_nk"] = t_nk
+            # per-topology indices arrive as batch.tiling_idx(/.._nk) at
+            # run time
+            if t is None:  # NK-layout batch
+                updates = dict(edge_tiling_nk=t_nk)
+            else:
+                updates = dict(edge_tiling=t)
+                if t_nk is not None:
+                    updates["edge_tiling_nk"] = t_nk
             sim = clone_with_model(base_sim, base_sim.model.clone(**updates))
             entry = (sim, make_step(sim))
         self._steps[key] = entry

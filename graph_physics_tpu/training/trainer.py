@@ -89,9 +89,15 @@ class TrainerConfig:
     fused_wb_buckets: int = 1
     #: transformer models: also build the uniform-degree (NK) attention
     #: layout per topology — receiver-side moves become static K-slices
-    #: (ops/fused_edge_attention_nk). Ignored for models without
-    #: edge_tiling_nk support (epd).
+    #: (ops/fused_edge_attention_nk).
     fused_attn_nk: bool = False
+    #: epd models: convert frames into the NK slot layout and run the
+    #: fused NK GraphNetBlock (ops/fused_gnblock_nk) instead of the
+    #: blocked-CSR kernel — receiver-side one-hot contractions become
+    #: static K-slices (2 fwd / 3 bwd one-hot contractions vs 4 / 7).
+    #: Degree-skewed topologies fall back to the CSR kernel per
+    #: trajectory.
+    fused_gn_nk: bool = False
 
 
 class Trainer:
@@ -183,7 +189,8 @@ class Trainer:
 
             self._fused_mgr = FusedTopologyManager(
                 wb_buckets=cfg.fused_wb_buckets,
-                build_nk=cfg.fused_attn_nk)
+                build_nk=cfg.fused_attn_nk,
+                nk_layout=cfg.fused_gn_nk)
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,

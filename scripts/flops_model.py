@@ -91,7 +91,77 @@ def trace_step(gn_nk: bool):
     return _count(jaxpr)
 
 
-def report(name: str, bucket) -> float:
+TF_BATCH = 64  # scripts/bench_models.py transformer batch
+
+
+def trace_transformer(variant: str):
+    """variant: 'xla' | 'csr' | 'nk' — same shapes as bench_models.py
+    (plate config: 10 blocks, hidden 64, 4 heads, B=64 packed)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.models.processors import EncodeTransformDecode
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.ops import tiling as tiling_lib
+    from graph_physics_tpu.training import schedule
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.packed import pack
+    from graph_physics_tpu.training.step import (
+        NoiseConfig, init_train_state, make_train_step,
+    )
+
+    traj = synthetic.make_trajectory(48, 40, num_steps=3)
+    pos = traj["mesh_pos"][0]
+    nt = traj["node_type"][0, :, 0]
+    x = np.concatenate(
+        [traj["velocity"][0], nt[:, None].astype(np.float32),
+         np.zeros((len(pos), 1), np.float32)], -1)
+    ei = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
+    g = mesh_lib.build_mesh_graph(x, pos, nt, ei, y=traj["velocity"][1])
+
+    kw = dict(message_passing_num=10, node_input_size=2 + 9, output_size=2,
+              hidden_size=64, num_heads=4, dtype=jnp.bfloat16)
+    if variant == "xla":
+        model = EncodeTransformDecode(**kw)
+    else:
+        t = tiling_lib.build_edge_tiling(
+            np.asarray(g.senders), np.asarray(g.receivers), int(g.n_node),
+            edge_mask=np.asarray(g.edge_mask))
+        g = tiling_lib.apply_to_graph(g, t)
+        if variant == "nk":
+            from graph_physics_tpu.ops.fused_edge_attention_nk import (
+                build_nk_tiling,
+            )
+
+            t_nk = build_nk_tiling(
+                np.asarray(g.senders), np.asarray(g.receivers),
+                int(g.n_node), edge_mask=np.asarray(g.edge_mask))
+            assert t_nk is not None
+            g = _dc.replace(g, tiling_idx=None)
+            model = EncodeTransformDecode(
+                edge_tiling=t, edge_tiling_nk=t_nk, **kw)
+        else:
+            model = EncodeTransformDecode(edge_tiling=t, **kw)
+
+    sim = Simulator(
+        node_input_size=2 + 9, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+        model=model)
+    opt = schedule.make_optimizer(1e-3, warmup=100, num_steps=10000)
+    noise = NoiseConfig(starts=(0,), ends=(2,), scales=(0.02,))
+    step = make_train_step(sim, opt, LossType.L2LOSS, noise, num_steps=10000)
+    batch_graph = pack(jax.tree.map(
+        lambda a: np.stack([np.asarray(a)] * TF_BATCH), g))
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
+    jaxpr = jax.make_jaxpr(step)(state, batch_graph, jax.random.PRNGKey(1))
+    return _count(jaxpr)
+
+
+def report(name: str, bucket, batch: int = BATCH) -> float:
     total = sum(t for _, t in bucket.values())
     print(f"\n=== {name}: dot_general inventory (whole train step) ===")
     rows = sorted(bucket.items(), key=lambda kv: -kv[1][1])
@@ -103,7 +173,7 @@ def report(name: str, bucket) -> float:
         print(f"  ... {len(rows) - 14} more shapes        "
               f"  {rest / 1e12:7.3f} TF ({100 * rest / total:4.1f}%)")
     floor_ms = total / MEASURED_TF_S * 1e3
-    gsps = BATCH / (floor_ms / 1e3)
+    gsps = batch / (floor_ms / 1e3)
     print(f"  TOTAL {total / 1e12:.3f} TF-issued -> floor "
           f"{floor_ms:.1f} ms/step at 90 TF/s "
           f"= {gsps:,.0f} graph-steps/s compute-bound")
@@ -120,6 +190,13 @@ def main():
     if len(totals) == 2:
         print(f"\nNK / CSR issued-flop ratio: "
               f"{totals['nk'] / totals['csr']:.3f}")
+    if which in ("tf", "transformer"):
+        tf = {}
+        for v in ("xla", "csr", "nk"):
+            tf[v] = report(f"transformer/{v}", trace_transformer(v),
+                           batch=TF_BATCH)
+        print(f"\ntransformer NK / CSR issued-flop ratio: "
+              f"{tf['nk'] / tf['csr']:.3f}")
 
 
 if __name__ == "__main__":

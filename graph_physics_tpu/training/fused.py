@@ -42,7 +42,8 @@ class FusedTopologyManager:
     def __init__(self, node_block: int = 128, max_window_blocks: int = 16,
                  edge_pad_multiple: int = 64, window_blocks_multiple: int = 2,
                  window_unit: int = 64, wb_buckets: int = 1,
-                 build_nk: bool = False, nk_layout: bool = False):
+                 build_nk: bool = False, nk_layout: bool = False,
+                 max_cached_tilings: int = 512):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
         self.edge_pad_multiple = edge_pad_multiple
@@ -64,8 +65,16 @@ class FusedTopologyManager:
         #: graded meshes (airfoil: wb 3..18, median 12) don't pay the max
         #: window width on every group. 1 = single dispatch (default).
         self.wb_buckets = wb_buckets
-        #: traj id -> (tiling or None, rcm perm or None, NK tiling or None)
-        self._tilings: Dict[int, Tuple[Optional[Any], Optional[np.ndarray], Optional[Any]]] = {}
+        #: (traj id, n_edge, topo digest) -> (tiling or None, rcm perm or
+        #: None, NK tiling or None); LRU-bounded — real datasets have
+        #: ~1,000 distinct meshes (and random-edge/partition configs one
+        #: topology per SAMPLE), and a 27k-node tiling's index arrays run
+        #: to ~1 MB, so an unbounded cache would grow without limit.
+        #: Eviction only costs the host-side rebuild (a few ms).
+        self.max_cached_tilings = max_cached_tilings
+        from collections import OrderedDict
+
+        self._tilings: "OrderedDict[Tuple, Tuple[Optional[Any], Optional[np.ndarray], Optional[Any]]]" = OrderedDict()
         #: shape-bucket key -> (simulator clone, jitted step_fn)
         self._steps: Dict[Any, Tuple[Any, Any]] = {}
         #: win_start content digest -> bucket plan; the O(wb_buckets·G²)
@@ -193,6 +202,7 @@ class FusedTopologyManager:
         ) ^ (zlib.crc32(recv.astype(np.int32).tobytes()) << 1)
         key = (int(np.asarray(g.traj_index)), e_valid, chk)
         if key in self._tilings:
+            self._tilings.move_to_end(key)
             return key, self._tilings[key]
         kw = dict(
             node_block=self.node_block,
@@ -241,6 +251,8 @@ class FusedTopologyManager:
                     flush=True,
                 )
         self._tilings[key] = (t, perm, nk)
+        while len(self._tilings) > self.max_cached_tilings:
+            self._tilings.popitem(last=False)
         return key, (t, perm, nk)
 
     def _sort_for_buckets(self, t, perm, send, recv, n_valid, kw):

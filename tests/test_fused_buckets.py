@@ -130,3 +130,21 @@ def test_packed_batch_carries_tiling_idx():
     assert p.tiling_idx[1].ndim == 2  # [G, Emax] unbatched
     t, _ = mgr.tiling_of(3)
     np.testing.assert_array_equal(p.tiling_idx[1], t.sidx)
+
+
+def test_tiling_cache_is_lru_bounded():
+    """Random-edge / per-sample-partition configs produce one topology per
+    SAMPLE; the host tiling cache must stay bounded (LRU) while converted
+    frames keep working after eviction."""
+    mgr = FusedTopologyManager(max_cached_tilings=2)
+    frames = [mgr.transform_frame(_jittered_mesh(s)) for s in range(5)]
+    assert len(mgr._tilings) == 2
+    # evicted topologies rebuild transparently (same converted layout)
+    again = mgr.transform_frame(_jittered_mesh(0))
+    np.testing.assert_array_equal(
+        np.asarray(frames[0].senders), np.asarray(again.senders))
+    np.testing.assert_array_equal(
+        np.asarray(frames[0].tiling_idx[1]), np.asarray(again.tiling_idx[1]))
+    assert len(mgr._tilings) == 2
+    # all five frames still share one step bucket regardless of eviction
+    assert len({mgr.key_for(f) for f in frames + [again]}) == 1

@@ -151,6 +151,34 @@ def main():
                 hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
                 edge_tiling=t_csr, edge_tiling_nk=t_nk,
             ), graph=g_nk, batch=bt)
+    # nb=64 NK variant: 0.75x window gather/scatter flops at 2x grid steps
+    # (scripts/flops_model.py models floor 2,105 -> 2,426 g/s)
+    if want("transformer_nk64"):
+        import dataclasses as _dc
+
+        from graph_physics_tpu.ops.fused_edge_attention_nk import (
+            build_nk_tiling,
+        )
+
+        t_csr = t if t is not None else tiling_lib.build_edge_tiling(
+            np.asarray(g.senders), np.asarray(g.receivers),
+            int(g.n_node), edge_mask=np.asarray(g.edge_mask))
+        t_nk64 = build_nk_tiling(
+            np.asarray(g.senders), np.asarray(g.receivers), int(g.n_node),
+            edge_mask=np.asarray(g.edge_mask), node_block=64)
+        if t_nk64 is not None and t_nk64.num_nodes == t_csr.num_nodes:
+            g_nk64 = _dc.replace(
+                g_tiled if t is not None
+                else tiling_lib.apply_to_graph(g, t_csr),
+                tiling_idx=None,
+            )
+            bt = int(os.environ.get("BM_TF_BATCH", "64"))
+            bench("transformer_nk64", EncodeTransformDecode(
+                message_passing_num=10, node_input_size=2 + 9, output_size=2,
+                hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+                edge_tiling=t_csr, edge_tiling_nk=t_nk64,
+            ), graph=g_nk64, batch=bt)
+
     # Transolver consumes [B, N, F] stacked batches (its physics attention
     # adds its own batch dim; the packed [N, B, F] layout doesn't apply)
     if want("transolver"):

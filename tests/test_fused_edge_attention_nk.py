@@ -324,3 +324,41 @@ def test_nk_rejects_degree_skew():
     r = np.concatenate([receivers, ring_r])
     t = build_nk_tiling(s, r, 65, node_block=128, max_row_inflation=2.0)
     assert t is None
+
+
+@pytest.mark.parametrize("nb", [64, 128])
+def test_nk_node_block_variants(nb):
+    """The NK kernel is node_block-agnostic: nb=64 (the bench's
+    gather-flop lever — 0.75x window gather/scatter work at 2x grid
+    steps, scripts/flops_model.py) matches the XLA reference in values
+    AND gradients."""
+    traj = synthetic.make_trajectory(14, 10, num_steps=2)
+    pos = traj["mesh_pos"][0]
+    senders, receivers = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
+    t = build_nk_tiling(senders, receivers, len(pos), node_block=nb)
+    assert t is not None and t.node_block == nb
+    n = t.num_nodes
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, (n, 2, 4, 16), jnp.float32) * 0.5
+    k = jax.random.normal(jax.random.fold_in(key, 1), q.shape) * 0.5
+    v = jax.random.normal(jax.random.fold_in(key, 2), q.shape) * 0.5
+    cot = jax.random.normal(jax.random.fold_in(key, 3), q.shape)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_ref(q, k, v, senders, receivers)[: len(pos)]
+                       .astype(jnp.float32) * cot[: len(pos)])
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            fused_edge_attention_nk(q, k, v, t, interpret=True)[: len(pos)]
+            .astype(jnp.float32) * cot[: len(pos)])
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    v_fus, g_fus = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=0.03)
+    for a, c, name in zip(g_ref, g_fus, ["dq", "dk", "dv"]):
+        a = np.asarray(a, np.float32)[: len(pos)]
+        c = np.asarray(c, np.float32)[: len(pos)]
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(c / scale, a / scale, atol=0.04,
+                                   err_msg=name)

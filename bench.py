@@ -28,8 +28,9 @@ def main():
 
     # trajectory-major packed batching + fused Pallas GraphNetBlocks.
     # BENCH_GN_NK=1 flips to the uniform-degree (NK) GraphNetBlock kernel
-    # (ops/fused_gnblock_nk) for A/B runs.
-    batch = 128
+    # (ops/fused_gnblock_nk) for A/B runs; BENCH_B overrides the batch
+    # (B sweeps — round 2 measured 128 optimal for the CSR kernel).
+    batch = int(os.environ.get("BENCH_B", "128"))
     inner = 200
     sim, opt, step_fn, batch_graph = _cylinder_setup(
         nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True,

@@ -36,7 +36,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +102,84 @@ class NKTiling:
         valid = self.perm >= 0
         out[self.perm[valid]] = slot_vals[valid]
         return out
+
+
+@dataclass(frozen=True, eq=False)
+class NKBucketTiling:
+    """Per-block-K variant of :class:`NKTiling` (graded meshes).
+
+    A single global K = max in-degree inflates slot rows by
+    ``K / mean_degree`` (the reference airfoil: K=9 against a mostly-6
+    degree profile → 1.47x). Here node BLOCKS are sorted by their local
+    max in-degree (the last block pinned — it holds the valid/padding
+    boundary) and partitioned into ≤ ``k_buckets`` contiguous buckets,
+    each with its own K_b; the fused kernels dispatch one ``pallas_call``
+    per bucket (same machinery as the CSR kernel's window-count buckets,
+    ops/fused_gnblock.py). Edge rows are laid out as per-bucket segments;
+    each bucket's base row is aligned to its own ``slots_b`` so block
+    index maps stay integral (alignment gaps carry ``perm == -1``).
+    """
+
+    #: [total_rows] int32 — original edge id per slot row; -1 on padding
+    #: (incl. the alignment gaps between bucket segments).
+    perm: np.ndarray
+    #: per bucket: [G_b, slots_b] int32 window-local sender index
+    #: (sentinel = window rows on padded slots).
+    sidx: Tuple[np.ndarray, ...]
+    #: [G, wb] int32 — window units per group (global across buckets).
+    win_start: np.ndarray
+    #: ((g_lo, g_hi, k_b), ...) contiguous group ranges with their K.
+    buckets: Tuple[Tuple[int, int, int], ...]
+    #: per bucket: edge-row base (multiple of that bucket's slots_b).
+    bases: Tuple[int, ...]
+    total_rows: int
+    node_block: int
+    window_blocks: int
+    num_nodes: int  # padded (multiple of node_block)
+    window_unit: int = 64
+
+    @property
+    def num_groups(self) -> int:
+        return self.num_nodes // self.node_block
+
+    @property
+    def window_rows(self) -> int:
+        return self.window_blocks * self.window_unit
+
+    # expand/reduce share NKTiling's perm-driven implementation
+    expand_edges = NKTiling.expand_edges
+    reduce_edges = NKTiling.reduce_edges
+
+
+def nk_total_rows(t) -> int:
+    """Edge-layout row count of either NK tiling class."""
+    if isinstance(t, NKBucketTiling):
+        return t.total_rows
+    return t.num_groups * t.slots
+
+
+def nk_row_maps(t) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per slot ROW of the edge layout: (group id, receiver local row,
+    window-local sender index). Alignment-gap rows get group id -1 and
+    the sentinel sidx (= window rows)."""
+    sentinel = t.window_blocks * t.window_unit
+    nb = t.node_block
+    if isinstance(t, NKBucketTiling):
+        gids = np.full(t.total_rows, -1, np.int64)
+        loc_r = np.zeros(t.total_rows, np.int64)
+        sidx_flat = np.full(t.total_rows, sentinel, np.int64)
+        for (lo, hi, k_b), base, sx in zip(t.buckets, t.bases, t.sidx):
+            g_b, slots_b = hi - lo, k_b * nb
+            rows = g_b * slots_b
+            rel = np.arange(rows)
+            gids[base : base + rows] = lo + rel // slots_b
+            loc_r[base : base + rows] = rel % slots_b % nb
+            sidx_flat[base : base + rows] = sx.reshape(-1)
+        return gids, loc_r, sidx_flat
+    slots = t.slots
+    gids = np.repeat(np.arange(t.num_groups), slots)
+    loc_r = np.tile(np.arange(slots) % nb, t.num_groups)
+    return gids, loc_r, t.sidx.reshape(-1).astype(np.int64)
 
 
 def build_nk_tiling(
@@ -195,6 +273,146 @@ def build_nk_tiling(
         window_blocks=wb,
         num_nodes=n_pad,
         window_unit=window_unit,
+    )
+
+
+def build_nk_bucket_tiling(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    edge_mask: Optional[np.ndarray] = None,
+    node_block: int = 128,
+    max_window_blocks: int = 16,
+    window_unit: int = 64,
+    k_multiple: int = 1,
+    max_row_inflation: float = 2.0,
+    window_blocks_multiple: int = 1,
+    k_buckets: int = 2,
+    min_groups: int = 4,
+) -> Optional[Tuple["NKBucketTiling", Optional[np.ndarray]]]:
+    """Per-block-K NK layout: ``(tiling, node_perm)`` or None.
+
+    Node BLOCKS are sorted by local max in-degree (last block pinned) and
+    partitioned into ≤ ``k_buckets`` contiguous segments by the same DP
+    the CSR window buckets use, minimizing total slot rows. The returned
+    ``node_perm`` (old id at new position i — compose with any RCM perm
+    and apply via the manager's ``_permute_nodes``) is None when the
+    blocks were already sorted. The inflation guard prices the ACTUAL
+    bucketed row total, so graded meshes that a global K would reject
+    (or inflate) pass here.
+    """
+    from graph_physics_tpu.ops.tiling import (
+        block_order_to_node_perm,
+        plan_wb_buckets,
+        sort_blocks_for_buckets,
+    )
+
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    keep = (np.ones(senders.shape[0], bool) if edge_mask is None
+            else np.asarray(edge_mask, bool))
+    orig_ids = np.nonzero(keep)[0]
+    s, r = senders[orig_ids], receivers[orig_ids]
+
+    n_pad = _round_up(max(num_nodes, 1), node_block)
+    n_groups = n_pad // node_block
+
+    # per-block local max in-degree, then sort blocks (last pinned)
+    deg = np.bincount(r, minlength=n_pad)
+    blk_k = deg.reshape(n_groups, node_block).max(axis=1)
+    order = sort_blocks_for_buckets(blk_k)
+    node_perm = None
+    if order is not None:
+        node_perm = block_order_to_node_perm(order, node_block,
+                                             int(num_nodes))
+        inv = np.argsort(np.concatenate(
+            [node_perm, np.arange(len(node_perm), n_pad)]))
+        s, r = inv[s], inv[r]
+        deg = np.bincount(r, minlength=n_pad)
+        blk_k = deg.reshape(n_groups, node_block).max(axis=1)
+
+    plan = plan_wb_buckets(np.maximum(blk_k, 1), k_buckets,
+                           window_blocks_multiple=k_multiple,
+                           min_groups=min_groups)
+
+    # bucket bases aligned to each bucket's own slots_b; inflation guard
+    # on the ACTUAL row total
+    bases, bases_end = [], 0
+    for (lo, hi, k_b) in plan:
+        slots_b = k_b * node_block
+        base = _round_up(bases_end, slots_b)
+        bases.append(base)
+        bases_end = base + (hi - lo) * slots_b
+    total_rows = int(bases_end)
+    if s.size and total_rows > max_row_inflation * max(s.size, 1) + n_pad:
+        return None
+
+    # receiver-major stable edge order + per-receiver rank (as the
+    # single-bucket builder)
+    e_order = np.argsort(r, kind="stable")
+    s, r, orig_ids = s[e_order], r[e_order], orig_ids[e_order]
+    run_start = np.zeros(n_pad + 1, np.int64)
+    run_start[1:] = np.cumsum(deg)
+    rank = np.arange(s.size) - run_start[r]
+
+    # sender windows per group (global wb, same contract as the others)
+    assert node_block % window_unit == 0
+    gid = r // node_block
+    group_units = []
+    for g in range(n_groups):
+        seg = s[gid == g]
+        group_units.append(
+            np.unique(seg // window_unit) if seg.size
+            else np.zeros(1, np.int64))
+    wb = max((len(u) for u in group_units), default=1)
+    wb = min(_round_up(wb, window_blocks_multiple),
+             max(n_pad // window_unit, 1))
+    if wb * window_unit > max_window_blocks * node_block:
+        return None
+    win_rows = wb * window_unit
+    win_units = np.zeros((n_groups, wb), np.int64)
+    unit_rank = np.empty_like(s)
+    for g in range(n_groups):
+        units = group_units[g]
+        win_units[g, : len(units)] = units
+        win_units[g, len(units):] = units[0]
+        m = gid == g
+        if m.any():
+            unit_rank[m] = np.searchsorted(units, s[m] // window_unit)
+    lidx = unit_rank * window_unit + s % window_unit
+
+    # fill per-bucket sidx + the global row perm
+    perm = np.full(total_rows, -1, np.int64)
+    sidx_list = []
+    g_bucket = np.zeros(n_groups, np.int64)  # group -> bucket id
+    for bi, (lo, hi, _k) in enumerate(plan):
+        g_bucket[lo:hi] = bi
+    b_of_e = g_bucket[gid]
+    for bi, ((lo, hi, k_b), base) in enumerate(zip(plan, bases)):
+        g_b, slots_b = hi - lo, k_b * node_block
+        sx = np.full((g_b, slots_b), win_rows, np.int64)
+        m = b_of_e == bi
+        if m.any():
+            assert int(rank[m].max()) < k_b, (int(rank[m].max()), k_b)
+            slot = rank[m] * node_block + (r[m] - gid[m] * node_block)
+            sx[gid[m] - lo, slot] = lidx[m]
+            perm[base + (gid[m] - lo) * slots_b + slot] = orig_ids[m]
+        sidx_list.append(sx.astype(np.int32))
+
+    return (
+        NKBucketTiling(
+            perm=perm.astype(np.int32),
+            sidx=tuple(sidx_list),
+            win_start=win_units.astype(np.int32),
+            buckets=tuple((int(lo), int(hi), int(k)) for lo, hi, k in plan),
+            bases=tuple(int(b) for b in bases),
+            total_rows=total_rows,
+            node_block=node_block,
+            window_blocks=int(wb),
+            num_nodes=int(n_pad),
+            window_unit=window_unit,
+        ),
+        node_perm,
     )
 
 

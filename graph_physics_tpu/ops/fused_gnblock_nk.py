@@ -63,6 +63,7 @@ from graph_physics_tpu.ops.fused_gnblock import (
     _predot_gather,
 )
 from graph_physics_tpu.ops.fused_edge_attention_nk import (
+    NKBucketTiling,
     NKTiling,
     _ksum,
     _ktile,
@@ -309,15 +310,33 @@ def fused_gn_block_nk(
     edge_encoder_params: Optional[dict] = None,
     last_block: bool = False,
     tiling_idx: Optional[Tuple] = None,
+    clean_edge_grads: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply one fused GraphNetBlock on the uniform-degree layout.
 
     Same contract as :func:`ops.fused_gnblock.fused_gn_block`, with
     ``edge_attr`` in the NK slot order (``tiling.perm`` /
-    :func:`ops.tiling.apply_to_graph_nk`). ``tiling_idx`` optionally
-    carries runtime ``(win_start, sidx)`` arrays (graph.tiling_idx_nk) so
-    one compiled program serves every same-bucket topology.
+    :func:`ops.tiling.apply_to_graph_nk`). ``tiling`` may be a plain
+    :class:`NKTiling` or a per-block-K :class:`NKBucketTiling` — the
+    latter dispatches one ``pallas_call`` per K-bucket (group ranges with
+    their own K_b), later buckets writing into the previous call's output
+    buffers via ``input_output_aliases`` exactly like the CSR kernel's
+    window-count buckets. ``tiling_idx`` optionally carries runtime
+    ``(win_start, sidx...)`` arrays (graph.tiling_idx_nk; one sidx per
+    bucket) so one compiled program serves every same-bucket topology.
+
+    Bucketed layouts carry ALIGNMENT-GAP edge rows between segments
+    (``tiling.perm == -1`` there): the returned edge stream and the
+    ``de`` cotangent are UNDEFINED on those rows — no kernel in a fused
+    chain ever reads them (block specs cover segment rows only, and the
+    last block's edge stream is elided), but an XLA consumer (e.g. the
+    unfolded edge encoder's backward) must not see them: pass
+    ``clean_edge_grads=True`` on the FIRST unfolded block to zero the
+    gap rows of ``de`` (one select over the edge array — skip it on
+    middle blocks, whose ``de`` feeds another fused kernel).
     """
+    from graph_physics_tpu.ops.fused_gnblock import _drop_refs
+
     n, b, f = x.shape
     assert LANES % f == 0, f"feature size {f} must divide {LANES}"
     bg = LANES // f
@@ -334,33 +353,53 @@ def fused_gn_block_nk(
     assert n == tiling.num_nodes, (n, tiling.num_nodes)
     g_blocks = tiling.num_groups
     nb = tiling.node_block
-    kk = tiling.k_slots
-    slots = tiling.slots
     wb = tiling.window_blocks
     wu = tiling.window_unit
-    assert edge_attr.shape[0] == g_blocks * slots, (
-        edge_attr.shape, g_blocks, slots)
+    if isinstance(tiling, NKBucketTiling):
+        buckets = tiling.buckets
+        bases = tiling.bases
+        sidx_host = tiling.sidx
+        total_rows = tiling.total_rows
+    else:
+        buckets = ((0, g_blocks, tiling.k_slots),)
+        bases = (0,)
+        sidx_host = (tiling.sidx,)
+        total_rows = g_blocks * tiling.slots
+    assert edge_attr.shape[0] == total_rows, (edge_attr.shape, total_rows)
+    assert buckets[0][0] == 0 and buckets[-1][1] == g_blocks, buckets
 
-    # lane caps: same VMEM budget rules as the CSR kernel (the edge tile
-    # is [slots, lanes] instead of [Emax, lanes] — comparable by the
-    # builder's inflation bound)
+    # lane caps: same VMEM budget rules as the CSR kernel, plus a
+    # slot-row budget so a high-K bucket's [slots_b, lanes] edge tile
+    # stays within the working set the single-K bench shapes validated
+    # ([768, 1024] fwd / [768·k, 256] bwd)
     win_rows = wb * wu
-    if folded:
-        lanes = min(lanes, FOLDED_LANES_CAP)
-        lanes_bwd = min(lanes_bwd, FOLDED_LANES_BWD_CAP)
-    if win_rows > 512:
-        lanes = min(lanes, 512)
-        lanes_bwd = min(lanes_bwd, 256 if total_lanes <= 512 else 128)
-    if win_rows > 1280:
-        lanes = min(lanes, 256)
-        lanes_bwd = min(lanes_bwd, 128)
-    lanes = _fit(lanes)
-    lanes_bwd = _fit(lanes_bwd)
 
-    # folded-encoder channel ratio (same 128-alignment rule as CSR)
+    def _caps(slots_b, l, lb, aliased):
+        if folded:
+            l = min(l, FOLDED_LANES_CAP)
+            lb = min(lb, FOLDED_LANES_BWD_CAP)
+        if win_rows > 512:
+            l = min(l, 512)
+            lb = min(lb, 256 if total_lanes <= 512 else 128)
+            if aliased:
+                lb = min(lb, 128)
+        if win_rows > 1280:
+            l = min(l, 256)
+            lb = min(lb, 128)
+        budget = 768 * 1024
+        l = min(l, max((budget // max(slots_b, 1)) // LANES, 1) * LANES)
+        lb = min(lb, max(((budget // 4) // max(slots_b, 1)) // LANES, 1)
+                 * LANES)
+        return _fit(l), _fit(lb)
+
+    lane_plan = [_caps(k_b * nb, lanes, lanes_bwd, bi > 0)
+                 for bi, (_lo, _hi, k_b) in enumerate(buckets)]
+
+    # folded-encoder channel ratio (same 128-alignment rule as CSR);
+    # shared across buckets so the raw edge array has one layout
     r = 1
     if folded:
-        ks = [lanes // LANES, lanes_bwd // LANES]
+        ks = [v // LANES for pair in lane_plan for v in pair]
         fe = edge_attr.shape[-1]
         for cand in range(min(ks), 0, -1):
             if (all(kk_ % cand == 0 for kk_ in ks) and f % cand == 0
@@ -396,26 +435,34 @@ def fused_gn_block_nk(
         raw = edge_attr.astype(dtype)
         if fe < fe_pad:
             raw = jnp.pad(raw, ((0, 0), (0, 0), (0, fe_pad - fe)))
-        e2 = raw.reshape(g_blocks * slots, total_lanes // r)
+        e2 = raw.reshape(total_rows, total_lanes // r)
         enc_flat, _ = _flatten_encoder(
             edge_encoder_params, r, f, dtype, layer_norm)
     else:
-        e2 = edge_attr.reshape(g_blocks * slots, total_lanes).astype(dtype)
+        e2 = edge_attr.reshape(total_rows, total_lanes).astype(dtype)
 
     ew_flat, _ = _flatten_mlp(edge_params, 3, bg, dtype, layer_norm)
     nw_flat, _ = _flatten_mlp(node_params, 2, bg, dtype, layer_norm)
     n_enc = len(enc_flat)
 
     if tiling_idx is not None:
-        win_in, sidx_in = tiling_idx
-        assert sidx_in.shape == (g_blocks, slots), (
-            sidx_in.shape, g_blocks, slots)
+        win_in = tiling_idx[0]
+        sidx_in = tuple(tiling_idx[1:])
+        assert len(sidx_in) == len(buckets), (len(sidx_in), buckets)
         win_start = jnp.asarray(win_in, jnp.int32)
-        sidx = jnp.asarray(sidx_in, jnp.int32)[:, None, :]
+        sidx_list = [jnp.asarray(sx, jnp.int32)[:, None, :]
+                     for sx in sidx_in]
     else:
-        sidx = jnp.asarray(tiling.sidx)[:, None, :]
+        sidx_list = [jnp.asarray(sx)[:, None, :] for sx in sidx_host]
         win_start = jnp.asarray(tiling.win_start)
-    blk_unit = win_start.reshape(-1).astype(jnp.int32)
+    for sx, (lo, hi, k_b) in zip(sidx_list, buckets):
+        assert sx.shape == (hi - lo, 1, k_b * nb), (sx.shape, lo, hi, k_b)
+    # per-bucket win_start rows (pass-through when the bucket spans all
+    # groups, keeping the single-bucket jaxpr unchanged)
+    win_list = [
+        win_start if (lo, hi) == (0, g_blocks) else win_start[lo:hi]
+        for (lo, hi, _k) in buckets
+    ]
 
     def _vspec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -424,49 +471,89 @@ def fused_gn_block_nk(
         nd = len(w.shape)
         return _vspec(w.shape, partial(lambda nd_, c, g, ws: (0,) * nd_, nd))
 
-    def _specs(l):
-        grid = (total_lanes // l, g_blocks)
-        group_spec = _vspec((1, 1, slots), lambda c, g, ws: (g, 0, 0))
-        node_spec = _vspec((nb, l), lambda c, g, ws: (g, c))
-        edge_spec = _vspec((slots, l), lambda c, g, ws: (g, c))
-        edge_in_spec = _vspec((slots, l // r), lambda c, g, ws: (g, c))
+    def _off_map(lo):
+        if lo == 0:
+            return lambda c, g, ws: (g, c)
+        return partial(lambda lo_, c, g, ws: (g + lo_, c), lo)
+
+    def _specs(l, lo, ng, k_b, base):
+        """Specs for lane width ``l`` and the bucket covering groups
+        [lo, lo+ng) with K = k_b, edge rows based at ``base`` (node/edge
+        arrays stay FULL-sized; maps add static offsets - no slicing)."""
+        slots_b = k_b * nb
+        assert base % slots_b == 0, (base, slots_b)
+        eb = base // slots_b
+        grid = (total_lanes // l, ng)
+        group_spec = _vspec((1, 1, slots_b), lambda c, g, ws: (g, 0, 0))
+        node_spec = _vspec((nb, l), _off_map(lo))
+        edge_spec = _vspec((slots_b, l), _off_map(eb))
+        edge_in_spec = _vspec((slots_b, l // r), _off_map(eb))
         win_specs = [
             _vspec((wu, l), partial(lambda k_, c, g, ws: (ws[g, k_], c), k_))
             for k_ in range(wb)
         ]
         weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
         in_specs = ([group_spec, node_spec] + win_specs
-                    + [edge_in_spec] + weight_specs)
+                    + [edge_in_spec if folded else edge_spec] + weight_specs)
         dxw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
         return grid, in_specs, node_spec, edge_spec, dxw_spec
 
+    # aliased prev-bucket outputs ride as extra inputs with a tiny
+    # constant-index spec (buffer-level alias; the kernel never reads
+    # them) - nb divides total_rows because every bucket base/segment is
+    # a multiple of node_block
+    prev_node_spec = _vspec((nb, LANES), lambda c, g, ws: (0, 0))
+    prev_edge_spec = _vspec((nb, LANES), lambda c, g, ws: (0, 0))
+
     def _fwd(x2, e2, weights):
-        grid, in_specs, node_spec, edge_spec, _ = _specs(lanes)
-        out_specs = [node_spec]
-        out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
-        if not last_block:
-            out_specs.append(edge_spec)
-            out_shape.append(
-                jax.ShapeDtypeStruct((g_blocks * slots, total_lanes), dtype))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        kernel = partial(_nk_fwd_kernel, cfg, wb, wu, nb, kk, lanes)
-        outs = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-            interpret=interpret,
-        )(win_start, sidx, x2, *([x2] * wb), e2, *weights)
+        xout = eout = None
+        for bi, (lo, hi, k_b) in enumerate(buckets):
+            l, _lb = lane_plan[bi]
+            ng = hi - lo
+            grid, in_specs, node_spec, edge_spec, _ = _specs(
+                l, lo, ng, k_b, bases[bi])
+            out_specs = [node_spec]
+            out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
+            if not last_block:
+                out_specs.append(edge_spec)
+                out_shape.append(
+                    jax.ShapeDtypeStruct((total_rows, total_lanes), dtype))
+            n_reg = 3 + wb + 1 + len(weights)
+            prev_ops, prev_specs, aliases = [], [], {}
+            if bi > 0:
+                prev_ops.append(xout)
+                prev_specs.append(prev_node_spec)
+                aliases[n_reg] = 0
+                if not last_block:
+                    prev_ops.append(eout)
+                    prev_specs.append(prev_edge_spec)
+                    aliases[n_reg + 1] = 1
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs + prev_specs,
+                out_specs=out_specs,
+            )
+            kernel = partial(_nk_fwd_kernel, cfg, wb, wu, nb, k_b, l)
+            if prev_ops:
+                kernel = partial(_drop_refs, kernel, n_reg, len(prev_ops))
+            outs = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                interpret=interpret,
+                input_output_aliases=aliases,
+            )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *weights,
+              *prev_ops)
+            xout = outs[0]
+            if not last_block:
+                eout = outs[1]
         if last_block:
-            return outs[0], e2
-        return outs[0], outs[1]
+            return xout, e2
+        return xout, eout
 
     @jax.custom_vjp
     def run(x2, e2, *weights):
@@ -483,47 +570,81 @@ def fused_gn_block_nk(
 
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                      for w in weights]
-        grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(lanes_bwd)
-        cot_specs = [node_spec]
-        cots = [g_xout]
-        if not last_block:
-            cot_specs.append(edge_spec)
-            cots.append(g_eout.astype(dtype))
-        out_specs = [node_spec, dxw_spec]
-        out_shape = [
-            jax.ShapeDtypeStruct((n, total_lanes), dtype),
-            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
-        ]
-        if n_enc == 0:
-            out_specs.append(edge_spec)  # de
-            out_shape.append(
-                jax.ShapeDtypeStruct((g_blocks * slots, total_lanes), dtype))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs + cot_specs,
-            out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
-            scratch_shapes=[pltpu.VMEM(s.shape, jnp.float32)
-                            for s in dw_shapes],
-        )
-        kernel = partial(_nk_bwd_kernel, cfg, wb, wu, nb, kk, lanes_bwd)
-        outs = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape + dw_shapes,
-            interpret=interpret,
-        )(win_start, sidx, x2, *([x2] * wb), e2, *weights, *cots)
-        dx_main, dxw = outs[0], outs[1]
-        if n_enc == 0:
-            de = outs[2]
-            dws = outs[3:]
-        else:
+        dx_main = de = dx_extra = None
+        dws_acc = None
+        for bi, (lo, hi, k_b) in enumerate(buckets):
+            _l, lb = lane_plan[bi]
+            ng = hi - lo
+            grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(
+                lb, lo, ng, k_b, bases[bi])
+            cot_specs = [node_spec]
+            cots = [g_xout]
+            if not last_block:
+                cot_specs.append(edge_spec)
+                cots.append(g_eout.astype(dtype))
+            out_specs = [node_spec, dxw_spec]
+            out_shape = [
+                jax.ShapeDtypeStruct((n, total_lanes), dtype),
+                jax.ShapeDtypeStruct((ng * wb * wu, total_lanes), dtype),
+            ]
+            if n_enc == 0:
+                out_specs.append(edge_spec)  # de
+                out_shape.append(
+                    jax.ShapeDtypeStruct((total_rows, total_lanes), dtype))
+            n_reg = 3 + wb + 1 + len(weights) + len(cots)
+            prev_ops, prev_specs, aliases = [], [], {}
+            if bi > 0:
+                prev_ops.append(dx_main)
+                prev_specs.append(prev_node_spec)
+                aliases[n_reg] = 0
+                if n_enc == 0:
+                    prev_ops.append(de)
+                    prev_specs.append(prev_edge_spec)
+                    aliases[n_reg + 1] = 2
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs + cot_specs + prev_specs,
+                out_specs=out_specs + [_const_spec(s) for s in dw_shapes],
+                scratch_shapes=[pltpu.VMEM(s.shape, jnp.float32)
+                                for s in dw_shapes],
+            )
+            kernel = partial(_nk_bwd_kernel, cfg, wb, wu, nb, k_b, lb)
+            if prev_ops:
+                kernel = partial(_drop_refs, kernel, n_reg, len(prev_ops))
+            outs = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape + dw_shapes,
+                interpret=interpret,
+                input_output_aliases=aliases,
+            )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *weights,
+              *cots, *prev_ops)
+            dx_main, dxw = outs[0], outs[1]
+            if n_enc == 0:
+                de = outs[2]
+                dws = outs[3:]
+            else:
+                dws = outs[2:]
+            dws_acc = (list(dws) if dws_acc is None
+                       else [a + d for a, d in zip(dws_acc, dws)])
+            dxw_blocks = dxw.reshape(ng * wb, wu, total_lanes)
+            contrib = jax.ops.segment_sum(
+                dxw_blocks,
+                win_list[bi].reshape(-1).astype(jnp.int32),
+                num_segments=n // wu)
+            dx_extra = contrib if dx_extra is None else dx_extra + contrib
+        if n_enc != 0:
             de = jnp.zeros_like(e2)  # raw features carry no gradient
-            dws = outs[2:]
-        dxw_blocks = dxw.reshape(g_blocks * wb, wu, total_lanes)
-        dx_extra = jax.ops.segment_sum(
-            dxw_blocks, blk_unit, num_segments=n // wu)
-        dws = [dw.astype(w.dtype) for dw, w in zip(dws, weights)]
+        elif clean_edge_grads and len(buckets) > 1:
+            # zero the alignment-gap rows for XLA consumers (unfolded
+            # encoder backward); segment rows pass through untouched
+            seg = np.zeros(total_rows, bool)
+            for (lo, hi, k_b), base in zip(buckets, bases):
+                seg[base : base + (hi - lo) * k_b * nb] = True
+            de = jnp.where(jnp.asarray(seg)[:, None], de,
+                           jnp.zeros((), de.dtype))
+        dws = [dw.astype(w.dtype) for dw, w in zip(dws_acc, weights)]
         dx = (dx_main.astype(jnp.float32)
               + dx_extra.reshape(n, total_lanes).astype(jnp.float32))
         return (dx.astype(dtype), de, *dws)
@@ -534,7 +655,7 @@ def fused_gn_block_nk(
     xout = xout2.reshape(n, b, f)
     if last_block:
         return xout, edge_attr  # dead edge stream, unchanged
-    return xout, eout2.reshape(g_blocks * slots, b, f)
+    return xout, eout2.reshape(total_rows, b, f)
 
 
 # ----------------------------------------------------------------------
@@ -589,17 +710,19 @@ def blocked_reference_nk(x, edge_attr, edge_params, node_params,
         return h
 
     t = tiling
-    g_blocks, slots = t.sidx.shape
     nb = t.node_block
-    sid = jnp.asarray(t.sidx).reshape(-1)
-    gids = jnp.repeat(jnp.arange(g_blocks), slots)
-    loc_r = jnp.tile(jnp.arange(slots) % nb, g_blocks)
+    from graph_physics_tpu.ops.fused_edge_attention_nk import nk_row_maps
+
+    gids_np, loc_r_np, sid_np = nk_row_maps(t)
+    sid = jnp.asarray(sid_np)
+    gids = jnp.asarray(np.maximum(gids_np, 0))  # gap rows (-1) are masked
+    loc_r = jnp.asarray(loc_r_np)
     wu_ = t.window_unit
     win_rows = t.window_blocks * wu_
     rank = jnp.minimum(sid // wu_, t.window_blocks - 1)
     glob_s = jnp.asarray(t.win_start)[gids, rank] * wu_ + sid % wu_
     glob_r = gids * nb + loc_r
-    valid = sid < win_rows
+    valid = sid < win_rows  # gap rows carry the sentinel sidx
     xc = x.astype(cd)
     ec = edge_attr.astype(cd)
     ek0 = edge_params["Dense_0"]["kernel"]

@@ -180,24 +180,24 @@ def apply_to_graph_nk(graph, tiling):
     """Convert a MeshGraph to the uniform-degree (NK) edge layout.
 
     Mirror of :func:`apply_to_graph` for :class:`ops.fused_edge_attention_nk
-    .NKTiling`: nodes pad to ``tiling.num_nodes``; edge arrays re-order
-    into the k-major slot layout (slot ``k·nb + r`` = receiver r's k-th
-    incoming edge). Padded slots follow the repo convention (senders 0,
-    receivers N-1, mask False) so mask-aware XLA ops still work; the
-    fused NK kernels additionally consume the runtime
-    ``tiling_idx_nk = (win_start, sidx)`` copies attached here.
+    .NKTiling` (or the per-block-K :class:`NKBucketTiling`): nodes pad to
+    ``tiling.num_nodes``; edge arrays re-order into the k-major slot
+    layout (slot ``k·nb + r`` = receiver r's k-th incoming edge). Padded
+    slots follow the repo convention (senders 0, receivers N-1, mask
+    False) so mask-aware XLA ops still work; the fused NK kernels
+    additionally consume the runtime ``tiling_idx_nk = (win_start,
+    sidx...)`` copies attached here (one sidx array per K-bucket).
     """
+    from graph_physics_tpu.ops.fused_edge_attention_nk import nk_row_maps
+
     n_old = graph.x.shape[0]
     n_new = tiling.num_nodes
     pad_n = n_new - n_old
     nb = tiling.node_block
-    slots = tiling.slots
-    gids = np.repeat(np.arange(tiling.num_groups), slots)
-    loc_r = np.tile(np.arange(slots) % nb, tiling.num_groups)
+    gids, loc_r, sidx_flat = nk_row_maps(tiling)
     valid = tiling.perm >= 0
     new_send = np.zeros(tiling.perm.shape[0], np.int32)
     new_recv = np.full(tiling.perm.shape[0], n_new - 1, np.int32)
-    sidx_flat = tiling.sidx.reshape(-1)
     wu = tiling.window_unit
     rank = np.minimum(sidx_flat[valid] // wu, tiling.window_blocks - 1)
     new_send[valid] = (
@@ -235,8 +235,13 @@ def apply_to_graph_nk(graph, tiling):
         deselected=pad_nodes(graph.deselected, False),
         phi=pad_nodes(graph.phi),
         tiling_idx_nk=(
-            tiling.win_start.astype(np.int32),
-            tiling.sidx.astype(np.int32),
+            (tiling.win_start.astype(np.int32),)
+            + tuple(sx.astype(np.int32) for sx in tiling.sidx)
+            if isinstance(tiling.sidx, tuple)
+            else (
+                tiling.win_start.astype(np.int32),
+                tiling.sidx.astype(np.int32),
+            )
         ),
     )
 

@@ -371,3 +371,214 @@ def test_trainer_fused_gn_nk(tmp_path):
     lf = [m["train_loss_epoch"] for m in mf if "train_loss_epoch" in m][-1]
     lx = [m["train_loss_epoch"] for m in mx if "train_loss_epoch" in m][-1]
     assert abs(lf - lx) / max(abs(lx), 1e-6) < 0.05, (lf, lx)
+
+
+# ----------------------------------------------------------------------
+# per-block-K buckets (NKBucketTiling)
+# ----------------------------------------------------------------------
+
+def _graded_graph(n=700, seed=0):
+    """Chain mesh with a high-degree hub cluster in the first 100 nodes:
+    per-block max in-degree is strongly graded, so a global K inflates
+    rows ~4x while 3 K-buckets stay under 1.6x."""
+    rng = np.random.default_rng(seed)
+    s_list, r_list = [], []
+    for i in range(n - 1):
+        s_list += [i, i + 1]
+        r_list += [i + 1, i]
+    for i in range(0, n, 7):
+        for _ in range(rng.integers(0, 9)):
+            t = int(rng.integers(0, 100))
+            u = min(n - 1, t + int(rng.integers(1, 60)))
+            s_list.append(u)
+            r_list.append(t)
+    return np.asarray(s_list, np.int64), np.asarray(r_list, np.int64)
+
+
+def _bucketed(senders, receivers, n, **kw):
+    from graph_physics_tpu.ops.fused_edge_attention_nk import (
+        build_nk_bucket_tiling,
+    )
+
+    res = build_nk_bucket_tiling(senders, receivers, n, k_buckets=3,
+                                 min_groups=1, max_row_inflation=100.0, **kw)
+    assert res is not None
+    t, node_perm = res
+    if node_perm is not None:
+        inv = np.argsort(np.concatenate(
+            [node_perm, np.arange(len(node_perm), t.num_nodes)]))
+        senders, receivers = inv[senders], inv[receivers]
+    return t, senders, receivers
+
+
+def test_k_bucketed_layout_invariants():
+    from graph_physics_tpu.ops.fused_edge_attention_nk import (
+        build_nk_tiling, nk_row_maps, nk_total_rows,
+    )
+
+    senders, receivers = _graded_graph()
+    n = 700
+    t, s2, r2 = _bucketed(senders, receivers, n)
+    assert len(t.buckets) > 1, t.buckets
+    t_single = build_nk_tiling(s2, r2, n, max_row_inflation=100.0)
+    # the whole point: bucketed rows well under the global-K rows
+    assert t.total_rows < 0.6 * nk_total_rows(t_single)
+
+    gids, loc_r, sidx_flat = nk_row_maps(t)
+    wu, wb, nb = t.window_unit, t.window_blocks, t.node_block
+    valid = t.perm >= 0
+    rank = np.minimum(sidx_flat[valid] // wu, wb - 1)
+    glob_s = t.win_start[gids[valid], rank] * wu + sidx_flat[valid] % wu
+    glob_r = gids[valid] * nb + loc_r[valid]
+    np.testing.assert_array_equal(glob_r, r2[t.perm[valid]])
+    np.testing.assert_array_equal(glob_s, s2[t.perm[valid]])
+    # each edge exactly once; gap rows carry the sentinel
+    assert valid.sum() == len(senders)
+    assert len(np.unique(t.perm[valid])) == len(senders)
+    assert (sidx_flat[~valid] == wb * wu).all()
+
+    # expand/reduce round-trip through the bucketed perm
+    vals = np.random.default_rng(1).normal(
+        size=(len(senders), 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        t.reduce_edges(t.expand_edges(vals), len(senders)), vals)
+
+
+def test_k_bucketed_kernel_matches_reference_and_single():
+    """Bucketed NK kernel vs (a) the bucketed pure-JAX reference and
+    (b) the single-bucket NK kernel on the SAME permuted edge set —
+    values, dx and every weight gradient."""
+    from graph_physics_tpu.ops.fused_edge_attention_nk import build_nk_tiling
+
+    f, b = 32, 4
+    senders, receivers = _graded_graph()
+    n_real = 700
+    t, s2, r2 = _bucketed(senders, receivers, n_real)
+    t1 = build_nk_tiling(s2, r2, n_real, max_row_inflation=100.0)
+    assert t1 is not None and t1.num_nodes == t.num_nodes
+    n = t.num_nodes
+    e = len(senders)
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (n, b, f), jnp.float32) * 0.5
+    e_vals = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 1), (e, b, f))) * 0.5
+    ep = _params(jax.random.fold_in(key, 2), f, 3)
+    np_ = _params(jax.random.fold_in(key, 3), f, 2)
+    cot_x = jax.random.normal(jax.random.fold_in(key, 4), (n, b, f))
+    cot_e = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 5), (e, b, f)))
+
+    # (a) kernel vs bucketed reference
+    e_slots = jnp.asarray(t.expand_edges(e_vals))
+    x_ref, e_ref = blocked_reference_nk(x, e_slots, ep, np_, t,
+                                        compute_dtype=jnp.bfloat16)
+    x_f, e_f = fused_gn_block_nk(
+        x.astype(jnp.bfloat16), e_slots.astype(jnp.bfloat16), ep, np_, t,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(x_f, np.float32),
+                               np.asarray(x_ref, np.float32),
+                               rtol=0.05, atol=0.05)
+    # edge stream: compare VALID slots only (alignment-gap rows between
+    # bucket segments are undefined by contract — never read by kernels)
+    valid_rows = t.perm >= 0
+    np.testing.assert_allclose(np.asarray(e_f, np.float32)[valid_rows],
+                               np.asarray(e_ref, np.float32)[valid_rows],
+                               rtol=0.05, atol=0.05)
+
+    # (b) gradients vs the single-bucket NK kernel (same edge set)
+    def loss(tt, x, ep, np_):
+        eb = jnp.asarray(tt.expand_edges(e_vals))
+        ce = jnp.asarray(tt.expand_edges(cot_e))
+        ok = jnp.asarray(tt.perm >= 0)[:, None, None]
+        xo, eo = fused_gn_block_nk(x, eb, ep, np_, tt, interpret=True)
+        eo = jnp.where(ok, eo, jnp.zeros((), eo.dtype))  # mask gap rows
+        return (jnp.sum(xo.astype(jnp.float32) * cot_x)
+                + jnp.sum(eo.astype(jnp.float32) * ce))
+
+    v1, g1 = jax.value_and_grad(
+        lambda *a: loss(t1, *a), argnums=(0, 1, 2))(x, ep, np_)
+    v2, g2 = jax.value_and_grad(
+        lambda *a: loss(t, *a), argnums=(0, 1, 2))(x, ep, np_)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=0.02)
+    for ta, tb, name in zip(g1, g2, ["dx", "edge_w", "node_w"]):
+        for a, c in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+            a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(c / scale, a / scale, atol=0.04,
+                                       err_msg=name)
+
+
+def test_k_bucketed_folded_and_last_block():
+    """Folded-encoder + last-block variants through the bucketed dispatch
+    agree with the unfolded bucketed kernel (same params, dtype-faithful
+    encoder mirror — same as the single-bucket folded test)."""
+    import math as _m
+
+    from graph_physics_tpu.models.layers import MLP
+
+    f, b, fe = 32, 4, 8
+    senders, receivers = _graded_graph(n=560, seed=2)
+    t, s2, r2 = _bucketed(senders, receivers, 560)
+    n = t.num_nodes
+    e = len(senders)
+
+    key = jax.random.PRNGKey(21)
+    x = jax.random.normal(key, (n, b, f), jnp.float32) * 0.5
+    raw = np.asarray(jax.random.normal(
+        jax.random.fold_in(key, 1), (e, b, fe))) * 0.5
+    enc = MLP(hidden_size=f, out_size=f, dtype=jnp.bfloat16)
+    enc_p = enc.init(jax.random.fold_in(key, 2),
+                     jnp.zeros((1, fe)))["params"]
+    ep = _params(jax.random.fold_in(key, 3), f, 3)
+    np_ = _params(jax.random.fold_in(key, 4), f, 2)
+    cot_x = jax.random.normal(jax.random.fold_in(key, 5), (n, b, f))
+
+    raw_slots = jnp.asarray(t.expand_edges(raw))
+
+    def enc_ref(p, h):
+        def dense(z, kern):
+            return jax.lax.dot_general(
+                z.astype(jnp.bfloat16), kern.astype(jnp.bfloat16),
+                dimension_numbers=(((z.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+
+        n_dense = len([k for k in p if k.startswith("Dense_")])
+        h = dense(h, p["Dense_0"]["kernel"]) + p["Dense_0"]["bias"].astype(
+            jnp.bfloat16)
+        for i in range(1, n_dense):
+            h = dense(jax.nn.relu(h), p[f"Dense_{i}"]["kernel"])
+            h = h + p[f"Dense_{i}"]["bias"].astype(jnp.bfloat16)
+        gs = jnp.sum((h * h).astype(jnp.float32), -1, keepdims=True)
+        rms = jnp.sqrt(gs + 1e-24) / _m.sqrt(f)
+        inv = 1.0 / (rms + 1e-8)
+        return h * inv.astype(jnp.bfloat16) * p["RMSNorm_0"]["scale"].astype(
+            jnp.bfloat16)
+
+    def loss_folded(x, enc_p, ep, np_):
+        xo, _ = fused_gn_block_nk(
+            x, raw_slots.astype(jnp.bfloat16), ep, np_, t, interpret=True,
+            edge_encoder_params=enc_p, last_block=True)
+        return jnp.sum(xo.astype(jnp.float32) * cot_x)
+
+    def loss_unfolded(x, enc_p, ep, np_):
+        encoded = enc_ref(enc_p, raw_slots.astype(jnp.bfloat16))
+        xo, _ = fused_gn_block_nk(
+            x, encoded.astype(jnp.bfloat16), ep, np_, t, interpret=True,
+            last_block=True)
+        return jnp.sum(xo.astype(jnp.float32) * cot_x)
+
+    v_f, g_f = jax.value_and_grad(
+        loss_folded, argnums=(0, 1, 2, 3))(
+        x.astype(jnp.bfloat16), enc_p, ep, np_)
+    v_u, g_u = jax.value_and_grad(
+        loss_unfolded, argnums=(0, 1, 2, 3))(
+        x.astype(jnp.bfloat16), enc_p, ep, np_)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=0.03)
+    for ta, tb, name in zip(g_u, g_f, ["dx", "enc_w", "edge_w", "node_w"]):
+        for a, c in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+            a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(c / scale, a / scale, atol=0.05,
+                                       err_msg=name)

@@ -45,13 +45,40 @@ def main():
 
     # warmup / compile (force a real host fetch — block_until_ready alone
     # is unreliable over the axon tunnel)
+    t0 = time.perf_counter()
     state, metrics = multi(state, batch_graph, rng)
     _ = float(np.asarray(metrics["loss"])[-1])
+    warmup_s = time.perf_counter() - t0
 
     # The tunneled TPU is time-shared: identical programs run 3ms-1.4s
     # depending on contention. Take the best over a bounded window.
+    # Under HEAVY contention (observed: a 200-step dispatch taking
+    # minutes) the big dispatch can't even finish inside the window —
+    # fall back to small dispatches so short quiet slices of the shared
+    # chip still yield a valid best-window throughput sample.
     times = []
     deadline = time.time() + 150
+    if warmup_s > 45.0:
+        # slow warmup can be a cold compile cache, not contention: probe
+        # with one timed big dispatch (compiled now) before downshifting
+        rng, k = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, metrics = multi(state, batch_graph, k)
+        _ = float(np.asarray(metrics["loss"])[-1])
+        probe_s = time.perf_counter() - t0
+        times.append(probe_s)
+    if warmup_s > 45.0 and probe_s > 45.0:
+        times = []  # probe entry is in inner=200 units — drop it
+        inner = 20
+        multi = make_multi_step(step_fn, unroll=inner)
+        t0 = time.perf_counter()
+        state, metrics = multi(state, batch_graph, rng)  # compile small
+        _ = float(np.asarray(metrics["loss"])[-1])
+        small_s = time.perf_counter() - t0
+        times.append(small_s)  # cache-warm run: a fair sample, and it
+        # guarantees >=1 entry even if every later dispatch stalls
+        deadline = time.time() + 240
+
     while len(times) < 20 and time.time() < deadline:
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -74,6 +101,8 @@ def main():
                 "vs_baseline": round(graph_steps_per_sec / baseline, 3),
                 "p25_graphs_per_sec": round(inner * batch / p25, 2),
                 "trials": len(times),
+                "inner": inner,
+                "warmup_s": round(warmup_s, 1),
             }
         )
     )

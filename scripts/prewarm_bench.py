@@ -1,0 +1,42 @@
+"""Pre-populate the persistent compile cache for bench.py's variants.
+
+bench.py downshifts to inner=20 dispatches when the time-shared tunnel
+is contended (warmup+probe > 45s each); compiling that variant DURING a
+contended window wastes minutes. Run this when the chip is reachable to
+AOT-compile both dispatch sizes (and optionally the NK kernel flavor)
+into JAX_COMPILATION_CACHE_DIR so any later bench run hits the cache.
+
+Usage: python scripts/prewarm_bench.py [--nk]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    from __graft_entry__ import _cylinder_setup
+    from graph_physics_tpu.training.step import init_train_state, make_multi_step
+
+    nk = "--nk" in sys.argv or bool(int(os.environ.get("BENCH_GN_NK", "0")))
+    batch = int(os.environ.get("BENCH_B", "128"))
+    sim, opt, step_fn, batch_graph = _cylinder_setup(
+        nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True,
+        fused=True, gn_nk=nk,
+    )
+    state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
+    rng = jax.random.PRNGKey(1)
+    for inner in (200, 20):
+        multi = make_multi_step(step_fn, unroll=inner)  # already jitted
+        multi.lower(state, batch_graph, rng).compile()  # persistent cache
+        print(f"prewarmed inner={inner} nk={nk}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

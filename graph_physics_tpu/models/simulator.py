@@ -188,32 +188,51 @@ class Simulator:
         return g_in, target_norm, pre_t, new_state
 
     # ------------------------------------------------------------------
-    def apply_model(self, params, g_in: MeshGraph) -> jnp.ndarray:
+    def apply_model(self, params, g_in: MeshGraph, rngs=None) -> jnp.ndarray:
         """Run the processor.
 
         Packed layout ([N, B, F], shared topology): apply directly — the
         MLP/GraphNetBlock stack is axis-0 polymorphic and node-axis
         gathers then move full [B·H] rows at memory line rate (the
         TPU-efficient path). Stacked layout ([B, N, F]): vmap per sample.
+
+        ``rngs`` is an optional flax rng-collection dict (e.g.
+        ``{'gumbel': key}`` for Transolver++'s training-time slice noise,
+        reference transolver.py:135); under the stacked vmap each sample
+        gets an independent fold of every key — matching the reference,
+        where one torch forward draws fresh noise per batch element.
         """
         if g_in.x.ndim == 3 and not self.is_packed(g_in):
+            if rngs:
+                b = g_in.x.shape[0]
+                keys = {k: jax.random.split(v, b) for k, v in rngs.items()}
+                return jax.vmap(
+                    lambda g, kd: self.model.apply(params, g, rngs=kd)
+                )(g_in, keys)
             return jax.vmap(lambda g: self.model.apply(params, g))(g_in)
+        if rngs:
+            return self.model.apply(params, g_in, rngs=rngs)
         return self.model.apply(params, g_in)
 
-    def apply_model_with_intermediates(self, params, g_in: MeshGraph):
+    def apply_model_with_intermediates(self, params, g_in: MeshGraph, rngs=None):
         """Run the processor capturing its sown intermediates
         ('node_encoding', 'penultimate') — the functional replacement for
         the reference's forward hooks (lightning_module.py:217-230)."""
 
-        def f(g):
+        def f(g, kd=None):
             out, variables = self.model.apply(
-                params, g, mutable=["intermediates"]
+                params, g, mutable=["intermediates"],
+                **({"rngs": kd} if kd else {}),
             )
             return out, variables["intermediates"]
 
         if g_in.x.ndim == 3 and not self.is_packed(g_in):
+            if rngs:
+                b = g_in.x.shape[0]
+                keys = {k: jax.random.split(v, b) for k, v in rngs.items()}
+                return jax.vmap(f)(g_in, keys)
             return jax.vmap(f)(g_in)
-        return f(g_in)
+        return f(g_in, rngs if rngs else None)
 
     def forward(
         self,

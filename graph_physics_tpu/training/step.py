@@ -35,6 +35,17 @@ class TrainState:
     step: jnp.ndarray  # [] int32
 
 
+def _model_uses_gumbel(model) -> bool:
+    """True for processors whose forward samples the 'gumbel' rng
+    collection (Transolver++ slice assignment). Detection is by class —
+    flax can't introspect rng collections without tracing."""
+    from graph_physics_tpu.models.processors import TransolverProcessor
+
+    return isinstance(model, TransolverProcessor) or bool(
+        getattr(model, "uses_gumbel_rng", False)
+    )
+
+
 def model_params(params):
     """Unwrap the processor params (identity unless spatial MTP wraps them
     into {'model':..., 'mtp':...})."""
@@ -135,6 +146,12 @@ def make_train_step(
     """
     is_multi = isinstance(loss_fn, MultiLoss)
     mask_types = tuple(int(m) for m in mask_types)
+    # Transolver++ trains WITH gumbel noise in its slice assignment
+    # (reference transolver.py:19-33,135 — the noise is unconditional
+    # there); thread a 'gumbel' rng into the model apply during training.
+    # Eval/rollout stays noise-free (models/transolver.py falls back to
+    # the tempered softmax without the collection).
+    uses_gumbel = _model_uses_gumbel(simulator.model)
 
     dp_mean = None
     if dp_axis_name is not None:
@@ -151,16 +168,18 @@ def make_train_step(
             n = jax.lax.axis_size(dp_axis_name)
             return n * num / jnp.maximum(den, 1.0)
 
-    def compute_loss(params, sim_state: SimulatorState, graph: MeshGraph, mtp_rng):
+    def compute_loss(params, sim_state: SimulatorState, graph: MeshGraph, mtp_rng, model_rngs):
         mp = model_params(params)
         g_in, target_norm, pre_t, new_state = simulator.prepare(
             sim_state, graph, is_training=True
         )
         inter = None
         if mtp is not None:
-            net_out, inter = simulator.apply_model_with_intermediates(mp, g_in)
+            net_out, inter = simulator.apply_model_with_intermediates(
+                mp, g_in, rngs=model_rngs
+            )
         else:
-            net_out = simulator.apply_model(mp, g_in)
+            net_out = simulator.apply_model(mp, g_in, rngs=model_rngs)
 
         inp = LossInputs(
             graph=graph,
@@ -272,9 +291,12 @@ def make_train_step(
                 t=t,
             )
         mtp_rng = jax.random.fold_in(rng, 7)
+        model_rngs = (
+            {"gumbel": jax.random.fold_in(rng, 11)} if uses_gumbel else None
+        )
         (loss_val, (new_sim_state, terms, stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
-        )(state.params, state.sim_state, graph, mtp_rng)
+        )(state.params, state.sim_state, graph, mtp_rng, model_rngs)
 
         if dp_axis_name is not None:
             # DDP reduction. Exactness: no differentiated path crosses

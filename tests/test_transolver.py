@@ -144,3 +144,94 @@ def test_psum_slice_stats_under_shard_map():
     np.testing.assert_allclose(
         np.asarray(out_sharded), np.asarray(out_full), atol=1e-4
     )
+
+
+def test_train_step_threads_gumbel_rng():
+    """Training samples gumbel noise like the reference (transolver.py:135).
+
+    VERDICT r3 #3: make_train_step must supply the 'gumbel' collection for
+    TransolverProcessor models — two different step rngs must produce
+    different losses on an otherwise deterministic step (no noise_cfg),
+    while the same rng reproduces exactly; and an EPD step must stay
+    rng-independent (no collection threaded).
+    """
+    import optax
+
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.models.simulator import Simulator
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state, make_train_step
+
+    g = jax.tree.map(jnp.asarray, tiny_graph())
+    f = int(g.x.shape[-1])
+
+    def make(model, edge_input):
+        sim = Simulator(
+            node_input_size=2 + 9,
+            edge_input_size=edge_input,
+            output_size=2,
+            feature_index_start=0,
+            feature_index_end=2,
+            output_index_start=0,
+            output_index_end=2,
+            node_type_index=2,
+            model=model,
+        )
+        opt = optax.adamw(1e-3)
+        step = make_train_step(sim, opt, LossType.L2LOSS, donate=False)
+        state = init_train_state(sim, opt, jax.random.PRNGKey(0), g)
+        return step, state
+
+    proc = TransolverProcessor(
+        message_passing_num=1, node_input_size=2 + 9, output_size=2,
+        hidden_size=16, num_heads=2, slice_num=4,
+    )
+    step, state = make(proc, 0)
+    _, m1 = step(state, g, jax.random.PRNGKey(1))
+    _, m1b = step(state, g, jax.random.PRNGKey(1))
+    _, m2 = step(state, g, jax.random.PRNGKey(2))
+    assert float(m1["loss"]) == float(m1b["loss"])  # same rng reproduces
+    assert float(m1["loss"]) != float(m2["loss"])  # gumbel noise differs
+
+    epd = EncodeProcessDecode(
+        message_passing_num=1, node_input_size=2 + 9, edge_input_size=3,
+        output_size=2, hidden_size=16,
+    )
+    step_e, state_e = make(epd, 3)
+    _, e1 = step_e(state_e, g, jax.random.PRNGKey(1))
+    _, e2 = step_e(state_e, g, jax.random.PRNGKey(2))
+    assert float(e1["loss"]) == float(e2["loss"])  # rng-independent
+
+
+def test_train_step_gumbel_stacked_batch_per_sample_keys():
+    """Stacked [B,N,F] path: each sample draws independent gumbel noise
+    (matches torch, where one batched forward draws fresh noise per
+    element). Duplicate samples in one batch must receive DIFFERENT noise:
+    with per-sample folds their one-step losses differ from a batch of
+    size 1 repeated — we assert via direct apply_model with rngs."""
+    from graph_physics_tpu.models.simulator import Simulator
+    from tests.helpers import stack_graphs
+
+    g = tiny_graph()
+    gb = jax.tree.map(jnp.asarray, stack_graphs([g, g]))
+    proc = TransolverProcessor(
+        message_passing_num=1, node_input_size=2 + 9, output_size=2,
+        hidden_size=16, num_heads=2, slice_num=4,
+    )
+    sim = Simulator(
+        node_input_size=2 + 9, edge_input_size=0, output_size=2,
+        feature_index_start=0, feature_index_end=2,
+        output_index_start=0, output_index_end=2, node_type_index=2,
+        model=proc,
+    )
+    params = sim.init_params(jax.random.PRNGKey(0), gb)
+    g_in, _, _, _ = sim.prepare(sim.init_state(), gb, is_training=True)
+    out = sim.apply_model(params, g_in, rngs={"gumbel": jax.random.PRNGKey(3)})
+    assert out.shape[0] == 2
+    # identical inputs, different per-sample keys -> different outputs
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+    # without rngs the two identical samples agree exactly
+    out_det = sim.apply_model(params, g_in)
+    np.testing.assert_allclose(
+        np.asarray(out_det[0]), np.asarray(out_det[1]), atol=0
+    )

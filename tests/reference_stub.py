@@ -58,6 +58,9 @@ class Data:
             out[k] = v.clone() if isinstance(v, torch.Tensor) else v
         return Data(**out)
 
+    def to(self, _device, non_blocking=False):
+        return self
+
 
 class MessagePassing(torch.nn.Module):
     """Functional subset of PyG MessagePassing.
@@ -360,6 +363,31 @@ def install_reference() -> None:
         tgt.KNNGraph = KNNGraph
         tgu = types.ModuleType("torch_geometric.utils")
         tgu.to_undirected = to_undirected
+
+        # import-time placeholders for the reference's dataset/loader
+        # modules (pulled in transitively by lightning_module via
+        # parse_parameters); the parity tests never call them.
+        def _tg_unavailable(*_a, **_k):  # pragma: no cover
+            raise NotImplementedError(
+                "torch_geometric stub: dataset/loader machinery not available"
+            )
+
+        tgu.add_random_edge = _tg_unavailable
+        tgu.subgraph = _tg_unavailable
+        tgu_nn = types.ModuleType("torch_geometric.utils.num_nodes")
+
+        def maybe_num_nodes(edge_index, num_nodes=None):
+            if num_nodes is not None:
+                return num_nodes
+            return int(edge_index.max()) + 1
+
+        tgu_nn.maybe_num_nodes = maybe_num_nodes
+        tgu.num_nodes = tgu_nn
+        tgd.Dataset = torch.utils.data.Dataset
+        tg_loader = types.ModuleType("torch_geometric.loader")
+        tg_loader.ClusterData = _tg_unavailable
+        tg_loader.ClusterLoader = _tg_unavailable
+        tg_loader.DataLoader = _tg_unavailable
         tgd.Batch = Data  # Batch used only as a carrier here
         tg_pool = types.ModuleType("torch_geometric.nn.pool")
         tg_select = types.ModuleType("torch_geometric.nn.pool.select")
@@ -383,8 +411,75 @@ def install_reference() -> None:
                 "torch_geometric.nn.unpool": tg_unpool,
                 "torch_geometric.transforms": tgt,
                 "torch_geometric.utils": tgu,
+                "torch_geometric.utils.num_nodes": tgu_nn,
+                "torch_geometric.loader": tg_loader,
             }
         )
+    if "meshio" not in sys.modules:
+        # import-time carrier only: graphphysics.utils.meshio_mesh needs
+        # ``meshio.Mesh`` for its annotations; the IO entry points are
+        # never reached by the parity tests (validation_step's XDMF dump
+        # runs only for trajectory index 0).
+        meshio = types.ModuleType("meshio")
+
+        class _MeshioMesh:
+            def __init__(self, points=None, cells=None, point_data=None,
+                         **kw):
+                self.points = points
+                self.cells = cells if cells is not None else []
+                self.point_data = point_data if point_data is not None else {}
+
+        def _meshio_unavailable(*_a, **_k):  # pragma: no cover
+            raise NotImplementedError("meshio stub: file IO not available")
+
+        meshio.Mesh = _MeshioMesh
+        meshio.read = _meshio_unavailable
+        meshio.write = _meshio_unavailable
+        meshio_xdmf = types.ModuleType("meshio.xdmf")
+
+        class _TimeSeriesWriter:  # pragma: no cover
+            def __init__(self, *_a, **_k):
+                raise NotImplementedError(
+                    "meshio stub: TimeSeriesWriter not available"
+                )
+
+        meshio_xdmf.TimeSeriesWriter = _TimeSeriesWriter
+        meshio.xdmf = meshio_xdmf
+        sys.modules["meshio"] = meshio
+        sys.modules["meshio.xdmf"] = meshio_xdmf
+    if "lightning" not in sys.modules:
+        # Functional pytorch-lightning stand-in: enough of the
+        # LightningModule base for the reference's rollout/validation
+        # state machine (lightning_module.py:375-493) to run UNMODIFIED.
+        # ``log``/``log_dict`` record every value into ``self.logged`` so
+        # tests can assert on the reference's own aggregated metrics.
+        lightning = types.ModuleType("lightning")
+
+        class _LightningModule(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.logged = {}
+
+            @property
+            def device(self):
+                return torch.device("cpu")
+
+            @property
+            def current_epoch(self):
+                return 0
+
+            def save_hyperparameters(self, *_a, **_k):
+                pass
+
+            def log(self, name, value, **_kw):
+                self.logged.setdefault(name, []).append(float(value))
+
+            def log_dict(self, d, **_kw):
+                for k, v in d.items():
+                    self.log(k, v)
+
+        lightning.LightningModule = _LightningModule
+        sys.modules["lightning"] = lightning
     if "loguru" not in sys.modules:
         lg = types.ModuleType("loguru")
 

@@ -77,14 +77,38 @@ class FusedBlockConfig:
 # small in-kernel helpers
 # ----------------------------------------------------------------------
 
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel fp32 erf.
+
+    Mosaic has NO lowering for ``lax.erf``/``erfc`` (KernelType.TC
+    "Unimplemented primitive"), so the exact-erf GELU cannot call them
+    inside a Pallas TPU kernel. This is Abramowitz & Stegun 7.1.26 —
+    max abs error 1.5e-7, far below bf16 resolution (~8e-3) and the
+    1e-5 cross-framework parity tolerances. Used on CPU (interpret
+    mode) too so the parity tests validate this exact code path.
+    """
+    x = x.astype(jnp.float32)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _act(name: str):
     # "gelu" is the exact (erf) form, matching the reference's torch
     # nn.GELU default — NOT jax.nn.gelu's tanh approximation
-    # (models/layers.gelu_exact is the XLA-side twin).
+    # (models/layers.gelu_exact is the XLA-side twin). erf comes from
+    # the in-kernel polynomial above (Mosaic cannot lower lax.erf).
+    def gelu(x):
+        xf = x.astype(jnp.float32)
+        return (0.5 * xf * (1.0 + _erf(xf / math.sqrt(2.0)))).astype(x.dtype)
+
     return {
         "relu": jax.nn.relu,
         "silu": jax.nn.silu,
-        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu": gelu,
     }[name]
 
 
@@ -98,7 +122,7 @@ def _act_grad(name: str, pre: jnp.ndarray) -> jnp.ndarray:
         return s * (1.0 + pre * (1.0 - s))
     if name == "gelu":  # exact form: d/dx [x·Φ(x)] = Φ(x) + x·φ(x)
         x = pre.astype(jnp.float32)
-        phi_cdf = 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+        phi_cdf = 0.5 * (1.0 + _erf(x / math.sqrt(2.0)))
         pdf = jnp.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
         return (phi_cdf + x * pdf).astype(pre.dtype)
     raise NotImplementedError(name)

@@ -56,6 +56,14 @@ class TrainerConfig:
     run_name: str = "run"
     checkpoint_every_epochs: int = 1
     max_val_trajectories: Optional[int] = None
+    #: at most this many same-shape validation trajectories live on the
+    #: device at once: trajectory frames are cached HOST-side (numpy) and
+    #: streamed to the chip per chunk, so validate()'s peak device memory
+    #: is O(val_device_batch × trajectory bytes) — independent of the
+    #: validation-set size (at CylinderFlow scale ~100 cached device
+    #: trajectories would pin multiple GB of HBM for the whole run).
+    #: None = single dispatch per shape group (small val sets).
+    val_device_batch: Optional[int] = 8
     previous_data_slice: Optional[tuple] = None
     save_val_xdmf: bool = False
     save_val_visualizations: bool = False
@@ -95,8 +103,9 @@ class TrainerConfig:
     #: fused NK GraphNetBlock (ops/fused_gnblock_nk) instead of the
     #: blocked-CSR kernel — receiver-side one-hot contractions become
     #: static K-slices (2 fwd / 3 bwd one-hot contractions vs 4 / 7).
-    #: Degree-skewed topologies fall back to the CSR kernel per
-    #: trajectory.
+    #: Default ON since the round-4 same-window A/B (NK 4,781 vs CSR
+    #: 4,582 g/s on the cylinder bench). Degree-skewed topologies fall
+    #: back to the CSR kernel per trajectory.
     fused_gn_nk: bool = False
 
 
@@ -185,12 +194,23 @@ class Trainer:
         if cfg.fused:
             if not cfg.packed:
                 raise ValueError("TrainerConfig.fused requires packed=True")
+            from graph_physics_tpu.models.processors import (
+                EncodeProcessDecode,
+            )
             from graph_physics_tpu.training.fused import FusedTopologyManager
 
+            # the NK SLOT frame layout feeds the fused NK GraphNetBlock —
+            # EPD models only. Transformers carry a DIFFERENT edge_tiling_nk
+            # (the NK attention indices ride ALONGSIDE the CSR edge layout,
+            # gathering from nodes), so converting their frames to slot
+            # layout would drop tiling_idx and silently disable the fused
+            # attention kernels.
             self._fused_mgr = FusedTopologyManager(
                 wb_buckets=cfg.fused_wb_buckets,
                 build_nk=cfg.fused_attn_nk,
-                nk_layout=cfg.fused_gn_nk)
+                nk_layout=(cfg.fused_gn_nk
+                           and isinstance(simulator.model,
+                                          EncodeProcessDecode)))
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,
@@ -474,23 +494,30 @@ class Trainer:
         if self.cfg.max_val_trajectories is not None:
             n_traj = min(n_traj, self.cfg.max_val_trajectories)
 
-        # group trajectories by stacked-frame shape; stacked device arrays
-        # are built ONCE and reused every epoch (frames are ground truth)
+        # group trajectories by stacked-frame shape; stacks are cached
+        # HOST-side (numpy) once — frames are ground truth, so they never
+        # change across epochs — and streamed to the device per chunk so
+        # peak device memory is bounded by cfg.val_device_batch, not the
+        # validation-set size.
         if self._val_groups is None or self._val_groups[0] != n_traj:
             groups: Dict[tuple, list] = {}
             for t in range(n_traj):
-                frames = stack_frames(self.val_ds.trajectory_frames(t))
-                key = (frames.x.shape, frames.senders.shape)
+                frames = jax.tree.map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *self.val_ds.trajectory_frames(t),
+                )
+                # key on EVERY leaf shape + the None pattern: node/edge
+                # buckets are not the only axes that vary per trajectory
+                # (e.g. the face bucket moves independently of senders)
+                key = (
+                    tuple(np.shape(a) for a in jax.tree.leaves(frames)),
+                    jax.tree.structure(frames),
+                )
                 groups.setdefault(key, []).append((t, frames))
             prepared = []
             for entries in groups.values():
                 ts = [t for t, _ in entries]
-                stacked = jax.tree.map(
-                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                    *[f for _, f in entries],
-                )
-                frames0 = entries[ts.index(0)][1] if 0 in ts else None
-                prepared.append((ts, stacked, frames0))
+                prepared.append((ts, [f for _, f in entries]))
             self._val_groups = (n_traj, prepared)
 
         params = model_params(self.state.params)
@@ -498,26 +525,43 @@ class Trainer:
         count = 0.0
         first_rmses = []
         val_losses = []
-        for ts, stacked, frames0 in self._val_groups[1]:
-            res = self.batched_rollout_fn(params, self.state.sim_state, stacked)
-            sq_sum += float(np.sum(np.asarray(res.sq_sum)))
-            count += float(np.sum(np.asarray(res.count)))
-            first_rmses.extend(np.asarray(res.rmse_1step).tolist())
-            val_losses.extend(np.mean(np.asarray(res.val_loss), axis=-1).tolist())
-            if 0 in ts and (self.cfg.save_val_xdmf or self.cfg.save_val_visualizations):
-                i0 = ts.index(0)
-                res0 = jax.tree.map(lambda a: a[i0], res)
-                if self.cfg.save_val_xdmf:
-                    self._save_rollout_xdmf(res0, frames0, epoch)
-                if self.cfg.save_val_visualizations:
-                    from graph_physics_tpu.training.callback import (
-                        PredictionVisualizer,
-                    )
+        for ts, host_frames in self._val_groups[1]:
+            chunk = self.cfg.val_device_batch or len(ts)
+            for s in range(0, len(ts), chunk):
+                part = host_frames[s : s + chunk]
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.asarray(np.stack(xs)), *part
+                )
+                res = self.batched_rollout_fn(
+                    params, self.state.sim_state, stacked
+                )
+                sq_sum += float(np.sum(np.asarray(res.sq_sum)))
+                count += float(np.sum(np.asarray(res.count)))
+                first_rmses.extend(np.asarray(res.rmse_1step).tolist())
+                val_losses.extend(
+                    np.mean(np.asarray(res.val_loss), axis=-1).tolist()
+                )
+                part_ts = ts[s : s + chunk]
+                if 0 in part_ts and (
+                    self.cfg.save_val_xdmf or self.cfg.save_val_visualizations
+                ):
+                    i0 = part_ts.index(0)
+                    res0 = jax.tree.map(lambda a: a[i0], res)
+                    frames0 = part[i0]
+                    if self.cfg.save_val_xdmf:
+                        self._save_rollout_xdmf(res0, frames0, epoch)
+                    if self.cfg.save_val_visualizations:
+                        from graph_physics_tpu.training.callback import (
+                            PredictionVisualizer,
+                        )
 
-                    PredictionVisualizer(
-                        os.path.join(self.cfg.out_dir, self.cfg.run_name, "viz"),
-                        wandb_run=self.logger.wandb,
-                    )(res0, frames0, epoch)
+                        PredictionVisualizer(
+                            os.path.join(
+                                self.cfg.out_dir, self.cfg.run_name, "viz"
+                            ),
+                            wandb_run=self.logger.wandb,
+                        )(res0, frames0, epoch)
+                del stacked, res  # device buffers die before the next chunk
         return {
             "val_all_rollout_rmse": float(np.sqrt(sq_sum / max(count, 1.0))),
             "val_1step_rmse": float(np.mean(first_rmses)),

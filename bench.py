@@ -14,6 +14,12 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
 
+#: headline workload shape — shared with scripts/prewarm_bench.py so the
+#: persistent-cache prewarm always compiles exactly these programs
+SETUP_KWARGS = dict(nx=48, ny=40, hidden=32, mp_steps=5, packed=True,
+                    fused=True)
+INNER_SIZES = (200, 20)
+
 
 def main():
     import jax
@@ -26,16 +32,24 @@ def main():
     from __graft_entry__ import _cylinder_setup
     from graph_physics_tpu.training.step import init_train_state, make_multi_step
 
-    # trajectory-major packed batching + fused Pallas GraphNetBlocks.
-    # BENCH_GN_NK=1 flips to the uniform-degree (NK) GraphNetBlock kernel
-    # (ops/fused_gnblock_nk) for A/B runs; BENCH_B overrides the batch
-    # (B sweeps — round 2 measured 128 optimal for the CSR kernel).
+    # trajectory-major packed batching + fused Pallas GraphNetBlocks on
+    # the uniform-degree (NK) layout — the measured round-4 winner
+    # (4,781 vs 4,582 g/s CSR same-window A/B). BENCH_GN_NK=0 flips back
+    # to the blocked-CSR kernel for A/B runs; BENCH_B overrides the batch
+    # (sweeps: 128 optimal for CSR [r2] and for NK [r4: 128 > 192 > 256
+    # > 96]).
     batch = int(os.environ.get("BENCH_B", "128"))
-    inner = 200
+    inner = INNER_SIZES[0]
     sim, opt, step_fn, batch_graph = _cylinder_setup(
-        nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True,
-        fused=True, gn_nk=bool(int(os.environ.get("BENCH_GN_NK", "0"))),
+        batch=batch, gn_nk=bool(int(os.environ.get("BENCH_GN_NK", "1"))),
+        **SETUP_KWARGS,
     )
+    # commit the batch to the device ONCE: the metric is on-device step
+    # throughput; leaving numpy leaves here re-ships ~20 MB through the
+    # tunnel every dispatch (~250 ms/dispatch measured — 1.2 ms/step of
+    # pure transfer artifact at inner=200). Real training overlaps H2D
+    # via the loader prefetch thread.
+    batch_graph = jax.device_put(batch_graph)
     state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
     rng = jax.random.PRNGKey(1)
 
@@ -57,7 +71,7 @@ def main():
     # fall back to small dispatches so short quiet slices of the shared
     # chip still yield a valid best-window throughput sample.
     times = []
-    deadline = time.time() + 150
+    compile_inclusive = 0  # sentinel samples kept only to avoid empty output
     if warmup_s > 45.0:
         # slow warmup can be a cold compile cache, not contention: probe
         # with one timed big dispatch (compiled now) before downshifting
@@ -66,18 +80,19 @@ def main():
         state, metrics = multi(state, batch_graph, k)
         _ = float(np.asarray(metrics["loss"])[-1])
         probe_s = time.perf_counter() - t0
-        times.append(probe_s)
-    if warmup_s > 45.0 and probe_s > 45.0:
-        times = []  # probe entry is in inner=200 units — drop it
-        inner = 20
-        multi = make_multi_step(step_fn, unroll=inner)
-        t0 = time.perf_counter()
-        state, metrics = multi(state, batch_graph, rng)  # compile small
-        _ = float(np.asarray(metrics["loss"])[-1])
-        small_s = time.perf_counter() - t0
-        times.append(small_s)  # cache-warm run: a fair sample, and it
-        # guarantees >=1 entry even if every later dispatch stalls
-        deadline = time.time() + 240
+        if probe_s > 45.0:
+            inner = INNER_SIZES[1]
+            multi = make_multi_step(step_fn, unroll=inner)
+            t0 = time.perf_counter()
+            state, metrics = multi(state, batch_graph, rng)  # compile small
+            _ = float(np.asarray(metrics["loss"])[-1])
+            small_s = time.perf_counter() - t0
+        else:
+            # quiet again: the probe is a fair compiled big-dispatch sample
+            times.append(probe_s)
+    # the sampling window starts AFTER warmup/probe/downshift so a slow
+    # probe doesn't silently consume it (ADVICE r3)
+    deadline = time.time() + (240 if inner == INNER_SIZES[1] else 150)
 
     while len(times) < 20 and time.time() < deadline:
         rng, k = jax.random.split(rng)
@@ -85,6 +100,12 @@ def main():
         state, metrics = multi(state, batch_graph, k)
         _ = float(np.asarray(metrics["loss"])[-1])
         times.append(time.perf_counter() - t0)
+
+    if not times:
+        # every timed dispatch stalled past the window: report the
+        # compile-inclusive downshift run rather than nothing, flagged
+        times.append(small_s)
+        compile_inclusive = 1
 
     best = min(times)
     # p25 over the window: robust to the time-shared tunnel's contention
@@ -103,6 +124,11 @@ def main():
                 "trials": len(times),
                 "inner": inner,
                 "warmup_s": round(warmup_s, 1),
+                **(
+                    {"compile_inclusive_sample": 1}
+                    if compile_inclusive
+                    else {}
+                ),
             }
         )
     )

@@ -97,16 +97,18 @@ class TrainerConfig:
     fused_wb_buckets: int = 1
     #: transformer models: also build the uniform-degree (NK) attention
     #: layout per topology — receiver-side moves become static K-slices
-    #: (ops/fused_edge_attention_nk).
-    fused_attn_nk: bool = False
+    #: (ops/fused_edge_attention_nk). Default ON since the round-4 TPU
+    #: measurement (1,557 vs 1,292 g/s blocked-CSR on the cylinder-sized
+    #: transformer); degree-skewed topologies fall back to CSR.
+    fused_attn_nk: bool = True
     #: epd models: convert frames into the NK slot layout and run the
     #: fused NK GraphNetBlock (ops/fused_gnblock_nk) instead of the
     #: blocked-CSR kernel — receiver-side one-hot contractions become
     #: static K-slices (2 fwd / 3 bwd one-hot contractions vs 4 / 7).
-    #: Default ON since the round-4 same-window A/B (NK 4,781 vs CSR
-    #: 4,582 g/s on the cylinder bench). Degree-skewed topologies fall
-    #: back to the CSR kernel per trajectory.
-    fused_gn_nk: bool = False
+    #: Default ON since the round-4 same-window A/B (NK 4,982 vs CSR
+    #: 4,778 g/s on the cylinder bench, device-resident batch). Degree-
+    #: skewed topologies fall back to the CSR kernel per trajectory.
+    fused_gn_nk: bool = True
 
 
 class Trainer:

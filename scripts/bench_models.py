@@ -70,6 +70,10 @@ def main():
         )
         if packed:
             batch_graph = pack(batch_graph)
+        # commit the batch on-device ONCE (same fix as bench.py): a numpy
+        # batch re-ships ~tens of MB through the tunnel on every dispatch
+        # — a pure measurement artifact vs the loader's overlapped H2D
+        batch_graph = jax.device_put(batch_graph)
         state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
         multi = make_multi_step(step, unroll=inner)
         rng = jax.random.PRNGKey(1)

@@ -1,12 +1,14 @@
 """Pre-populate the persistent compile cache for bench.py's variants.
 
-bench.py downshifts to inner=20 dispatches when the time-shared tunnel
-is contended (warmup+probe > 45s each); compiling that variant DURING a
+bench.py downshifts to small dispatches when the time-shared tunnel is
+contended (warmup+probe > 45s each); compiling that variant DURING a
 contended window wastes minutes. Run this when the chip is reachable to
-AOT-compile both dispatch sizes (and optionally the NK kernel flavor)
-into JAX_COMPILATION_CACHE_DIR so any later bench run hits the cache.
+AOT-compile both dispatch sizes (and optionally the other GraphNetBlock
+kernel flavor) into JAX_COMPILATION_CACHE_DIR so any later bench run
+hits the cache. The workload shape is imported from bench.py
+(SETUP_KWARGS / INNER_SIZES) so the two can never drift apart.
 
-Usage: python scripts/prewarm_bench.py [--nk]
+Usage: python scripts/prewarm_bench.py [--csr]
 """
 import os
 import sys
@@ -22,17 +24,20 @@ def main():
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
     from __graft_entry__ import _cylinder_setup
+    from bench import INNER_SIZES, SETUP_KWARGS
     from graph_physics_tpu.training.step import init_train_state, make_multi_step
 
-    nk = "--nk" in sys.argv or bool(int(os.environ.get("BENCH_GN_NK", "0")))
+    nk = "--csr" not in sys.argv and bool(
+        int(os.environ.get("BENCH_GN_NK", "1"))
+    )
     batch = int(os.environ.get("BENCH_B", "128"))
     sim, opt, step_fn, batch_graph = _cylinder_setup(
-        nx=48, ny=40, hidden=32, mp_steps=5, batch=batch, packed=True,
-        fused=True, gn_nk=nk,
+        batch=batch, gn_nk=nk, **SETUP_KWARGS
     )
+    batch_graph = jax.device_put(batch_graph)
     state = init_train_state(sim, opt, jax.random.PRNGKey(0), batch_graph)
     rng = jax.random.PRNGKey(1)
-    for inner in (200, 20):
+    for inner in INNER_SIZES:
         multi = make_multi_step(step_fn, unroll=inner)  # already jitted
         multi.lower(state, batch_graph, rng).compile()  # persistent cache
         print(f"prewarmed inner={inner} nk={nk}", flush=True)

@@ -21,9 +21,10 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 from __graft_entry__ import _cylinder_setup
 from graph_physics_tpu.training.step import init_train_state, make_multi_step
 
-B = 128
+B = int(os.environ.get("BENCH_B", "128"))
 sim, opt, step_fn, g = _cylinder_setup(
-    nx=48, ny=40, hidden=32, mp_steps=5, batch=B, packed=True, fused=True)
+    nx=48, ny=40, hidden=32, mp_steps=5, batch=B, packed=True, fused=True,
+    gn_nk=bool(int(os.environ.get("BENCH_GN_NK", "1"))))
 state = init_train_state(sim, opt, jax.random.PRNGKey(0), g)
 multi = make_multi_step(step_fn, unroll=10)
 rng = jax.random.PRNGKey(1)

@@ -48,10 +48,11 @@ def main():
     ei = mesh_lib.faces_to_edges(traj["cells"][0], len(pos))
     g = mesh_lib.build_mesh_graph(x, pos, nt, ei, y=traj["velocity"][1])
 
-    #: committed per-family regression floors (BASELINE.md round 3);
+    #: committed per-family regression floors (BASELINE.md rounds 3-4);
     #: BM_ASSERT=1 turns misses into a hard failure
     FLOORS = {"epd": 4000.0, "transformer": 335.0,
-              "transformer_fused": 1100.0, "transolver": 5500.0}
+              "transformer_fused": 1100.0, "transformer_nk": 1400.0,
+              "transolver": 5500.0}
     results = {}
 
     def bench(name, model, batch=64, inner=100, packed=True, graph=None):

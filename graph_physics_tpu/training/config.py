@@ -145,6 +145,12 @@ def get_dynamic_world_edges(param: Dict[str, Any]):
     Enabled with ``world_pos_parameters.dynamic_rollout: true`` — the TPU
     upgrade of the reference's ground-truth-tracking rollout world edges
     (SURVEY.md §3.3): contact edges follow the PREDICTED positions.
+
+    ``dynamic_rollout_track: "ground_truth"`` selects the REFERENCE
+    semantics instead (world edges rebuilt from the ground-truth frame
+    positions each step — preprocessing.py:92-140 run before
+    _make_prediction's write-back), for apples-to-apples RMSE comparison
+    with converted reference checkpoints. Default: "predicted".
     """
     wp = param.get("transformations", {}).get("world_pos_parameters", {})
     if not (wp.get("use", False) and wp.get("dynamic_rollout", False)):
@@ -152,12 +158,19 @@ def get_dynamic_world_edges(param: Dict[str, Any]):
     from graph_physics_tpu.training.rollout import DynamicWorldEdges
 
     budget = wp.get("edge_budget", 1024)
+    track = wp.get("dynamic_rollout_track", "predicted")
+    if track not in ("predicted", "ground_truth"):
+        raise ValueError(
+            "world_pos_parameters.dynamic_rollout_track must be "
+            f"'predicted' or 'ground_truth', got {track!r}"
+        )
     return DynamicWorldEdges(
         k_per_node=wp.get("k_per_node", 16),
         world_pos_start=wp["world_pos_index_start"],
         world_pos_end=wp["world_pos_index_end"],
         radius=wp.get("radius", 0.03),
         budget=budget // 2,
+        track_predicted=(track == "predicted"),
     )
 
 

@@ -63,10 +63,13 @@ class DynamicWorldEdges:
     The reference rebuilds world edges per frame from GROUND-TRUTH
     positions (dataset preprocessing runs before the module overwrites x —
     SURVEY.md §3.3). With this config the rollout instead runs a radius
-    search (ops/knn.radius_edges) on the CURRENT (predicted) world
-    positions each step and writes the pairs into a reserved static tail
-    region of the edge arrays — the principled fix of that behavioral
-    quirk, fully inside the scan.
+    search (ops/knn.radius_edges) each step and writes the pairs into a
+    reserved static tail region of the edge arrays, fully inside the
+    scan. ``track_predicted=True`` (default) searches the CURRENT
+    (predicted) world positions — the principled fix of the reference's
+    quirk; ``track_predicted=False`` reproduces the reference semantics
+    exactly (searches the frame's ground-truth positions) so converted
+    checkpoints compare apples-to-apples.
 
     Frames must be built with mesh edges only and an edge padding of at
     least ``2 * budget`` free slots at the tail.
@@ -79,12 +82,23 @@ class DynamicWorldEdges:
     #: per-receiver nearest-partner cap of the radius search (ops/knn.py);
     #: raise for very dense contact regions (>k in-radius partners per node)
     k_per_node: int = struct.field(pytree_node=False, default=16)
+    #: False = REFERENCE semantics: rebuild world edges from the frame's
+    #: GROUND-TRUTH world positions (the reference's dataset preprocessing
+    #: runs before _make_prediction overwrites x — preprocessing.py:92-140
+    #: + lightning_module.py:375-409), so converted DeformingPlate
+    #: checkpoints can be compared apples-to-apples. True (default) =
+    #: track the PREDICTED positions — the principled fix.
+    track_predicted: bool = struct.field(pytree_node=False, default=True)
 
 
-def _apply_dynamic_world_edges(g: MeshGraph, cfg: DynamicWorldEdges) -> MeshGraph:
+def _apply_dynamic_world_edges(
+    g: MeshGraph, cfg: DynamicWorldEdges,
+    true_x: Optional[jnp.ndarray] = None,
+) -> MeshGraph:
     from graph_physics_tpu.ops.knn import radius_edges
 
-    wp = g.x[:, cfg.world_pos_start : cfg.world_pos_end].astype(jnp.float32)
+    src = g.x if (cfg.track_predicted or true_x is None) else true_x
+    wp = src[:, cfg.world_pos_start : cfg.world_pos_end].astype(jnp.float32)
     t = g.node_type
     obs = ((t == NodeType.OBSTACLE) | (t == NodeType.HANDLE)) & g.node_mask
     nrm = (t == NodeType.NORMAL) & g.node_mask
@@ -142,7 +156,9 @@ def make_rollout_fn(
                 x = x.at[:, ps:pe].set(last_prev)
             g = frame.replace(x=x)
             if dynamic_world_edges is not None:
-                g = _apply_dynamic_world_edges(g, dynamic_world_edges)
+                g = _apply_dynamic_world_edges(
+                    g, dynamic_world_edges, true_x=frame.x
+                )
             if frame_transform is not None:
                 g = frame_transform(g)
 

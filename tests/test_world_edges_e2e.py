@@ -278,3 +278,77 @@ def test_radius_edges_fair_budget_no_starvation():
     )
     kept = set(np.asarray(ai)[np.asarray(valid)].tolist())
     assert 1 in kept, "distant contact region was starved by the dense one"
+
+
+def test_dynamic_world_edges_tracking_modes(plate_config):
+    """track_predicted=False reproduces the REFERENCE semantics: world
+    edges rebuilt from the ground-truth frame positions each step
+    (preprocessing.py:92-140 runs before _make_prediction's write-back),
+    regardless of what the model predicts. track_predicted=True follows
+    the predictions instead — the two modes agree on x == ground truth
+    and diverge once predictions drift."""
+    import jax.numpy as jnp
+
+    from graph_physics_tpu.core import mesh as mesh_lib
+    from graph_physics_tpu.training.rollout import (
+        DynamicWorldEdges,
+        _apply_dynamic_world_edges,
+    )
+
+    d, cfg_path = plate_config
+    param = config_lib.load_params(cfg_path)
+    frame_cfg = config_lib.get_frame_config(param)
+    ds = config_lib.get_dataset(param, frame_cfg)
+    g0 = jax.tree.map(jnp.asarray, ds[0])
+    budget = 128
+
+    def tail_pairs(g):
+        e_pad = g.senders.shape[0]
+        off = e_pad - 2 * budget
+        m = np.asarray(g.edge_mask[off:])
+        return set(zip(np.asarray(g.senders[off:])[m].tolist(),
+                       np.asarray(g.receivers[off:])[m].tolist()))
+
+    # simulate the rollout write-back drifting the predicted world
+    # positions far from ground truth (shift NORMAL nodes out of radius)
+    n = int(g0.n_node)
+    drift = jnp.where(
+        (g0.node_type == int(NodeType.NORMAL))[:, None], 10.0, 0.0
+    )
+    x_pred = g0.x.at[:, 0:3].add(drift)
+    g_pred = g0.replace(x=x_pred)
+
+    cfg_ref = DynamicWorldEdges(0, 3, 0.12, budget, track_predicted=False)
+    cfg_new = DynamicWorldEdges(0, 3, 0.12, budget, track_predicted=True)
+
+    # reference mode ignores the drifted x: pairs == host pairs on truth
+    ref_pairs = tail_pairs(
+        _apply_dynamic_world_edges(g_pred, cfg_ref, true_x=g0.x))
+    wp = np.asarray(g0.x[:n, 0:3])
+    nt = np.asarray(g0.node_type[:n])
+    host = mesh_lib.radius_world_edges(wp, nt, 0.12)
+    assert ref_pairs == set(zip(host[0].tolist(), host[1].tolist()))
+    assert ref_pairs  # non-empty: the check below is meaningful
+
+    # predicted mode follows the drift: every NORMAL partner is out of
+    # radius now, so no pairs survive
+    new_pairs = tail_pairs(
+        _apply_dynamic_world_edges(g_pred, cfg_new, true_x=g0.x))
+    assert new_pairs == set()
+
+    # on undrifted x the two modes agree exactly
+    assert tail_pairs(
+        _apply_dynamic_world_edges(g0, cfg_new, true_x=g0.x)
+    ) == ref_pairs
+
+    # config plumbing: dynamic_rollout_track selects the mode
+    wp_cfg = param["transformations"]["world_pos_parameters"]
+    wp_cfg["dynamic_rollout"] = True
+    wp_cfg["dynamic_rollout_track"] = "ground_truth"
+    dwe = config_lib.get_dynamic_world_edges(param)
+    assert dwe.track_predicted is False
+    wp_cfg["dynamic_rollout_track"] = "predicted"
+    assert config_lib.get_dynamic_world_edges(param).track_predicted is True
+    wp_cfg["dynamic_rollout_track"] = "bogus"
+    with pytest.raises(ValueError):
+        config_lib.get_dynamic_world_edges(param)

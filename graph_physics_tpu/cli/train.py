@@ -39,6 +39,20 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(0 = one dispatch per shape group)")
     p.add_argument("--save_val_xdmf", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process SPMD: call jax.distributed."
+                        "initialize() before backend init (coordinator/"
+                        "process env vars or the explicit flags below); "
+                        "data loading is process-sharded, logging and "
+                        "console output happen on process 0, orbax "
+                        "coordinates the checkpoint writes")
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (--multihost); default: "
+                        "jax auto-detection / JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (--multihost)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index (--multihost)")
     p.add_argument("--num_dp_devices", type=int, default=None,
                    help="shard the batch axis over this many devices")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
@@ -102,6 +116,14 @@ def _honor_platform_env():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     _honor_platform_env()
+    if args.multihost:
+        # must run before any jax backend use; with no explicit flags jax
+        # reads JAX_COORDINATOR_ADDRESS / cluster metadata itself
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     import jax.numpy as jnp
 
@@ -165,8 +187,8 @@ def main(argv=None):
     val_ds = config_lib.get_dataset(param, val_cfg, switch_to_val=True, seed=args.seed)
 
     mesh = None
-    if args.num_dp_devices:
-        devices = jax.devices()[: args.num_dp_devices]
+    if args.num_dp_devices or args.multihost:
+        devices = jax.devices()[: args.num_dp_devices or len(jax.devices())]
         mesh = jax.sharding.Mesh(devices, ("dp",))
 
     run_name = args.run_name or os.path.splitext(

@@ -46,12 +46,22 @@ class BatchLoader:
         sharding=None,
         packed: bool = False,
         frame_transform=None,
+        process_shard: Optional[tuple] = None,
     ):
         """``packed=True``: batches are built from frames of ONE trajectory
         (shared topology) and emitted in the [N, B, F] trajectory-major
         layout (training/packed.py) — the TPU-efficient gather path.
         ``frame_transform``: host-side per-frame graph hook applied before
-        stacking (e.g. the fused-kernel blocked-layout conversion)."""
+        stacking (e.g. the fused-kernel blocked-layout conversion).
+
+        ``process_shard=(process_index, process_count)``: multi-host data
+        loading — every process computes the IDENTICAL global batch
+        schedule (same seed → same rng stream), but materializes only its
+        1/process_count slice of each batch and assembles the global
+        jax.Array via ``jax.make_array_from_process_local_data`` against
+        the (callable) ``sharding``. Replicated leaves (packed-layout
+        topology arrays — same-trajectory groups share them exactly) are
+        passed whole. Requires ``sharding`` and ``device_put``."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,6 +71,19 @@ class BatchLoader:
         self.sharding = sharding
         self.packed = packed
         self.frame_transform = frame_transform
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pi, pc = process_shard
+            if batch_size % pc != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over "
+                    f"{pc} processes"
+                )
+            if not (device_put and callable(sharding)):
+                raise ValueError(
+                    "process_shard requires device_put and a per-leaf "
+                    "sharding callable"
+                )
         self._rng = np.random.default_rng(seed)
 
     def _batched_indices(self, shuffle: Optional[bool] = None) -> List[List[int]]:
@@ -100,6 +123,10 @@ class BatchLoader:
     def _produce(self, batches, q):
         try:
             for chunk in batches:
+                if self.process_shard is not None:
+                    pi, pc = self.process_shard
+                    local = len(chunk) // pc
+                    chunk = chunk[pi * local : (pi + 1) * local]
                 frames = [self.ds[i] for i in chunk]
                 if self.frame_transform is not None:
                     frames = [self.frame_transform(f) for f in frames]
@@ -108,7 +135,9 @@ class BatchLoader:
                     from graph_physics_tpu.training.packed import pack
 
                     batch = pack(batch)
-                if self.device_put:
+                if self.process_shard is not None:
+                    batch = self._assemble_global(batch)
+                elif self.device_put:
                     if callable(self.sharding):
                         batch = jax.device_put(
                             batch, jax.tree.map(self.sharding, batch)
@@ -122,6 +151,33 @@ class BatchLoader:
             q.put(e)
         finally:
             q.put(None)
+
+    def _assemble_global(self, batch: MeshGraph) -> MeshGraph:
+        """Build global jax.Arrays from this process's local batch slice.
+
+        Leaves whose spec shards the batch axis contribute the local
+        [B/process_count] slice; replicated leaves contribute the full
+        array (identical on every process: the global batch schedule is
+        deterministic, and packed topology arrays come from the shared
+        trajectory)."""
+        _, pc = self.process_shard
+
+        def leaf(a):
+            a = np.asarray(a)
+            spec = self.sharding(a)
+            sharded_axes = [s for s in spec.spec if s is not None]
+            gshape = None
+            if sharded_axes:
+                # batch axis is the (single) sharded one — scale it back
+                # to the global size
+                gshape = list(a.shape)
+                for ax, s in enumerate(spec.spec):
+                    if s is not None:
+                        gshape[ax] *= pc
+                gshape = tuple(gshape)
+            return jax.make_array_from_process_local_data(spec, a, gshape)
+
+        return jax.tree.map(leaf, batch)
 
     def __iter__(self) -> Iterator[MeshGraph]:
         batches = self._batched_indices()

@@ -32,6 +32,7 @@ gelu activations, RMSNorm tails, fp32 statistics).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, List, Optional, Sequence, Tuple
@@ -47,9 +48,24 @@ from graph_physics_tpu.ops.tiling import EdgeTiling
 LANES = 128  # MXU lane width; weights are packed to this
 
 #: lane-tile caps for the folded-encoder (block 0) kernels — its
-#: rematerialized encoder pre-activations enlarge the VMEM working set
-FOLDED_LANES_CAP = 512
-FOLDED_LANES_BWD_CAP = 128
+#: rematerialized encoder pre-activations enlarge the VMEM working set.
+#: The BWD cap also sets the raw-edge channel packing ratio r (r must
+#: divide every lane count / LANES): lb=128 forces r=1 — the raw
+#: 3-channel edge array padded to full hidden width (94 MB/step on the
+#: cylinder bench) — while lb=256 admits r=2. Env-overridable for
+#: on-TPU sweeps (scripts/sweep_glue.py).
+FOLDED_LANES_CAP = int(os.environ.get("GP_FOLDED_LANES", "512"))
+FOLDED_LANES_BWD_CAP = int(os.environ.get("GP_FOLDED_LANES_BWD", "128"))
+
+#: Mosaic scoped-VMEM limit per fused kernel (None = the 16 MiB
+#: default). v5e has 128 MiB of VMEM; wider folded tiles (lanes_bwd 256
+#: at raw-channel packing r=2) overflow the default by ~2 MiB, so the
+#: sweeps raise this together with the lane caps.
+VMEM_LIMIT_BYTES = (
+    int(os.environ["GP_VMEM_LIMIT_MB"]) * 2**20
+    if os.environ.get("GP_VMEM_LIMIT_MB")
+    else None
+)
 
 
 @dataclass(frozen=True)
@@ -906,6 +922,7 @@ def fused_gn_block(
                 # steps and must stay sequential)
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel"),
+                    vmem_limit_bytes=VMEM_LIMIT_BYTES,
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
@@ -982,6 +999,9 @@ def fused_gn_block(
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=out_shape + dw_shapes,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT_BYTES,
+                ),
                 interpret=interpret,
                 input_output_aliases=aliases,
             )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *weights,

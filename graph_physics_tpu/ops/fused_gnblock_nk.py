@@ -44,6 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from graph_physics_tpu.ops import fused_gnblock as _gn
 from graph_physics_tpu.ops.fused_gnblock import (
     FOLDED_LANES_BWD_CAP,
     FOLDED_LANES_CAP,
@@ -543,6 +544,7 @@ def fused_gn_block_nk(
                 out_shape=out_shape,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel"),
+                    vmem_limit_bytes=_gn.VMEM_LIMIT_BYTES,
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
@@ -616,6 +618,9 @@ def fused_gn_block_nk(
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=out_shape + dw_shapes,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_gn.VMEM_LIMIT_BYTES,
+                ),
                 interpret=interpret,
                 input_output_aliases=aliases,
             )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *weights,

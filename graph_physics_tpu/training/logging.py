@@ -22,13 +22,22 @@ class MetricsLogger:
         use_wandb: bool = False,
         wandb_config: Optional[Dict[str, Any]] = None,
         resume_id: Optional[str] = None,
+        enabled: bool = True,
     ):
-        os.makedirs(out_dir, exist_ok=True)
-        self.path = os.path.join(out_dir, f"{run_name}.metrics.jsonl")
-        self._f = open(self.path, "a")
+        """``enabled=False``: a no-op logger — multi-host non-main
+        processes run the same Trainer code but must not write the shared
+        JSONL or attach wandb runs."""
+        self.enabled = enabled
         self._t0 = time.time()
         self.wandb = None
         self.run_id = resume_id
+        self._f = None
+        if not enabled:
+            self.path = None
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, f"{run_name}.metrics.jsonl")
+        self._f = open(self.path, "a")
         if use_wandb:
             try:
                 import wandb
@@ -47,6 +56,8 @@ class MetricsLogger:
                 self.wandb = None
 
     def log(self, metrics: Dict[str, Any], step: int) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
         for k, v in metrics.items():
             try:
@@ -59,6 +70,7 @@ class MetricsLogger:
             self.wandb.log(metrics, step=step)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self.wandb is not None:
             self.wandb.finish()

@@ -253,6 +253,39 @@ class Trainer:
             self._mesh = mesh
             self.sharding = spec_for  # resolved per-leaf at load time
 
+        #: multi-host: every process runs this same Trainer in SPMD
+        #: lockstep; host-side effects (console, JSONL/wandb logging) are
+        #: gated to process 0, data loading is process-sharded, and orbax
+        #: coordinates the checkpoint writes itself (all processes call
+        #: save). See docs/PARALLELISM.md.
+        self._is_main = jax.process_index() == 0
+        self._proc_shard = (
+            (jax.process_index(), jax.process_count())
+            if jax.process_count() > 1
+            else None
+        )
+        if self._proc_shard is not None and self.sharding is None:
+            raise ValueError(
+                "multi-process training requires a device mesh (pass "
+                "mesh=... spanning jax.devices())"
+            )
+        if self._proc_shard is not None and cfg.fused:
+            # the fused dp path runs inside shard_map with eager
+            # per-topology step selection — single-process for now
+            # (docs/PARALLELISM.md); multi-host uses the GSPMD step
+            raise ValueError(
+                "fused kernels are not supported with multi-process "
+                "training yet (use the XLA path)"
+            )
+        if self._proc_shard is not None and cfg.steps_per_dispatch > 1:
+            # the multi-step path stacks pending batches EAGERLY
+            # (jnp.stack), which is not allowed on non-fully-addressable
+            # global arrays
+            raise ValueError(
+                "steps_per_dispatch > 1 is not supported with "
+                "multi-process training yet"
+            )
+
         self.ckpt_dir = os.path.join(cfg.out_dir, cfg.run_name, "checkpoints")
         self.manager = ckpt_lib.make_manager(
             self.ckpt_dir, best_metric=cfg.monitor_metric
@@ -276,6 +309,7 @@ class Trainer:
                 use_wandb=cfg.use_wandb,
                 wandb_config=self.run_metadata,
                 resume_id=self.run_metadata.get("run_id"),
+                enabled=self._is_main,
             )
             if self._logger.run_id is not None:
                 self.run_metadata["run_id"] = self._logger.run_id
@@ -304,6 +338,19 @@ class Trainer:
             example,
             mtp=self.mtp,
         )
+        if self._proc_shard is not None:
+            # every process init'd the same state from the same key; place
+            # it REPLICATED on the global mesh so the first global-batch
+            # step doesn't mix local-committed and mesh-sharded operands
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._mesh, P())
+            state = jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    rep, np.asarray(a)
+                ),
+                jax.device_get(state),
+            )
         if resume:
             self.manager.wait_until_finished()
             state, meta = ckpt_lib.restore_checkpoint(self.manager, state)
@@ -347,6 +394,9 @@ class Trainer:
                 frame_transform=(
                     self._fused_mgr.transform_frame if self._fused_mgr else None
                 ),
+                # multi-host: identical global schedule everywhere (same
+                # seed), each process loads only its 1/P slice
+                process_shard=self._proc_shard,
             )
             t_epoch = time.time()
             n_batches = 0
@@ -448,16 +498,18 @@ class Trainer:
             val_metrics = self.validate(epoch)
             epoch_metrics.update(val_metrics)
             self.logger.log(epoch_metrics, int(self.state.step))
-            print(
-                f"epoch {epoch}: train_loss={epoch_metrics['train_loss_epoch']:.5f}"
-                + (
-                    f" val_rmse={val_metrics['val_all_rollout_rmse']:.5f}"
-                    if "val_all_rollout_rmse" in val_metrics
-                    else ""
+            if self._is_main:
+                print(
+                    f"epoch {epoch}: "
+                    f"train_loss={epoch_metrics['train_loss_epoch']:.5f}"
+                    + (
+                        f" val_rmse={val_metrics['val_all_rollout_rmse']:.5f}"
+                        if "val_all_rollout_rmse" in val_metrics
+                        else ""
+                    )
+                    + f" ({epoch_metrics['epoch_time_s']:.1f}s)",
+                    flush=True,
                 )
-                + f" ({epoch_metrics['epoch_time_s']:.1f}s)",
-                flush=True,
-            )
 
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0 or epoch == cfg.epochs - 1:
                 # async: disk write overlaps the next epoch; fit() waits
@@ -523,6 +575,12 @@ class Trainer:
             self._val_groups = (n_traj, prepared)
 
         params = model_params(self.state.params)
+        if self._proc_shard is not None:
+            # validation runs as a PER-PROCESS local program (every
+            # process redundantly computes the same metrics — ground
+            # truth is replicated); fetch the global-mesh params to host
+            # so the local jit doesn't mix device assignments
+            params = jax.device_get(params)
         sq_sum = 0.0
         count = 0.0
         first_rmses = []
@@ -544,7 +602,7 @@ class Trainer:
                     np.mean(np.asarray(res.val_loss), axis=-1).tolist()
                 )
                 part_ts = ts[s : s + chunk]
-                if 0 in part_ts and (
+                if 0 in part_ts and self._is_main and (
                     self.cfg.save_val_xdmf or self.cfg.save_val_visualizations
                 ):
                     i0 = part_ts.index(0)

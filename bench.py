@@ -34,10 +34,11 @@ def main():
 
     # trajectory-major packed batching + fused Pallas GraphNetBlocks on
     # the uniform-degree (NK) layout — the measured round-4 winner
-    # (4,781 vs 4,582 g/s CSR same-window A/B). BENCH_GN_NK=0 flips back
-    # to the blocked-CSR kernel for A/B runs; BENCH_B overrides the batch
-    # (sweeps: 128 optimal for CSR [r2] and for NK [r4: 128 > 192 > 256
-    # > 96]).
+    # (4,982 vs 4,778 g/s CSR same-window A/B with the device-resident
+    # batch; 5,027 after the folded-backward lane-cap/r=2 default).
+    # BENCH_GN_NK=0 flips back to the blocked-CSR kernel for A/B runs;
+    # BENCH_B overrides the batch (sweeps: 128 optimal for CSR [r2] and
+    # for NK [r4: 128 > 160 > 192 > 256 > 96]).
     batch = int(os.environ.get("BENCH_B", "128"))
     inner = INNER_SIZES[0]
     sim, opt, step_fn, batch_graph = _cylinder_setup(

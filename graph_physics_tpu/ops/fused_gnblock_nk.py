@@ -35,6 +35,7 @@ graphphysics/models/layers.py:1015-1102.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -46,7 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from graph_physics_tpu.ops import fused_gnblock as _gn
 from graph_physics_tpu.ops.fused_gnblock import (
-    FOLDED_LANES_BWD_CAP,
     FOLDED_LANES_CAP,
     LANES,
     FusedBlockConfig,
@@ -68,6 +68,20 @@ from graph_physics_tpu.ops.fused_edge_attention_nk import (
     NKTiling,
     _ksum,
     _ktile,
+)
+
+#: NK-specific folded-backward lane cap. 256 (raw-edge channel packing
+#: r=2) measured 5,027 g/s vs 4,982 at the CSR-shared cap of 128 (r=1 —
+#: the 3-channel raw edge array padded to full hidden width) on the
+#: round-4 cylinder headline; needs the 32 MiB scoped-VMEM limit below
+#: (the 16 MiB default overflows by ~2 MiB at r=2). lb=512 (r=4)
+#: measured 4,980 — worse. GP_FOLDED_LANES_BWD / GP_VMEM_LIMIT_MB
+#: override for sweeps.
+NK_FOLDED_LANES_BWD_CAP = int(os.environ.get("GP_FOLDED_LANES_BWD", "256"))
+NK_VMEM_LIMIT_BYTES = (
+    _gn.VMEM_LIMIT_BYTES
+    if _gn.VMEM_LIMIT_BYTES is not None
+    else 32 * 2**20
 )
 
 
@@ -378,7 +392,7 @@ def fused_gn_block_nk(
     def _caps(slots_b, l, lb, aliased):
         if folded:
             l = min(l, FOLDED_LANES_CAP)
-            lb = min(lb, FOLDED_LANES_BWD_CAP)
+            lb = min(lb, NK_FOLDED_LANES_BWD_CAP)
         if win_rows > 512:
             l = min(l, 512)
             lb = min(lb, 256 if total_lanes <= 512 else 128)
@@ -544,7 +558,7 @@ def fused_gn_block_nk(
                 out_shape=out_shape,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel"),
-                    vmem_limit_bytes=_gn.VMEM_LIMIT_BYTES,
+                    vmem_limit_bytes=NK_VMEM_LIMIT_BYTES,
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
@@ -619,7 +633,7 @@ def fused_gn_block_nk(
                 grid_spec=grid_spec,
                 out_shape=out_shape + dw_shapes,
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=_gn.VMEM_LIMIT_BYTES,
+                    vmem_limit_bytes=NK_VMEM_LIMIT_BYTES,
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,

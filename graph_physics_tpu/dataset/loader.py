@@ -47,6 +47,7 @@ class BatchLoader:
         packed: bool = False,
         frame_transform=None,
         process_shard: Optional[tuple] = None,
+        workers: int = 1,
     ):
         """``packed=True``: batches are built from frames of ONE trajectory
         (shared topology) and emitted in the [N, B, F] trajectory-major
@@ -72,6 +73,13 @@ class BatchLoader:
         self.packed = packed
         self.frame_transform = frame_transform
         self.process_shard = process_shard
+        #: >1: build the batch's frames (dataset read + FrameBuilder +
+        #: frame_transform) on a thread pool — h5py reads and the numpy
+        #: FrameBuilder release the GIL for their heavy parts, so frame
+        #: building scales across cores when the single prefetch thread
+        #: would starve the fused step (scripts/bench_loader.py measures
+        #: the balance). Dataset/tiling caches take internal locks.
+        self.workers = workers
         if process_shard is not None:
             pi, pc = process_shard
             if batch_size % pc != 0:
@@ -127,14 +135,19 @@ class BatchLoader:
                     pi, pc = self.process_shard
                     local = len(chunk) // pc
                     chunk = chunk[pi * local : (pi + 1) * local]
-                frames = [self.ds[i] for i in chunk]
-                if self.frame_transform is not None:
-                    frames = [self.frame_transform(f) for f in frames]
-                batch = stack_batch(frames)
+                if self.workers > 1 and len(chunk) > 1:
+                    frames = list(self._pool().map(self._build_one, chunk))
+                else:
+                    frames = [self._build_one(i) for i in chunk]
                 if self.packed:
-                    from graph_physics_tpu.training.packed import pack
+                    from graph_physics_tpu.training.packed import pack_frames
 
-                    batch = pack(batch)
+                    # direct [N, B, F] assembly (single copy of dynamic
+                    # leaves) when the frames share static-topology
+                    # objects; checked stack+pack otherwise
+                    batch = pack_frames(frames)
+                else:
+                    batch = stack_batch(frames)
                 if self.process_shard is not None:
                     batch = self._assemble_global(batch)
                 elif self.device_put:
@@ -151,6 +164,19 @@ class BatchLoader:
             q.put(e)
         finally:
             q.put(None)
+
+    def _build_one(self, i):
+        f = self.ds[i]
+        if self.frame_transform is not None:
+            f = self.frame_transform(f)
+        return f
+
+    def _pool(self):
+        if getattr(self, "_executor", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(max_workers=self.workers)
+        return self._executor
 
     def _assemble_global(self, batch: MeshGraph) -> MeshGraph:
         """Build global jax.Arrays from this process's local batch slice.

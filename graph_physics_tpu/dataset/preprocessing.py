@@ -255,6 +255,20 @@ class FrameBuilder:
         self.cfg = cfg
         self.meta = meta
         self._khop_cache: Dict[Any, np.ndarray] = {}
+        #: per-trajectory STATIC frame skeleton: topology, positions,
+        #: edge features, masks and padding are frame-invariant whenever
+        #: the edge set doesn't depend on frame values (no world edges,
+        #: no random extra edges, no partition slice, no feature hooks).
+        #: The per-frame fast path then rebuilds only the dynamic leaves
+        #: (x, y, prev, next_data, time, deselected) — measured 6-7x
+        #: fewer host ms/frame, which is what lets the loader keep up
+        #: with the ~5,000 frames/s fused-step demand
+        #: (scripts/bench_loader.py). LRU-bounded: each entry is a full
+        #: padded frame (a 27k-node mesh skeleton runs to a few MB).
+        from collections import OrderedDict
+
+        self._skel_cache: "OrderedDict[Any, Any]" = OrderedDict()
+        self._skel_cache_size = 64
 
     def mesh_edges(self, cache_key, cells: np.ndarray, num_nodes: int) -> np.ndarray:
         """faces→edges (+k-hop), cached per trajectory (dataset.py:217-241)."""
@@ -289,6 +303,45 @@ class FrameBuilder:
             with_previous=cfg.use_previous_data,
         )
         n = len(ctx.pos)
+
+        # static-skeleton fast path: everything except the dynamic field
+        # leaves is frame-invariant under these gates (topology hooks and
+        # frame-value-dependent edges disable it)
+        skel_ok = (
+            cfg.world is None
+            and cfg.new_edges_ratio == 0
+            and part_ids is None
+            and cfg.extra_node_features is None
+            and cfg.extra_edge_features is None
+        )
+        skel_key = (
+            (cache_key if cache_key is not None else traj_index,
+             n_pad, e_pad, c_pad)
+            if skel_ok
+            else None
+        )
+        skel = self._skel_cache.get(skel_key) if skel_ok else None
+        if skel is not None:
+            self._skel_cache.move_to_end(skel_key)
+            ctx.x = assemble_x(ctx)
+            np_ = skel.x.shape[0]
+            pad = lambda a: None if a is None else padding.pad_axis(
+                np.asarray(a, np.float32), np_)
+            deselected = None
+            if train and cfg.masking_ratio > 0 and rng is not None:
+                deselected = padding.pad_axis(
+                    masked_node_selection(n, cfg.masking_ratio, rng),
+                    np_, fill=False)
+            return skel.replace(
+                x=pad(ctx.x),
+                y=pad(_stack_fields(ctx.target, n) if ctx.target else None),
+                prev=pad(_stack_fields(ctx.previous_data, n)
+                         if ctx.previous_data else None),
+                next_data=pad(_stack_fields(ctx.next_data, n)
+                              if ctx.next_data else None),
+                time=np.float32(ctx.time),
+                deselected=deselected,
+            )
 
         if cfg.extra_node_features is not None:
             ctx = cfg.extra_node_features(ctx)
@@ -380,6 +433,10 @@ class FrameBuilder:
                     np.asarray(phi, np.float32).reshape(-1), g.num_nodes, fill=0.0
                 )
             )
+        if skel_key is not None:
+            self._skel_cache[skel_key] = g
+            while len(self._skel_cache) > self._skel_cache_size:
+                self._skel_cache.popitem(last=False)
         return g
 
     def edge_budget_for(self, mesh_edge_count: int) -> int:

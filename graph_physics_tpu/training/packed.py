@@ -96,6 +96,56 @@ def pack(stacked: MeshGraph) -> MeshGraph:
     )
 
 
+#: static (shared-topology) MeshGraph attributes in packed batches
+_STATIC_ATTRS = ("pos", "node_type", "node_mask", "senders", "receivers",
+                 "edge_mask", "faces", "face_mask")
+
+
+def pack_frames(frames) -> MeshGraph:
+    """Frames of one trajectory → [N, B, F]-packed batch, directly.
+
+    The loader's generic path (``pack(stack_batch(frames))``) copies every
+    leaf TWICE (stack to [B, N, F], then transpose to [N, B, F]) and
+    stacks the B identical copies of static topology only to compare and
+    drop them. When the frames share their static leaves as the SAME
+    numpy objects — which FrameBuilder's per-trajectory skeleton and the
+    fused transform's template guarantee — the packed batch assembles
+    with ONE axis-1 stack of the dynamic leaves and zero topology
+    work. Falls back to the checked generic path otherwise.
+    """
+    f0 = frames[0]
+    shared = all(
+        getattr(f, a) is getattr(f0, a)
+        for f in frames[1:]
+        for a in _STATIC_ATTRS + ("tiling_idx", "tiling_idx_nk")
+    )
+    if not shared:
+        from graph_physics_tpu.dataset.loader import stack_batch
+
+        return pack(stack_batch(frames))
+
+    def dyn(get):
+        if get(f0) is None:
+            return None
+        return np.stack([np.asarray(get(f)) for f in frames], axis=1)
+
+    return f0.replace(
+        x=dyn(lambda f: f.x),
+        edge_attr=dyn(lambda f: f.edge_attr),
+        y=dyn(lambda f: f.y),
+        prev=dyn(lambda f: f.prev),
+        next_data=dyn(lambda f: f.next_data),
+        deselected=dyn(lambda f: f.deselected),
+        phi=dyn(lambda f: f.phi),
+        time=(
+            None
+            if f0.time is None
+            else np.asarray([np.asarray(f.time) for f in frames],
+                            np.float32)
+        ),
+    )
+
+
 def single_of(packed: MeshGraph, b: int = 0) -> MeshGraph:
     """One sample of a packed graph as a plain single-graph MeshGraph."""
 

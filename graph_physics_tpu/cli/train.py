@@ -86,6 +86,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "measured default (r4: 4,982 vs 4,778 g/s CSR). "
                         "Degree-skewed meshes fall back to blocked-CSR; "
                         "--no-fused_gn_nk forces CSR everywhere")
+    p.add_argument("--loader_workers", type=int, default=1,
+                   help="frame-building thread pool (num_workers analog; "
+                        "helps when per-frame rebuilds are forced: world "
+                        "edges, partitions, feature hooks)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
@@ -222,6 +226,7 @@ def main(argv=None):
         run_name=run_name,
         max_val_trajectories=args.max_val_trajectories,
         val_device_batch=args.val_device_batch or None,
+        loader_workers=args.loader_workers,
         previous_data_slice=(
             (args.previous_data_start, args.previous_data_end) if args.use_previous_data else None
         ),

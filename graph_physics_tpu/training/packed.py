@@ -125,9 +125,21 @@ def pack_frames(frames) -> MeshGraph:
         return pack(stack_batch(frames))
 
     def dyn(get):
-        if get(f0) is None:
+        v0 = get(f0)
+        if v0 is None:
             return None
-        return np.stack([np.asarray(get(f)) for f in frames], axis=1)
+        vals = [np.asarray(get(f)) for f in frames]
+        if all(v is vals[0] for v in vals[1:]):
+            # one shared object (e.g. static edge features): np.repeat
+            # duplicates each source row B times sequentially — measured
+            # 10x faster than both the axis-1 stack and
+            # ascontiguousarray(broadcast_to) (numpy's 0-stride copy
+            # slow path) at airfoil scale
+            return np.repeat(vals[0][:, None], len(vals), axis=1)
+        # contiguous [B, N, F] stack (sequential writes), then ONE
+        # blocked transpose pass — measured ~4x faster than numpy's
+        # axis-1 stacking (B strided destination passes) at 26k nodes
+        return np.ascontiguousarray(np.stack(vals, axis=0).swapaxes(0, 1))
 
     return f0.replace(
         x=dyn(lambda f: f.x),

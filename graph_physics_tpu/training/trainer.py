@@ -77,6 +77,11 @@ class TrainerConfig:
     #: trajectory-major [N, B, F] batching (shared topology) — the TPU
     #: fast gather path (training/packed.py)
     packed: bool = False
+    #: BatchLoader frame-building thread pool. Default 1: the skeleton
+    #: fast paths are GIL-bound small ops and threads only help when the
+    #: fast-path gates are off (world edges / partitions / feature hooks
+    #: force full per-frame rebuilds, ~2x measured at 8 workers).
+    loader_workers: int = 1
     #: fuse K optimizer steps into one XLA dispatch (lax.scan over K
     #: stacked batches) — amortizes host→device latency
     steps_per_dispatch: int = 1
@@ -397,6 +402,7 @@ class Trainer:
                 # multi-host: identical global schedule everywhere (same
                 # seed), each process loads only its 1/P slice
                 process_shard=self._proc_shard,
+                workers=cfg.loader_workers,
             )
             t_epoch = time.time()
             n_batches = 0

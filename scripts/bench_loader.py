@@ -89,17 +89,34 @@ def main():
         bench_loader("cylinder_nk", ds, 128, args.batches, w,
                      mgr.transform_frame, STEP_DEMAND_FRAMES_PER_S)
 
-    # real airfoil fixture (27k nodes): fused-path demand measured at
-    # 160.8 g/s (BASELINE round 3)
-    airfoil = "/root/reference/tests/mock_airfoil/sample.h5"
-    airfoil_meta = "/root/reference/tests/mock_airfoil/meta.json"
-    if os.path.exists(airfoil) and os.path.exists(airfoil_meta):
-        ads = H5Dataset(airfoil, airfoil_meta,
-                        FrameConfig(targets=("velocity",)))
-        amgr = FusedTopologyManager(nk_layout=True)
-        for w in worker_list:
-            bench_loader("airfoil_nk", ads, 16, min(args.batches, 10), w,
-                         amgr.transform_frame, 160.8)
+    # airfoil-SCALE leg (~26k nodes, synthetic): the fused step's demand
+    # at this size was measured at 160.8 g/s (real airfoil, BASELINE
+    # round 3) — the loader must not starve it. BL_ASSERT=1 makes a
+    # starvation here a hard failure (the bench harness contract).
+    # one trajectory, many frames: per-trajectory setup (h5 read, tiling
+    # build, skeleton) amortizes over the trajectory length like a real
+    # dataset (CylinderFlow: 600 frames/trajectory), so this measures the
+    # steady-state per-frame rate
+    big_h5, big_meta = synthetic.write_h5_dataset(
+        os.path.join(d, "big.h5"), num_trajectories=1, nx=162, ny=160,
+        num_steps=66, meta_path=os.path.join(d, "big_meta.json"),
+    )
+    bds = H5Dataset(big_h5, big_meta, FrameConfig(targets=("velocity",)))
+    bmgr = FusedTopologyManager(nk_layout=True)
+    best = 0.0
+    for w in worker_list:
+        best = max(best, bench_loader(
+            "airfoil_scale_nk", bds, 16, min(args.batches, 2), w,
+            bmgr.transform_frame, 160.8))
+    # assert on the BEST worker config — a deployment picks its workers;
+    # the skeleton fast path is GIL-bound, so workers=1 usually wins and
+    # the pool only pays off when the fast-path gates are off (world
+    # edges, partitions: full per-frame rebuilds)
+    if os.environ.get("BL_ASSERT") and best < 160.8:
+        raise SystemExit(
+            f"loader starves the airfoil-scale fused step: "
+            f"{best:.1f} < 160.8 frames/s"
+        )
 
 
 if __name__ == "__main__":

@@ -200,6 +200,14 @@ class EncodeTransformDecode(nn.Module):
     #: the same edge set. Static topologies dispatch on this tiling's
     #: baked indices; bucket-shared compiles ride graph.tiling_idx_nk
     edge_tiling_nk: Optional[Any] = None
+    #: multigrid (reference README.md:430-462 manual wiring, made a
+    #: config option): coarsen to ``ratio·N`` top-k nodes with a kNN
+    #: remesh after the encoder, run every transformer block on the
+    #: coarse graph, knn-interpolate back with a residual add. Stacked/
+    #: single-sample layouts only (selection is per-sample by nature).
+    use_multigrid: bool = False
+    multigrid_ratio: float = 0.5
+    multigrid_k: int = 6
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -218,6 +226,33 @@ class EncodeTransformDecode(nn.Module):
         if self.use_rope_embeddings and pos is None:
             raise ValueError("use_rope_embeddings=True requires node positions.")
 
+        senders, receivers = graph.senders, graph.receivers
+        edge_mask, node_mask = graph.edge_mask, graph.node_mask
+        tiling_idx, tiling_idx_nk = graph.tiling_idx, graph.tiling_idx_nk
+        x_fine = x
+        coarse = None
+        if self.use_multigrid:
+            if x.ndim != 2:
+                raise ValueError(
+                    "use_multigrid supports the stacked/single-sample "
+                    "layouts only (per-sample top-k selection); disable "
+                    "--packed"
+                )
+            from graph_physics_tpu.models.hierarchical_pooling import (
+                DownSampler,
+            )
+
+            coarse = DownSampler(
+                self.hidden_size, ratio=self.multigrid_ratio,
+                k=self.multigrid_k, dtype=self.dtype, name="down_sampler",
+            )(x, pos, node_mask=node_mask)
+            x = coarse.x
+            pos = coarse.pos
+            senders, receivers = coarse.senders, coarse.receivers
+            edge_mask, node_mask = coarse.edge_mask, coarse.node_mask
+            # fine-edge layouts don't apply to the kNN remesh
+            tiling_idx = tiling_idx_nk = None
+
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=())
@@ -235,20 +270,35 @@ class EncodeTransformDecode(nn.Module):
                 use_silu=self.use_silu,
                 sp_axis_name=self.sp_axis_name,
                 sp_halo_size=self.sp_halo_size,
-                tiling=self.edge_tiling,
-                nk_tiling=self.edge_tiling_nk,
+                tiling=None if self.use_multigrid else self.edge_tiling,
+                nk_tiling=None if self.use_multigrid else self.edge_tiling_nk,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(
                 x,
-                graph.senders,
-                graph.receivers,
-                graph.edge_mask,
-                graph.node_mask,
+                senders,
+                receivers,
+                edge_mask,
+                node_mask,
                 pos,
-                tiling_idx=graph.tiling_idx,
-                tiling_idx_nk=graph.tiling_idx_nk,
+                tiling_idx=tiling_idx,
+                tiling_idx_nk=tiling_idx_nk,
             )
+
+        if coarse is not None:
+            from graph_physics_tpu.models.hierarchical_pooling import (
+                UpSampler,
+            )
+
+            # residual interpolation back onto the fine mesh (reference
+            # README wiring: x = x + up_sampler(...))
+            x = x_fine + UpSampler(
+                self.hidden_size, k=self.multigrid_k, dtype=self.dtype,
+                name="up_sampler",
+            )(x, coarse.pos, graph.pos, coarse_mask=coarse.node_mask)
+            prev_x = x_fine
+            senders, receivers = graph.senders, graph.receivers
+            edge_mask = graph.edge_mask
 
         if self.use_temporal_block:
             x = TemporalAttention(
@@ -256,7 +306,7 @@ class EncodeTransformDecode(nn.Module):
                 num_heads=self.num_heads,
                 dtype=self.dtype,
                 name="temporal_block",
-            )(prev_x, x, graph.senders, graph.receivers, graph.edge_mask)
+            )(prev_x, x, senders, receivers, edge_mask)
 
         if self.only_processor:
             return x

@@ -69,6 +69,11 @@ def get_model(
             num_heads=m["num_heads"],
             only_processor=only_processor,
             use_silu=m.get("use_silu_activation", False),
+            # multigrid pooling (reference README.md:430-462, made a
+            # config option): coarse top-k + kNN remesh around the blocks
+            use_multigrid=m.get("use_multigrid", False),
+            multigrid_ratio=m.get("multigrid_ratio", 0.5),
+            multigrid_k=m.get("multigrid_k", 6),
             **common,
         )
     if model_type == "transolver":

@@ -331,3 +331,34 @@ def test_fused_nk_transformer_train(workspace, monkeypatch, tmp_path):
             "--run_name", "rnkd",
         ]) == 0
         assert calls, "NK kernel must dispatch inside the dp shard_map"
+
+
+def test_multigrid_transformer_train(workspace, tmp_path):
+    """model.use_multigrid drives the coarse top-k + kNN remesh path
+    through the real train CLI (config-wired multigrid, reference
+    README pooling section)."""
+    import json as _json
+
+    from graph_physics_tpu.cli.train import main as train_main
+
+    d, cfg_path = workspace
+    cfg = _json.loads(open(cfg_path).read())
+    cfg["model"].update(type="transformer", hidden_size=16, num_heads=4,
+                        edge_input_size=0, use_multigrid=True,
+                        multigrid_ratio=0.5, multigrid_k=4)
+    cfg_t = tmp_path / "config_mg.json"
+    cfg_t.write_text(_json.dumps(cfg))
+    assert train_main([
+        "--training_parameters_path", str(cfg_t),
+        "--epochs", "1",
+        "--batch_size", "2",
+        "--warmup", "2",
+        "--out_dir", str(d / "runs_mg"),
+        "--run_name", "mg",
+    ]) == 0
+    metrics = [
+        _json.loads(l)
+        for l in open(d / "runs_mg" / "mg" / "mg.metrics.jsonl")
+    ]
+    vals = [m for m in metrics if "val_all_rollout_rmse" in m]
+    assert vals and np.isfinite(vals[-1]["val_all_rollout_rmse"])

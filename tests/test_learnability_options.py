@@ -35,6 +35,11 @@ VARIANTS = {
                          False, 0.006),  # (0.0017)
     "transformer_silu": ("transformer", dict(use_silu=True), False, 0.006),  # (0.0020)
     "epd_mtp": ("epd", dict(), True, 0.008),  # (0.0025)
+    # multigrid pooling (reference README.md:430-462, config-wired r4):
+    # coarse top-k + kNN remesh around the transformer blocks
+    "transformer_multigrid": ("transformer",
+                              dict(use_multigrid=True, multigrid_ratio=0.5),
+                              False, 0.009),  # (0.0030)
 }
 
 

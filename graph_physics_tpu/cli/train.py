@@ -122,12 +122,17 @@ def main(argv=None):
     _honor_platform_env()
     if args.multihost:
         # must run before any jax backend use; with no explicit flags jax
-        # reads JAX_COORDINATOR_ADDRESS / cluster metadata itself
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+        # reads JAX_COORDINATOR_ADDRESS / cluster metadata itself.
+        # Idempotent: a second in-process invocation (train -> resume in
+        # one driver process) keeps the live distributed client.
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
 
     import jax.numpy as jnp
 

@@ -56,6 +56,23 @@ assert rc == 0
 import jax
 assert jax.process_count() == 2
 
+# multi-host orbax RESTORE: resume for one more epoch in lockstep (all
+# processes participate in the coordinated restore + save)
+rc = train_main([
+    "--training_parameters_path", f"{work}/config.json",
+    "--multihost",
+    "--coordinator_address", f"localhost:{port}",
+    "--num_processes", "2",
+    "--process_id", str(pid),
+    "--epochs", "3",
+    "--batch_size", "4",
+    "--warmup", "2",
+    "--out_dir", f"{work}/runs",
+    "--run_name", "mh",
+    "--resume_training",
+])
+assert rc == 0
+
 # data-correctness: the process-sharded loader's assembled GLOBAL batch
 # must equal the unsharded host loader's batch — compare this process's
 # addressable shards against the expected global slices
@@ -151,7 +168,8 @@ def test_two_process_cli_lockstep(workspace, tmp_path):
         for l in open(d / "runs" / "mh" / "mh.metrics.jsonl")
     ]
     epochs = [m for m in metrics if "val_all_rollout_rmse" in m]
-    assert len(epochs) == 2
+    # 2 initial epochs + 1 resumed epoch (the multi-host restore leg)
+    assert len(epochs) == 3
     assert all(np.isfinite(m["val_all_rollout_rmse"]) for m in epochs)
     # training actually learned in lockstep (loss finite and decreasing-ish)
     losses = [m["train_loss_epoch"] for m in epochs]

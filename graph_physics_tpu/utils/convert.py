@@ -423,6 +423,20 @@ def convert_state_dict(
             tree["temporal_block"] = _temporal(
                 sd, "model.temporal_block", hidden, heads
             )
+        if sd.has("model.down_sampler.lin.weight"):
+            # multigrid pooling (reference README.md:430-462 manual
+            # wiring; config-wired here as model.use_multigrid). PyG
+            # SelectTopK stores its learned projection as [1, d_in];
+            # ours is [d_in, 1] (same score: x @ w).
+            tree["down_sampler"] = {
+                "select_weight": jnp.asarray(
+                    sd.take("model.down_sampler.select.weight").reshape(-1, 1)
+                ),
+                "lin": _dense(sd, "model.down_sampler.lin"),
+            }
+            tree["up_sampler"] = {
+                "lin": _dense(sd, "model.up_sampler.lin"),
+            }
     elif model_type == "transolver":
         # both frameworks nest the Transolver under an inner 'model'
         tree = {"model": _transolver_model(sd, "model.model", hidden, heads)}

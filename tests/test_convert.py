@@ -412,3 +412,62 @@ def test_convert_then_finetune(tmp_path):
              open(f"{w}/runs/ft/ft.metrics.jsonl").read().splitlines()]
     assert lines and np.isfinite(lines[-1]["val_all_rollout_rmse"])
     assert lines[-1]["step"] > 0  # it actually trained past the converted step
+
+
+def test_convert_transformer_multigrid():
+    """ETD + manually-wired reference pooling (README.md:430-462):
+    DownSampler's SelectTopK projection ([1, d_in] -> our [d_in, 1]) and
+    both lin layers convert; the tree loads into our config-wired
+    multigrid model and runs."""
+    heads = 4
+    torch.manual_seed(23)
+    ref = ref_processors.EncodeTransformDecode(
+        message_passing_num=2, node_input_size=7, output_size=OUT,
+        hidden_size=H, num_heads=heads,
+    )
+    from graphphysics.models.hierarchical_pooling import (
+        DownSampler as RefDown,
+        UpSampler as RefUp,
+    )
+
+    down = RefDown(H, H, ratio=0.5)
+    up = RefUp(H, H)
+    flat = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    flat.update({f"model.down_sampler.{k}": v
+                 for k, v in down.state_dict().items()})
+    flat.update({f"model.up_sampler.{k}": v
+                 for k, v in up.state_dict().items()})
+    param = {"model": {
+        "type": "transformer", "message_passing_num": 2,
+        "node_input_size": 7 - 9, "edge_input_size": 0,
+        "output_size": OUT, "hidden_size": H, "num_heads": heads,
+        "use_multigrid": True, "multigrid_ratio": 0.5,
+    }}
+    params, _ = convert_lib.convert_state_dict(flat, param)
+
+    ds = params["params"]["down_sampler"]
+    np.testing.assert_allclose(
+        np.asarray(ds["select_weight"]),
+        down.select.weight.detach().numpy().reshape(-1, 1), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(ds["lin"]["kernel"]),
+        down.lin.weight.detach().numpy().T, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["up_sampler"]["lin"]["kernel"]),
+        up.lin.weight.detach().numpy().T, atol=0)
+
+    # the converted tree must drive OUR multigrid forward
+    model = our_processors.EncodeTransformDecode(
+        message_passing_num=2, node_input_size=7, output_size=OUT,
+        hidden_size=H, num_heads=heads, use_multigrid=True,
+        multigrid_ratio=0.5,
+    )
+    pos, cells, ei, node_type, *_ = _mesh(23)
+    rng = np.random.default_rng(23)
+    x7 = rng.normal(size=(len(pos), 7)).astype(np.float32)
+    ea = np.zeros((ei.shape[1], 1), np.float32)
+    g = _our_padded_graph(pos, cells, ei, node_type, x7, ea)
+    init = model.init(jax.random.PRNGKey(0), g)
+    assert jax.tree.structure(init) == jax.tree.structure(params)
+    out = model.apply(params, g)
+    assert np.isfinite(np.asarray(out)).all()

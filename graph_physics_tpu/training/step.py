@@ -292,7 +292,22 @@ def make_train_step(
             )
         mtp_rng = jax.random.fold_in(rng, 7)
         model_rngs = (
-            {"gumbel": jax.random.fold_in(rng, 11)} if uses_gumbel else None
+            # rbg-impl key: the gumbel draw is the transolver step's
+            # biggest RNG volume (N·H·G uniforms per block); threefry
+            # generation measured 7,227 -> 4,592 g/s when the noise was
+            # first threaded, rbg recovers most of it (same N(gumbel)
+            # distribution, different-but-proper generator). The impl
+            # rides the typed key through flax's fold_in/split.
+            {
+                "gumbel": jax.random.wrap_key_data(
+                    jax.random.bits(
+                        jax.random.fold_in(rng, 11), (4,), jnp.uint32
+                    ),
+                    impl="rbg",
+                )
+            }
+            if uses_gumbel
+            else None
         )
         (loss_val, (new_sim_state, terms, stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True

@@ -52,7 +52,11 @@ def main():
     #: BM_ASSERT=1 turns misses into a hard failure
     FLOORS = {"epd": 4000.0, "transformer": 335.0,
               "transformer_fused": 1100.0, "transformer_nk": 1400.0,
-              "transolver": 5500.0}
+              # re-based in round 4: the 5,500 floor predates the gumbel
+              # parity fix (training now samples slice noise like the
+              # reference — transolver.py:135); measured 5,030 with the
+              # rbg gumbel key (threefry: 4,592; pre-gumbel: 7,227)
+              "transolver": 4500.0}
     results = {}
 
     def bench(name, model, batch=64, inner=100, packed=True, graph=None):

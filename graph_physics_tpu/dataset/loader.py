@@ -152,9 +152,7 @@ class BatchLoader:
                     batch = self._assemble_global(batch)
                 elif self.device_put:
                     if callable(self.sharding):
-                        batch = jax.device_put(
-                            batch, jax.tree.map(self.sharding, batch)
-                        )
+                        batch = jax.device_put(batch, self._spec_tree(batch))
                     elif self.sharding is not None:
                         batch = jax.device_put(batch, self.sharding)
                     else:
@@ -178,6 +176,15 @@ class BatchLoader:
             self._executor = ThreadPoolExecutor(max_workers=self.workers)
         return self._executor
 
+    def _spec_tree(self, batch):
+        """Per-leaf shardings from the callable ``self.sharding`` —
+        path-aware callables (``sharding.with_path``) receive
+        (tree_path, leaf) so the spec can depend on the FIELD (packed
+        layouts put the batch axis in different positions per field)."""
+        if getattr(self.sharding, "with_path", False):
+            return jax.tree_util.tree_map_with_path(self.sharding, batch)
+        return jax.tree.map(self.sharding, batch)
+
     def _assemble_global(self, batch: MeshGraph) -> MeshGraph:
         """Build global jax.Arrays from this process's local batch slice.
 
@@ -187,10 +194,10 @@ class BatchLoader:
         deterministic, and packed topology arrays come from the shared
         trajectory)."""
         _, pc = self.process_shard
+        specs = self._spec_tree(batch)
 
-        def leaf(a):
+        def leaf(a, spec):
             a = np.asarray(a)
-            spec = self.sharding(a)
             sharded_axes = [s for s in spec.spec if s is not None]
             gshape = None
             if sharded_axes:
@@ -203,7 +210,7 @@ class BatchLoader:
                 gshape = tuple(gshape)
             return jax.make_array_from_process_local_data(spec, a, gshape)
 
-        return jax.tree.map(leaf, batch)
+        return jax.tree.map(leaf, batch, specs)
 
     def __iter__(self) -> Iterator[MeshGraph]:
         batches = self._batched_indices()

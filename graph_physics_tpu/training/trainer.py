@@ -239,24 +239,40 @@ class Trainer:
 
             packed = cfg.packed
 
-            # batch axis over 'dp'. Stacked layout: axis 0 of every leaf.
-            # Packed layout ([N, B, F] node / [E, B, F] edge arrays): the
-            # batch is axis 1 of the >=3-D leaves; topology arrays,
-            # masks and scalars are shared across the batch -> replicate
-            # (GSPMD keeps any mixed input sharding correct).
-            def spec_for(leaf):
-                if packed:
-                    if leaf.ndim >= 3:
-                        return NamedSharding(
-                            mesh, P(None, "dp", *([None] * (leaf.ndim - 2)))
-                        )
-                    return NamedSharding(mesh, P())
-                if leaf.ndim == 0:
-                    return NamedSharding(mesh, P())
-                return NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
+            # batch axis over 'dp'. Stacked layout: axis 0 of every
+            # leaf. Packed layout: the batch axis position depends on the
+            # FIELD ([N, B, F] node / [E, B, F] edge arrays -> axis 1;
+            # time [B] -> axis 0; topology/masks -> replicated), so the
+            # spec resolves by tree path, not by rank — a rank-based rule
+            # would mark time/deselected replicated, which single-process
+            # GSPMD silently reshards but multi-host assembly
+            # (make_array_from_process_local_data) would corrupt: a
+            # "replicated" leaf built from process-LOCAL slices.
+            PACKED_BATCH_AXIS = {
+                "x": 1, "edge_attr": 1, "y": 1, "prev": 1,
+                "next_data": 1, "phi": 1, "deselected": 1, "time": 0,
+            }
 
+            def spec_for(path, leaf):
+                name = None
+                if path and hasattr(path[0], "name"):
+                    name = path[0].name
+                if packed:
+                    ax = PACKED_BATCH_AXIS.get(name)
+                    if ax is None or np.ndim(leaf) <= ax:
+                        return NamedSharding(mesh, P())
+                    spec = [None] * np.ndim(leaf)
+                    spec[ax] = "dp"
+                    return NamedSharding(mesh, P(*spec))
+                if np.ndim(leaf) == 0:
+                    return NamedSharding(mesh, P())
+                return NamedSharding(
+                    mesh, P("dp", *([None] * (np.ndim(leaf) - 1)))
+                )
+
+            spec_for.with_path = True  # loader: resolve via tree paths
             self._mesh = mesh
-            self.sharding = spec_for  # resolved per-leaf at load time
+            self.sharding = spec_for
 
         #: multi-host: every process runs this same Trainer in SPMD
         #: lockstep; host-side effects (console, JSONL/wandb logging) are

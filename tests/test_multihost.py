@@ -73,6 +73,23 @@ rc = train_main([
 ])
 assert rc == 0
 
+# packed layout: the batch axis position depends on the FIELD (x/y are
+# [N, B, F] axis 1, time is [B] axis 0) — the field-aware spec path
+rc = train_main([
+    "--training_parameters_path", f"{work}/config.json",
+    "--multihost",
+    "--coordinator_address", f"localhost:{port}",
+    "--num_processes", "2",
+    "--process_id", str(pid),
+    "--epochs", "1",
+    "--batch_size", "4",
+    "--warmup", "2",
+    "--packed",
+    "--out_dir", f"{work}/runs",
+    "--run_name", "mh_packed",
+])
+assert rc == 0
+
 # data-correctness: the process-sharded loader's assembled GLOBAL batch
 # must equal the unsharded host loader's batch — compare this process's
 # addressable shards against the expected global slices
@@ -178,3 +195,11 @@ def test_two_process_cli_lockstep(workspace, tmp_path):
     # orbax checkpoint written once, restorable
     ckpts = os.listdir(d / "runs" / "mh" / "checkpoints")
     assert ckpts, "no checkpoint written"
+
+    # the packed multi-host leg produced finite metrics too
+    packed_metrics = [
+        json.loads(l)
+        for l in open(d / "runs" / "mh_packed" / "mh_packed.metrics.jsonl")
+    ]
+    pv = [m for m in packed_metrics if "val_all_rollout_rmse" in m]
+    assert pv and np.isfinite(pv[-1]["val_all_rollout_rmse"])

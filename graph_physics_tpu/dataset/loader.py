@@ -48,6 +48,7 @@ class BatchLoader:
         frame_transform=None,
         process_shard: Optional[tuple] = None,
         workers: int = 1,
+        broadcast_static: bool = False,
     ):
         """``packed=True``: batches are built from frames of ONE trajectory
         (shared topology) and emitted in the [N, B, F] trajectory-major
@@ -80,6 +81,16 @@ class BatchLoader:
         #: would starve the fused step (scripts/bench_loader.py measures
         #: the balance). Dataset/tiling caches take internal locks.
         self.workers = workers
+        #: compact shared leaves to [N, 1, F] views (the train step
+        #: re-expands on device — packed.expand_static_leaves). Only
+        #: valid on the plain path: dp/sp shardings and multi-host
+        #: assembly shard the batch axis, which a size-1 leaf can't carry.
+        self.broadcast_static = bool(
+            broadcast_static
+            and packed
+            and sharding is None
+            and process_shard is None
+        )
         if process_shard is not None:
             pi, pc = process_shard
             if batch_size % pc != 0:
@@ -145,7 +156,9 @@ class BatchLoader:
                     # direct [N, B, F] assembly (single copy of dynamic
                     # leaves) when the frames share static-topology
                     # objects; checked stack+pack otherwise
-                    batch = pack_frames(frames)
+                    batch = pack_frames(
+                        frames, broadcast_static=self.broadcast_static
+                    )
                 else:
                     batch = stack_batch(frames)
                 if self.process_shard is not None:

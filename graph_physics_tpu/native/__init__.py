@@ -28,7 +28,8 @@ def _build() -> Optional[str]:
         return _LIB
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
+             _SRC, "-o", _LIB],
             check=True,
             capture_output=True,
             timeout=300,
@@ -64,6 +65,19 @@ def load() -> Optional[ctypes.CDLL]:
     lib.rcb_partition.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p,
     ]
+    try:  # added after the first release of the .so — tolerate stale libs
+        lib.pack_rows.restype = None
+        lib.pack_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.repeat_rows.restype = None
+        lib.repeat_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -133,3 +147,61 @@ def rcb_labels(pos: np.ndarray, num_parts: int) -> Optional[np.ndarray]:
     labels = np.empty(pos.shape[0], np.int32)
     lib.rcb_partition(pos, pos.shape[0], pos.shape[1], num_parts, labels)
     return labels
+
+
+# number of copy threads for the packed-batch assembly: memory-bandwidth
+# bound, so a handful of threads saturates; leave cores for the
+# FrameBuilder worker pool that overlaps with this call (GIL released)
+_PACK_THREADS = max(1, min(8, (os.cpu_count() or 2) - 1))
+#: below this output size threading overhead beats the copy win
+_PACK_MIN_BYTES = 1 << 20
+
+
+def pack_rows(vals, out=None) -> Optional[np.ndarray]:
+    """[B x (N, F...)] frame leaves -> one [N, B, F...] packed array.
+
+    Threaded native interleave (training/packed.pack_frames hot path);
+    returns None when the native lib is unavailable or the inputs don't
+    qualify (callers fall back to the numpy stack+transpose path). All
+    ``vals`` must share shape and dtype; non-contiguous inputs are
+    compacted first (same cost the numpy path would pay).
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "pack_rows"):
+        return None
+    v0 = vals[0]
+    if any(v.shape != v0.shape or v.dtype != v0.dtype for v in vals[1:]):
+        return None
+    vals = [np.ascontiguousarray(v) for v in vals]
+    num_b = len(vals)
+    num_n = v0.shape[0]
+    row_bytes = int(np.prod(v0.shape[1:], dtype=np.int64)) * v0.itemsize
+    if out is None:
+        out = np.empty((num_n, num_b) + v0.shape[1:], v0.dtype)
+    ptrs = (ctypes.c_void_p * num_b)(
+        *[v.ctypes.data for v in vals]
+    )
+    nt = _PACK_THREADS if out.nbytes >= _PACK_MIN_BYTES else 1
+    lib.pack_rows(ptrs, num_b, num_n, row_bytes, out.ctypes.data, nt)
+    return out
+
+
+def repeat_rows(val: np.ndarray, num_b: int, out=None) -> Optional[np.ndarray]:
+    """One shared (N, F...) leaf -> [N, B, F...] (B identical copies).
+
+    Only worth it for the THREADED copy: single-threaded, np.repeat's
+    flat memcpy loop is as fast (measured) — return None there so
+    callers keep the numpy path.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "repeat_rows") or _PACK_THREADS <= 1:
+        return None
+    val = np.ascontiguousarray(val)
+    num_n = val.shape[0]
+    row_bytes = int(np.prod(val.shape[1:], dtype=np.int64)) * val.itemsize
+    if out is None:
+        out = np.empty((num_n, num_b) + val.shape[1:], val.dtype)
+    nt = _PACK_THREADS if out.nbytes >= _PACK_MIN_BYTES else 1
+    lib.repeat_rows(val.ctypes.data, num_b, num_n, row_bytes,
+                    out.ctypes.data, nt)
+    return out

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -223,6 +224,113 @@ void rcb_partition(const float* pos, int64_t n, int32_t dim,
     stack.push_back(std::move(left));
     stack.push_back(std::move(right));
   }
+}
+
+// ---------------------------------------------------------------------
+// pack_rows / repeat_rows: packed-batch assembly for the host loader
+// (training/packed.pack_frames). The [N, B, F] layout interleaves B
+// per-frame arrays row-by-row: dst[n, b, :] = srcs[b][n, :]. numpy does
+// this single-threaded through generic strided loops (the measured
+// loader bottleneck at cylinder scale, BASELINE.md round 4); here it is
+// a threaded sequential-write copy. row_bytes = F * itemsize. Called
+// through ctypes, which releases the GIL — FrameBuilder workers overlap.
+
+static void pack_rows_range(const void* const* srcs, int64_t num_b,
+                            int64_t row_bytes, char* dst, int64_t n0,
+                            int64_t n1) {
+  if (row_bytes % 8 == 0) {
+    // word copies beat memcpy-call overhead at the typical 8-64 B rows
+    const int64_t words = row_bytes / 8;
+    for (int64_t n = n0; n < n1; ++n) {
+      uint64_t* out = (uint64_t*)(dst + n * num_b * row_bytes);
+      for (int64_t b = 0; b < num_b; ++b) {
+        const uint64_t* in =
+            (const uint64_t*)((const char*)srcs[b] + n * row_bytes);
+        for (int64_t w = 0; w < words; ++w) *out++ = in[w];
+      }
+    }
+  } else if (row_bytes % 4 == 0) {
+    const int64_t words = row_bytes / 4;
+    for (int64_t n = n0; n < n1; ++n) {
+      uint32_t* out = (uint32_t*)(dst + n * num_b * row_bytes);
+      for (int64_t b = 0; b < num_b; ++b) {
+        const uint32_t* in =
+            (const uint32_t*)((const char*)srcs[b] + n * row_bytes);
+        for (int64_t w = 0; w < words; ++w) *out++ = in[w];
+      }
+    }
+  } else {
+    for (int64_t n = n0; n < n1; ++n) {
+      char* out = dst + n * num_b * row_bytes;
+      for (int64_t b = 0; b < num_b; ++b, out += row_bytes)
+        std::memcpy(out, (const char*)srcs[b] + n * row_bytes, row_bytes);
+    }
+  }
+}
+
+static void repeat_rows_range(const void* src, int64_t num_b,
+                              int64_t row_bytes, char* dst, int64_t n0,
+                              int64_t n1) {
+  if (row_bytes % 8 == 0) {
+    const int64_t words = row_bytes / 8;
+    for (int64_t n = n0; n < n1; ++n) {
+      const uint64_t* in = (const uint64_t*)((const char*)src + n * row_bytes);
+      uint64_t* out = (uint64_t*)(dst + n * num_b * row_bytes);
+      for (int64_t b = 0; b < num_b; ++b)
+        for (int64_t w = 0; w < words; ++w) *out++ = in[w];
+    }
+  } else if (row_bytes % 4 == 0) {
+    const int64_t words = row_bytes / 4;
+    for (int64_t n = n0; n < n1; ++n) {
+      const uint32_t* in = (const uint32_t*)((const char*)src + n * row_bytes);
+      uint32_t* out = (uint32_t*)(dst + n * num_b * row_bytes);
+      for (int64_t b = 0; b < num_b; ++b)
+        for (int64_t w = 0; w < words; ++w) *out++ = in[w];
+    }
+  } else {
+    for (int64_t n = n0; n < n1; ++n) {
+      const char* in = (const char*)src + n * row_bytes;
+      char* out = dst + n * num_b * row_bytes;
+      for (int64_t b = 0; b < num_b; ++b, out += row_bytes)
+        std::memcpy(out, in, row_bytes);
+    }
+  }
+}
+
+void pack_rows(const void* const* srcs, int64_t num_b, int64_t num_n,
+               int64_t row_bytes, void* dst, int32_t nthreads) {
+  if (nthreads <= 1 || num_n < 2 * nthreads) {
+    pack_rows_range(srcs, num_b, row_bytes, (char*)dst, 0, num_n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  int64_t chunk = (num_n + nthreads - 1) / nthreads;
+  for (int32_t t = 0; t < nthreads; ++t) {
+    int64_t n0 = t * chunk, n1 = std::min(num_n, n0 + chunk);
+    if (n0 >= n1) break;
+    ts.emplace_back(pack_rows_range, srcs, num_b, row_bytes, (char*)dst,
+                    n0, n1);
+  }
+  for (auto& t : ts) t.join();
+}
+
+void repeat_rows(const void* src, int64_t num_b, int64_t num_n,
+                 int64_t row_bytes, void* dst, int32_t nthreads) {
+  if (nthreads <= 1 || num_n < 2 * nthreads) {
+    repeat_rows_range(src, num_b, row_bytes, (char*)dst, 0, num_n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  int64_t chunk = (num_n + nthreads - 1) / nthreads;
+  for (int32_t t = 0; t < nthreads; ++t) {
+    int64_t n0 = t * chunk, n1 = std::min(num_n, n0 + chunk);
+    if (n0 >= n1) break;
+    ts.emplace_back(repeat_rows_range, src, num_b, row_bytes, (char*)dst,
+                    n0, n1);
+  }
+  for (auto& t : ts) t.join();
 }
 
 }  // extern "C"

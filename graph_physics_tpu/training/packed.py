@@ -101,7 +101,7 @@ _STATIC_ATTRS = ("pos", "node_type", "node_mask", "senders", "receivers",
                  "edge_mask", "faces", "face_mask")
 
 
-def pack_frames(frames) -> MeshGraph:
+def pack_frames(frames, broadcast_static: bool = False) -> MeshGraph:
     """Frames of one trajectory → [N, B, F]-packed batch, directly.
 
     The loader's generic path (``pack(stack_batch(frames))``) copies every
@@ -112,6 +112,16 @@ def pack_frames(frames) -> MeshGraph:
     fused transform's template guarantee — the packed batch assembles
     with ONE axis-1 stack of the dynamic leaves and zero topology
     work. Falls back to the checked generic path otherwise.
+
+    ``broadcast_static=True``: a dynamic-slot leaf shared by ALL frames
+    (static edge features are the big one: [E, 3] with E ≈ 6N) is emitted
+    as a zero-copy [N, 1, F] VIEW instead of B host copies — the train
+    step re-expands it on device (``expand_static_leaves``, a free XLA
+    broadcast) with bit-identical results. Cuts the host assembly and the
+    H2D transfer of a cylinder-sized batch by ~75% (BASELINE.md round 4).
+    Only the plain single-process loader path uses it: dp/sp shardings
+    and multi-host global assembly shard the batch axis, which a size-1
+    leaf cannot carry.
     """
     f0 = frames[0]
     shared = all(
@@ -124,21 +134,35 @@ def pack_frames(frames) -> MeshGraph:
 
         return pack(stack_batch(frames))
 
+    from graph_physics_tpu import native
+
     def dyn(get):
         v0 = get(f0)
         if v0 is None:
             return None
         vals = [np.asarray(get(f)) for f in frames]
         if all(v is vals[0] for v in vals[1:]):
-            # one shared object (e.g. static edge features): np.repeat
-            # duplicates each source row B times sequentially — measured
-            # 10x faster than both the axis-1 stack and
+            if broadcast_static:
+                # zero-copy [N, 1, F] view; the step broadcasts on device
+                return vals[0][:, None]
+            # one shared object (e.g. static edge features): threaded
+            # native row-repeat (meshops.cc repeat_rows — GIL released,
+            # sequential writes); numpy fallback is np.repeat, itself
+            # measured 10x over both the axis-1 stack and
             # ascontiguousarray(broadcast_to) (numpy's 0-stride copy
             # slow path) at airfoil scale
+            out = native.repeat_rows(vals[0], len(vals))
+            if out is not None:
+                return out
             return np.repeat(vals[0][:, None], len(vals), axis=1)
-        # contiguous [B, N, F] stack (sequential writes), then ONE
-        # blocked transpose pass — measured ~4x faster than numpy's
-        # axis-1 stacking (B strided destination passes) at 26k nodes
+        # threaded native interleave (meshops.cc pack_rows): one
+        # sequential-write pass straight into the [N, B, F] layout.
+        # numpy fallback: contiguous [B, N, F] stack then ONE blocked
+        # transpose — measured ~4x over numpy's axis-1 stacking
+        # (B strided destination passes) at 26k nodes
+        out = native.pack_rows(vals)
+        if out is not None:
+            return out
         return np.ascontiguousarray(np.stack(vals, axis=0).swapaxes(0, 1))
 
     return f0.replace(
@@ -155,6 +179,39 @@ def pack_frames(frames) -> MeshGraph:
             else np.asarray([np.asarray(f.time) for f in frames],
                             np.float32)
         ),
+    )
+
+
+def expand_static_leaves(graph: MeshGraph) -> MeshGraph:
+    """Re-expand ``pack_frames(broadcast_static=True)`` leaves on device.
+
+    Any dynamic-slot leaf carrying a size-1 batch axis (axis 1 of the
+    packed [N, B, F] layout) is broadcast to the batch size of ``x`` —
+    inside jit this is a free XLA broadcast that fuses into the leaf's
+    first consumer, so the downstream program (normalizer statistics
+    included) is bit-identical to the host-repeated layout. No-op for
+    unpacked graphs and for leaves already at full batch width.
+    """
+    x = graph.x
+    if x is None or x.ndim != 3 or graph.node_type.ndim != 1:
+        return graph  # not the packed layout
+    b = x.shape[1]
+    if b <= 1:
+        return graph
+
+    def expand(a):
+        if a is None or a.ndim < 2 or a.shape[1] != 1:
+            return a
+        return jnp.broadcast_to(a, a.shape[:1] + (b,) + a.shape[2:])
+
+    return graph.replace(
+        x=expand(graph.x),
+        edge_attr=expand(graph.edge_attr),
+        y=expand(graph.y),
+        prev=expand(graph.prev),
+        next_data=expand(graph.next_data),
+        deselected=expand(graph.deselected),
+        phi=expand(graph.phi),
     )
 
 

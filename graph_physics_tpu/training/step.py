@@ -24,6 +24,7 @@ from graph_physics_tpu.core.graph import MeshGraph
 from graph_physics_tpu.models.simulator import Simulator, SimulatorState
 from graph_physics_tpu.training import noise as noise_lib
 from graph_physics_tpu.training import loss as loss_lib
+from graph_physics_tpu.training import packed as packed_lib
 from graph_physics_tpu.training.loss import LossInputs, LossType, MultiLoss
 
 
@@ -275,7 +276,10 @@ def make_train_step(
         return total, (new_state, terms, stats)
 
     def step_body(state: TrainState, batch: MeshGraph, rng: jax.Array):
-        graph = batch
+        # re-expand compact static leaves ([E, 1, F] from the loader's
+        # broadcast_static mode) BEFORE anything else, so noise/world
+        # features/normalizer statistics see the exact full-width layout
+        graph = packed_lib.expand_static_leaves(batch)
         if device_preprocess is not None:
             graph = device_preprocess(graph, rng, state.step)
         elif noise_cfg is not None and noise_cfg.enabled:

@@ -77,6 +77,13 @@ class TrainerConfig:
     #: trajectory-major [N, B, F] batching (shared topology) — the TPU
     #: fast gather path (training/packed.py)
     packed: bool = False
+    #: packed loader: emit shared static leaves (e.g. static edge
+    #: features) as zero-copy [N, 1, F] views; the train step re-expands
+    #: them on device (packed.expand_static_leaves — bit-identical).
+    #: Cuts host batch assembly + H2D ~75% at cylinder scale. Auto-
+    #: disabled by the loader when the batch axis is sharded (dp/sp/
+    #: multi-host).
+    broadcast_static: bool = True
     #: BatchLoader frame-building thread pool. Default 1: the skeleton
     #: fast paths are GIL-bound small ops and threads only help when the
     #: fast-path gates are off (world edges / partitions / feature hooks
@@ -419,6 +426,7 @@ class Trainer:
                 # seed), each process loads only its 1/P slice
                 process_shard=self._proc_shard,
                 workers=cfg.loader_workers,
+                broadcast_static=cfg.broadcast_static,
             )
             t_epoch = time.time()
             n_batches = 0

@@ -29,21 +29,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 STEP_DEMAND_FRAMES_PER_S = 4982.0
 
 
-def bench_loader(name, ds, batch_size, batches, workers, transform, demand):
+def bench_loader(name, ds, batch_size, batches, workers, transform, demand,
+                 broadcast_static=True):
     from graph_physics_tpu.dataset.loader import BatchLoader
 
     loader = BatchLoader(
         ds, batch_size, shuffle=True, seed=0, device_put=False,
         packed=True, frame_transform=transform, workers=workers,
+        broadcast_static=broadcast_static,
     )
-    it = iter(loader)
-    next(it)  # warm the caches (h5 LRU, tilings)
+    for _ in loader:  # warm epoch (h5 LRU, skeletons, tiling templates)
+        pass
     t0 = time.perf_counter()
     n = 0
-    for b in it:
-        n += batch_size
-        if n >= batches * batch_size:
-            break
+    while n < batches * batch_size:  # steady state: caches persist
+        for b in loader:             # across epochs like real training
+            n += batch_size
+            if n >= batches * batch_size:
+                break
     dt = time.perf_counter() - t0
     fps = n / dt
     print(json.dumps({
@@ -86,8 +89,14 @@ def main():
 
     worker_list = [args.workers] if args.workers else [1, 8]
     for w in worker_list:
+        # committed mode (trainer default): shared static leaves ride as
+        # [N, 1, F] views, re-expanded on device by the train step
         bench_loader("cylinder_nk", ds, 128, args.batches, w,
                      mgr.transform_frame, STEP_DEMAND_FRAMES_PER_S)
+        # full host-repeat mode (what sharded/multi-host paths pay)
+        bench_loader("cylinder_nk_hostrepeat", ds, 128, args.batches, w,
+                     mgr.transform_frame, STEP_DEMAND_FRAMES_PER_S,
+                     broadcast_static=False)
 
     # airfoil-SCALE leg (~26k nodes, synthetic): the fused step's demand
     # at this size was measured at 160.8 g/s (real airfoil, BASELINE

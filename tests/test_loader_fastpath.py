@@ -144,3 +144,41 @@ def test_loader_workers_same_batches(ds):
 
     for b1, b8 in zip(batches(1), batches(8)):
         _assert_graphs_equal(b1, b8)
+
+
+def test_native_pack_rows_matches_numpy(monkeypatch):
+    """meshops.cc pack_rows/repeat_rows == the numpy stack/repeat paths,
+    bit-exact, across dtypes and row widths (incl. the threaded range
+    split, forced — CI hosts may expose a single core)."""
+    from graph_physics_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.setattr(native, "_PACK_THREADS", 4)
+    monkeypatch.setattr(native, "_PACK_MIN_BYTES", 0)
+    rng = np.random.default_rng(3)
+    cases = [
+        ((1920, 4), 128, np.float32),   # 16 B rows: u64 path
+        ((513, 3), 7, np.float32),      # 12 B rows: u32 path
+        ((200,), 5, np.float64),        # 8 B rows
+        ((65, 5), 3, np.int8),          # 5 B rows: memcpy path
+        ((33, 3, 2), 5, np.float32),    # 3-d leaves
+        ((3, 2), 9, np.int32),          # tiny N < threads
+    ]
+    for shape, b, dt in cases:
+        vals = [
+            (rng.standard_normal(shape) * 50).astype(dt) for _ in range(b)
+        ]
+        ref = np.ascontiguousarray(np.stack(vals, axis=0).swapaxes(0, 1))
+        out = native.pack_rows(vals)
+        assert out is not None and out.dtype == ref.dtype
+        np.testing.assert_array_equal(out, ref)
+        rep = native.repeat_rows(vals[0], b)
+        assert rep is not None
+        np.testing.assert_array_equal(
+            rep, np.repeat(vals[0][:, None], b, axis=1)
+        )
+    # shape/dtype mismatch: wrapper declines, caller falls back
+    assert native.pack_rows(
+        [np.zeros((4, 2), np.float32), np.zeros((4, 3), np.float32)]
+    ) is None

@@ -237,3 +237,58 @@ def test_packed_multiloss_wls_gradient():
     np.testing.assert_allclose(
         float(mp_["loss"]), float(ms["loss"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_broadcast_static_step_bit_identical(tmp_path):
+    """pack_frames(broadcast_static=True) + the step's in-jit re-expand ==
+    the host-repeated layout, bit-for-bit (metrics AND updated params) —
+    the loader's committed default (trainer broadcast_static)."""
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.loader import BatchLoader
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+    from graph_physics_tpu.training.step import init_train_state
+
+    path, meta = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=1, nx=7, ny=5, num_steps=8,
+        meta_path=str(tmp_path / "m.json"),
+    )
+    ds = H5Dataset(path, meta, FrameConfig(targets=("velocity",)))
+
+    def first_batch(broadcast):
+        loader = BatchLoader(
+            ds, batch_size=4, packed=True, device_put=False, seed=0,
+            shuffle=False, broadcast_static=broadcast,
+        )
+        return next(iter(loader))
+
+    full = first_batch(False)
+    compact = first_batch(True)
+    # the shared static edge features actually rode the compact layout
+    assert np.asarray(compact.edge_attr).shape[1] == 1
+    assert np.asarray(full.edge_attr).shape[1] == 4
+    # and the in-jit expansion reproduces the full layout exactly
+    expanded = pk.expand_static_leaves(
+        jax.tree.map(jnp.asarray, compact)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(expanded.edge_attr), np.asarray(full.edge_attr)
+    )
+
+    sim, opt, step_fn = make_setup(hidden=8, mp=1)
+    rng = jax.random.PRNGKey(3)
+    outs = []
+    for b in (full, compact):
+        state = init_train_state(sim, opt, jax.random.PRNGKey(0), full)
+        s, m = step_fn(state, b, rng)
+        outs.append((s, m))
+    (s1, m1), (s2, m2) = outs
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s1.params,
+        s2.params,
+    )

@@ -90,6 +90,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="frame-building thread pool (num_workers analog; "
                         "helps when per-frame rebuilds are forced: world "
                         "edges, partitions, feature hooks)")
+    p.add_argument("--broadcast_static", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="packed loader: ship shared static leaves as "
+                        "[E,1,F] views, re-expanded on device by the "
+                        "train step (bit-identical; ~75%% less host "
+                        "assembly + H2D at cylinder scale). Auto-disabled "
+                        "on sharded/multi-host paths")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimizer steps per XLA dispatch (latency amortization)")
     p.add_argument("--external", default=None,
@@ -232,6 +239,7 @@ def main(argv=None):
         max_val_trajectories=args.max_val_trajectories,
         val_device_batch=args.val_device_batch or None,
         loader_workers=args.loader_workers,
+        broadcast_static=args.broadcast_static,
         previous_data_slice=(
             (args.previous_data_start, args.previous_data_end) if args.use_previous_data else None
         ),

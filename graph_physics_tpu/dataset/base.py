@@ -129,6 +129,34 @@ class BaseDataset:
             part_ids=part_ids,
         )
 
+    def get_frames_packed(
+        self, idxs, train: bool = True
+    ) -> Optional[MeshGraph]:
+        """Whole same-trajectory batch → half-packed MeshGraph, vectorized.
+
+        The packed loader's fast lane: one ``FrameBuilder.build_packed``
+        call instead of B per-frame builds + a host interleave. Returns
+        None whenever the vectorized regime doesn't hold (mixed
+        trajectories/partitions, sub-mesh partitions, masking, no
+        skeleton yet, ...) — the caller falls back to the per-frame path.
+        """
+        if self._partitions is not None:
+            return None
+        tfp = [self.indices_for(int(i)) for i in idxs]
+        t0 = tfp[0][0]
+        if any(t != t0 or p != 0 for t, _, p in tfp):
+            return None
+        return self.builder.build_packed(
+            self._trajectory(t0),
+            np.asarray([f for _, f, _ in tfp], np.int64),
+            traj_index=t0,
+            n_pad=self._n_pad[t0],
+            e_pad=self._e_pad[t0],
+            c_pad=self._c_pad[t0],
+            train=train,
+            cache_key=t0,
+        )
+
     def trajectory_frames(self, t: int, part: int = 0) -> List[MeshGraph]:
         """All rollout frames of trajectory ``t`` (eval: no augmentation)."""
         return [

@@ -49,6 +49,7 @@ class BatchLoader:
         process_shard: Optional[tuple] = None,
         workers: int = 1,
         broadcast_static: bool = False,
+        packed_transform=None,
     ):
         """``packed=True``: batches are built from frames of ONE trajectory
         (shared topology) and emitted in the [N, B, F] trajectory-major
@@ -73,6 +74,11 @@ class BatchLoader:
         self.sharding = sharding
         self.packed = packed
         self.frame_transform = frame_transform
+        #: packed-batch twin of ``frame_transform`` (e.g.
+        #: FusedTopologyManager.transform_packed) — enables the
+        #: vectorized whole-batch build lane; None disables that lane
+        #: whenever ``frame_transform`` is set
+        self.packed_transform = packed_transform
         self.process_shard = process_shard
         #: >1: build the batch's frames (dataset read + FrameBuilder +
         #: frame_transform) on a thread pool — h5py reads and the numpy
@@ -146,21 +152,25 @@ class BatchLoader:
                     pi, pc = self.process_shard
                     local = len(chunk) // pc
                     chunk = chunk[pi * local : (pi + 1) * local]
-                if self.workers > 1 and len(chunk) > 1:
-                    frames = list(self._pool().map(self._build_one, chunk))
-                else:
-                    frames = [self._build_one(i) for i in chunk]
-                if self.packed:
-                    from graph_physics_tpu.training.packed import pack_frames
+                batch = self._packed_fast(chunk) if self.packed else None
+                if batch is None:
+                    if self.workers > 1 and len(chunk) > 1:
+                        frames = list(self._pool().map(self._build_one, chunk))
+                    else:
+                        frames = [self._build_one(i) for i in chunk]
+                    if self.packed:
+                        from graph_physics_tpu.training.packed import (
+                            pack_frames,
+                        )
 
-                    # direct [N, B, F] assembly (single copy of dynamic
-                    # leaves) when the frames share static-topology
-                    # objects; checked stack+pack otherwise
-                    batch = pack_frames(
-                        frames, broadcast_static=self.broadcast_static
-                    )
-                else:
-                    batch = stack_batch(frames)
+                        # direct [N, B, F] assembly (single copy of
+                        # dynamic leaves) when the frames share static-
+                        # topology objects; checked stack+pack otherwise
+                        batch = pack_frames(
+                            frames, broadcast_static=self.broadcast_static
+                        )
+                    else:
+                        batch = stack_batch(frames)
                 if self.process_shard is not None:
                     batch = self._assemble_global(batch)
                 elif self.device_put:
@@ -181,6 +191,27 @@ class BatchLoader:
         if self.frame_transform is not None:
             f = self.frame_transform(f)
         return f
+
+    def _packed_fast(self, chunk) -> Optional[MeshGraph]:
+        """Vectorized whole-batch lane: one ``get_frames_packed`` build
+        (all B frames' dynamic leaves in a handful of numpy ops) plus the
+        template-based packed layout transform. None → the caller runs
+        the per-frame path, which also WARMS this lane (first batch of a
+        trajectory builds the skeleton and the conversion template)."""
+        if not hasattr(self.ds, "get_frames_packed"):
+            return None
+        if self.frame_transform is not None and self.packed_transform is None:
+            return None
+        g = self.ds.get_frames_packed(chunk, train=True)
+        if g is None:
+            return None
+        if self.packed_transform is not None:
+            g = self.packed_transform(g)
+            if g is None:
+                return None
+        from graph_physics_tpu.training.packed import finalize_packed
+
+        return finalize_packed(g, len(chunk), self.broadcast_static)
 
     def _pool(self):
         if getattr(self, "_executor", None) is None:

@@ -439,6 +439,106 @@ class FrameBuilder:
                 self._skel_cache.popitem(last=False)
         return g
 
+    def build_packed(
+        self,
+        traj: Dict[str, np.ndarray],
+        frames: np.ndarray,
+        traj_index: int = 0,
+        n_pad: Optional[int] = None,
+        e_pad: Optional[int] = None,
+        c_pad: Optional[int] = None,
+        train: bool = True,
+        cache_key: Optional[Any] = None,
+    ) -> Optional[MeshGraph]:
+        """All B frames of one batch → [N, B, F] dynamic leaves, directly.
+
+        Vectorized twin of the per-frame skeleton fast path (``build``):
+        instead of B ``extract_frame``+``assemble_x``+pad passes plus a
+        host interleave, every leaf is assembled with a handful of whole-
+        batch numpy ops (one fancy-index + one strided write per field).
+        Bit-identical to ``pack_frames([build(f) for f in frames])`` —
+        asserted by tests/test_loader_fastpath.py.
+
+        Returns None when outside the fast regime (no skeleton yet, any
+        frame-value-dependent edges/features, masking, a frame without a
+        target, or frame 0 under use_previous_data) — callers fall back
+        to the per-frame path. The returned graph is HALF-packed: node
+        leaves carry the batch axis, static-slot leaves (edge_attr, phi)
+        stay single — ``training.packed.finalize_packed`` adds their
+        batch axis after the optional fused-layout transform.
+        """
+        cfg = self.cfg
+        if (
+            cfg.world is not None
+            or cfg.new_edges_ratio != 0
+            or cfg.extra_node_features is not None
+            or cfg.extra_edge_features is not None
+            or (train and cfg.masking_ratio > 0)
+        ):
+            return None
+        skel_key = (
+            cache_key if cache_key is not None else traj_index,
+            n_pad, e_pad, c_pad,
+        )
+        skel = self._skel_cache.get(skel_key)
+        if skel is None:
+            return None  # first batch builds the skeleton per-frame
+        self._skel_cache.move_to_end(skel_key)
+
+        frames = np.asarray(frames, np.int64)
+        dynamic_keys = [k for k in traj.keys() if k not in STRUCTURAL_FIELDS]
+        t_len = len(traj[dynamic_keys[0]])
+        if (frames + 1 >= t_len).any():
+            return None  # a frame without a target: per-frame semantics
+        if cfg.use_previous_data and (frames == 0).any():
+            return None
+        b = len(frames)
+        np_rows = skel.x.shape[0]
+        # valid-row count from the source arrays (skeleton rows include
+        # bucket padding)
+        n = traj[dynamic_keys[0]].shape[1]
+        dt = float(self.meta.get("dt", 1.0)) or 1.0
+        times = (frames * dt).astype(np.float32)
+
+        def packed_concat(keys, frame_ids, extra_cols=0):
+            """[np_rows, B, sum(c_k)+extra] with each field written once."""
+            widths = [
+                int(np.prod(traj[k].shape[2:], dtype=np.int64)) or 1
+                for k in keys
+            ]
+            out = np.zeros(
+                (np_rows, b, sum(widths) + extra_cols), np.float32
+            )
+            col = 0
+            for k, w in zip(keys, widths):
+                a = traj[k][frame_ids].reshape(b, n, w)
+                out[:n, :, col : col + w] = a.transpose(1, 0, 2)
+                col += w
+            return out, col
+
+        # x = [dynamic fields (dict order), node_type, time]
+        x, col = packed_concat(dynamic_keys, frames, extra_cols=2)
+        x[:n, :, col] = np.asarray(
+            traj["node_type"][0], np.float32
+        ).reshape(-1)[:, None]
+        x[:n, :, col + 1] = times[None, :]
+        assert x.shape[-1] == skel.x.shape[-1], "x column layout drifted"
+
+        y, _ = packed_concat(list(cfg.targets), frames + 1)
+        nt_keys = [k for k in dynamic_keys if k not in cfg.targets]
+        next_data = (
+            packed_concat(nt_keys, frames + 1)[0] if nt_keys else None
+        )
+        prev = (
+            packed_concat(dynamic_keys, frames - 1)[0]
+            if cfg.use_previous_data
+            else None
+        )
+        return skel.replace(
+            x=x, y=y, prev=prev, next_data=next_data,
+            time=times, deselected=None,
+        )
+
     def edge_budget_for(self, mesh_edge_count: int) -> int:
         """Static edge bucket: mesh edges (+k-hop growth already counted)
         + world budget + random-edge headroom."""

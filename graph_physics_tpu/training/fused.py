@@ -303,6 +303,59 @@ class FusedTopologyManager:
                 return entry[0], entry[1]
         raise KeyError(traj)
 
+    @staticmethod
+    def _apply_template(tmpl: MeshGraph, g: MeshGraph) -> MeshGraph:
+        """Converted static leaves from the cached template + this
+        frame's dynamic node leaves padded to the tiling's node count.
+        ``pad_nodes`` is axis-0 only, so it serves single frames
+        ([N, F]) and half-packed batches ([N, B, F]) alike."""
+        n_new = tmpl.x.shape[0]
+
+        def pad_nodes(a, fill=0):
+            if a is None:
+                return None
+            a = np.asarray(a)
+            if a.shape[0] == n_new:
+                return a
+            if a.shape[0] > n_new:
+                return a[:n_new]
+            pad = np.full((n_new - a.shape[0],) + a.shape[1:], fill,
+                          a.dtype)
+            return np.concatenate([a, pad], axis=0)
+
+        return tmpl.replace(
+            x=pad_nodes(g.x),
+            y=pad_nodes(g.y),
+            prev=pad_nodes(g.prev),
+            next_data=pad_nodes(g.next_data),
+            deselected=pad_nodes(g.deselected, False),
+            time=g.time,
+        )
+
+    def transform_packed(self, g: MeshGraph) -> Optional[MeshGraph]:
+        """Blocked-layout conversion of a HALF-packed batch (node leaves
+        [N, B, F], static slots single — ``FrameBuilder.build_packed``).
+
+        Only the static-template fast regime applies (the template's
+        converted static leaves + an axis-0 pad of the packed node
+        leaves); returns None otherwise — including the first batch of a
+        trajectory, which must run per-frame to build the template — and
+        the caller falls back to the per-frame path. XLA-fallback
+        topologies pass through unchanged (same contract as
+        ``transform_frame``)."""
+        key, (t, perm, _nk) = self._tiling_for(g)
+        if t is None:
+            return g
+        cached = self._converted.get(key)
+        if (
+            cached is None
+            or perm is not None
+            or cached[1] is not g.pos
+            or cached[2] is not g.edge_attr
+        ):
+            return None
+        return self._apply_template(cached[0], g)
+
     def transform_frame(self, g: MeshGraph) -> MeshGraph:
         """Convert one host-side frame into the blocked layout (no-op for
         untileable topologies).
@@ -329,29 +382,7 @@ class FusedTopologyManager:
             and cached[1] is g.pos
             and cached[2] is g.edge_attr
         ):
-            tmpl = cached[0]
-            n_new = tmpl.x.shape[0]
-
-            def pad_nodes(a, fill=0):
-                if a is None:
-                    return None
-                a = np.asarray(a)
-                if a.shape[0] == n_new:
-                    return a
-                if a.shape[0] > n_new:
-                    return a[:n_new]
-                pad = np.full((n_new - a.shape[0],) + a.shape[1:], fill,
-                              a.dtype)
-                return np.concatenate([a, pad], axis=0)
-
-            return tmpl.replace(
-                x=pad_nodes(g.x),
-                y=pad_nodes(g.y),
-                prev=pad_nodes(g.prev),
-                next_data=pad_nodes(g.next_data),
-                deselected=pad_nodes(g.deselected, False),
-                time=g.time,
-            )
+            return self._apply_template(cached[0], g)
 
         src_pos, src_ea = g.pos, g.edge_attr  # strong refs: identity
         # comparison is only sound while the source objects stay alive

@@ -182,6 +182,36 @@ def pack_frames(frames, broadcast_static: bool = False) -> MeshGraph:
     )
 
 
+def finalize_packed(
+    graph: MeshGraph, batch: int, broadcast_static: bool
+) -> MeshGraph:
+    """Give the HALF-packed graph (``FrameBuilder.build_packed`` /
+    ``FusedTopologyManager.transform_packed``) its static-slot batch
+    axes: edge_attr [E, F] and phi [N] — the leaves shared by every
+    frame — become [E, 1, F] / [N, 1] views under ``broadcast_static``
+    (the step re-expands on device) or full host repeats otherwise,
+    matching ``pack_frames`` exactly."""
+    from graph_physics_tpu import native
+
+    def add_axis(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        if broadcast_static:
+            return a[:, None]
+        out = native.repeat_rows(a, batch)
+        if out is not None:
+            return out
+        return np.repeat(a[:, None], batch, axis=1)
+
+    rep = {}
+    if graph.edge_attr is not None and graph.edge_attr.ndim == 2:
+        rep["edge_attr"] = add_axis(graph.edge_attr)
+    if graph.phi is not None and graph.phi.ndim == 1:
+        rep["phi"] = add_axis(graph.phi)
+    return graph.replace(**rep) if rep else graph
+
+
 def expand_static_leaves(graph: MeshGraph) -> MeshGraph:
     """Re-expand ``pack_frames(broadcast_static=True)`` leaves on device.
 

@@ -422,6 +422,9 @@ class Trainer:
                 frame_transform=(
                     self._fused_mgr.transform_frame if self._fused_mgr else None
                 ),
+                packed_transform=(
+                    self._fused_mgr.transform_packed if self._fused_mgr else None
+                ),
                 # multi-host: identical global schedule everywhere (same
                 # seed), each process loads only its 1/P slice
                 process_shard=self._proc_shard,

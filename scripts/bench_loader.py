@@ -37,6 +37,9 @@ def bench_loader(name, ds, batch_size, batches, workers, transform, demand,
         ds, batch_size, shuffle=True, seed=0, device_put=False,
         packed=True, frame_transform=transform, workers=workers,
         broadcast_static=broadcast_static,
+        packed_transform=getattr(
+            getattr(transform, "__self__", None), "transform_packed", None
+        ),
     )
     for _ in loader:  # warm epoch (h5 LRU, skeletons, tiling templates)
         pass

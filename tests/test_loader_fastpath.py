@@ -182,3 +182,99 @@ def test_native_pack_rows_matches_numpy(monkeypatch):
     assert native.pack_rows(
         [np.zeros((4, 2), np.float32), np.zeros((4, 3), np.float32)]
     ) is None
+
+
+def _loader_for(h5_path, meta_path, *, fast, frame_transform_on=True,
+                broadcast=True, bs=4):
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+
+    dsl = H5Dataset(h5_path, meta_path, FrameConfig(targets=("velocity",)))
+    mgr = FusedTopologyManager(nk_layout=True)
+    return BatchLoader(
+        dsl, bs, shuffle=False, seed=0, device_put=False, packed=True,
+        frame_transform=mgr.transform_frame if frame_transform_on else None,
+        packed_transform=(
+            mgr.transform_packed if fast and frame_transform_on else None
+        ),
+        broadcast_static=broadcast,
+    )
+
+
+def _assert_batches_equal(a, b, ctx):
+    for f in dataclasses.fields(a):
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if va is None and vb is None:
+            continue
+        if isinstance(va, tuple):
+            for x, y in zip(va, vb):
+                np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y), err_msg=f"{ctx}:{f.name}"
+                )
+            continue
+        assert va is not None and vb is not None, (ctx, f.name)
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb), err_msg=f"{ctx}:{f.name}"
+        )
+
+
+@pytest.mark.parametrize("frame_transform_on", [False, True])
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_vectorized_packed_lane_identical(
+    tmp_path, frame_transform_on, broadcast
+):
+    """The whole-batch vectorized build (get_frames_packed →
+    transform_packed → finalize_packed) emits bit-identical batches to
+    the per-frame path, across epochs, for the XLA and fused-template
+    transforms and both broadcast modes."""
+    from graph_physics_tpu.dataset import synthetic
+
+    h5_path, meta_path = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=2, nx=12, ny=9,
+        num_steps=12, meta_path=str(tmp_path / "m.json"),
+    )
+
+    ref_loader = _loader_for(
+        h5_path, meta_path, fast=False,
+        frame_transform_on=frame_transform_on, broadcast=broadcast,
+    )
+    fast_loader = _loader_for(
+        h5_path, meta_path, fast=True,
+        frame_transform_on=frame_transform_on, broadcast=broadcast,
+    )
+    hits = {"fast": 0, "slow": 0}
+    orig = fast_loader._packed_fast
+
+    def spy(chunk):
+        r = orig(chunk)
+        hits["fast" if r is not None else "slow"] += 1
+        return r
+
+    fast_loader._packed_fast = spy
+    for epoch in range(2):
+        for i, (a, b) in enumerate(zip(ref_loader, fast_loader)):
+            _assert_batches_equal(
+                a, b, f"ft={frame_transform_on} bc={broadcast} e{epoch} b{i}"
+            )
+    # the vectorized lane actually engaged (first batch per trajectory
+    # legitimately warms the skeleton/template through the slow path)
+    assert hits["fast"] > 0 and hits["slow"] <= 2
+
+
+def test_vectorized_lane_falls_back_on_masking(tmp_path):
+    """Gates: masking forces the per-frame path (rng draw order)."""
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+
+    h5_path, meta_path = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=1, nx=8, ny=6,
+        num_steps=8, meta_path=str(tmp_path / "m.json"),
+    )
+    dsl = H5Dataset(
+        h5_path, meta_path,
+        FrameConfig(targets=("velocity",), masking_ratio=0.3),
+    )
+    # warm the skeleton via a frame build, then the packed call declines
+    dsl.get_frame(0, 1)
+    assert dsl.get_frames_packed([0, 1]) is None

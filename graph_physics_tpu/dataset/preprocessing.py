@@ -500,8 +500,12 @@ class FrameBuilder:
         dt = float(self.meta.get("dt", 1.0)) or 1.0
         times = (frames * dt).astype(np.float32)
 
+        from graph_physics_tpu import native
+
         def packed_concat(keys, frame_ids, extra_cols=0):
-            """[np_rows, B, sum(c_k)+extra] with each field written once."""
+            """[np_rows, B, sum(c_k)+extra] with each field written once
+            (native strided interleave; numpy transposed assignment as
+            the fallback)."""
             widths = [
                 int(np.prod(traj[k].shape[2:], dtype=np.int64)) or 1
                 for k in keys
@@ -511,8 +515,11 @@ class FrameBuilder:
             )
             col = 0
             for k, w in zip(keys, widths):
-                a = traj[k][frame_ids].reshape(b, n, w)
-                out[:n, :, col : col + w] = a.transpose(1, 0, 2)
+                a = np.ascontiguousarray(
+                    traj[k][frame_ids], np.float32
+                ).reshape(b, n, w)
+                if not native.pack_block(a, out, col):
+                    out[:n, :, col : col + w] = a.transpose(1, 0, 2)
                 col += w
             return out, col
 

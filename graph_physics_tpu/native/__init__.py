@@ -76,6 +76,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
         ]
+        lib.pack_block.restype = None
+        lib.pack_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+        ]
     except AttributeError:
         pass
     _lib = lib
@@ -205,3 +212,39 @@ def repeat_rows(val: np.ndarray, num_b: int, out=None) -> Optional[np.ndarray]:
     lib.repeat_rows(val.ctypes.data, num_b, num_n, row_bytes,
                     out.ctypes.data, nt)
     return out
+
+
+def pack_block(src: np.ndarray, out: np.ndarray, col: int) -> bool:
+    """Interleave one contiguous [B, N, w] block into
+    ``out[:N, :, col:col+w]`` of the [N, B, F] batch (the vectorized
+    loader lane's per-field write). Returns False when the native lib is
+    unavailable or dtypes/layout don't qualify — callers fall back to the
+    numpy transposed assignment.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "pack_block"):
+        return False
+    if (
+        src.dtype != out.dtype
+        or not src.flags["C_CONTIGUOUS"]
+        or not out.flags["C_CONTIGUOUS"]
+        or src.ndim != 3
+        or out.ndim != 3
+    ):
+        return False
+    num_b, num_n, w = src.shape
+    if out.shape[1] != num_b or out.shape[0] < num_n:
+        return False
+    it = src.itemsize
+    row_bytes = w * it
+    nt = _PACK_THREADS if src.nbytes >= _PACK_MIN_BYTES else 1
+    lib.pack_block(
+        src.ctypes.data, num_b, num_n, row_bytes,
+        num_n * row_bytes,          # src frame (b) stride
+        row_bytes,                  # src node (n) stride
+        out.ctypes.data + col * it, # dst base at the column window
+        out.strides[0],             # dst node stride
+        out.strides[1],             # dst frame stride
+        nt,
+    )
+    return True

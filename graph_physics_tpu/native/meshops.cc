@@ -315,6 +315,57 @@ void pack_rows(const void* const* srcs, int64_t num_b, int64_t num_n,
   for (auto& t : ts) t.join();
 }
 
+// pack_block: strided variant for whole-batch sources — one contiguous
+// [B, N, w] block (a fancy-indexed trajectory slice) interleaved into a
+// column window of the [N, B, F] batch: dst(n,b) = src + b·sb + n·sn,
+// out at dst + n·dn + b·db. All strides in bytes; the fp32 pipeline
+// guarantees 4-byte alignment (u32 word path), anything else memcpys.
+static void pack_block_range(const char* src, int64_t num_b,
+                             int64_t row_bytes, int64_t sb, int64_t sn,
+                             char* dst, int64_t dn, int64_t db,
+                             int64_t n0, int64_t n1) {
+  if (row_bytes % 4 == 0 && sb % 4 == 0 && sn % 4 == 0 && dn % 4 == 0 &&
+      db % 4 == 0) {
+    const int64_t words = row_bytes / 4;
+    for (int64_t n = n0; n < n1; ++n) {
+      const char* in_row = src + n * sn;
+      char* out_row = dst + n * dn;
+      for (int64_t b = 0; b < num_b; ++b) {
+        const uint32_t* in = (const uint32_t*)(in_row + b * sb);
+        uint32_t* out = (uint32_t*)(out_row + b * db);
+        for (int64_t w = 0; w < words; ++w) out[w] = in[w];
+      }
+    }
+  } else {
+    for (int64_t n = n0; n < n1; ++n) {
+      const char* in_row = src + n * sn;
+      char* out_row = dst + n * dn;
+      for (int64_t b = 0; b < num_b; ++b)
+        std::memcpy(out_row + b * db, in_row + b * sb, row_bytes);
+    }
+  }
+}
+
+void pack_block(const void* src, int64_t num_b, int64_t num_n,
+                int64_t row_bytes, int64_t sb, int64_t sn, void* dst,
+                int64_t dn, int64_t db, int32_t nthreads) {
+  if (nthreads <= 1 || num_n < 2 * nthreads) {
+    pack_block_range((const char*)src, num_b, row_bytes, sb, sn,
+                     (char*)dst, dn, db, 0, num_n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  int64_t chunk = (num_n + nthreads - 1) / nthreads;
+  for (int32_t t = 0; t < nthreads; ++t) {
+    int64_t n0 = t * chunk, n1 = std::min(num_n, n0 + chunk);
+    if (n0 >= n1) break;
+    ts.emplace_back(pack_block_range, (const char*)src, num_b, row_bytes,
+                    sb, sn, (char*)dst, dn, db, n0, n1);
+  }
+  for (auto& t : ts) t.join();
+}
+
 void repeat_rows(const void* src, int64_t num_b, int64_t num_n,
                  int64_t row_bytes, void* dst, int32_t nthreads) {
   if (nthreads <= 1 || num_n < 2 * nthreads) {

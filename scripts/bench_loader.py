@@ -118,7 +118,7 @@ def main():
     best = 0.0
     for w in worker_list:
         best = max(best, bench_loader(
-            "airfoil_scale_nk", bds, 16, min(args.batches, 2), w,
+            "airfoil_scale_nk", bds, 16, min(args.batches, 8), w,
             bmgr.transform_frame, 160.8))
     # assert on the BEST worker config — a deployment picks its workers;
     # the skeleton fast path is GIL-bound, so workers=1 usually wins and

@@ -278,3 +278,32 @@ def test_vectorized_lane_falls_back_on_masking(tmp_path):
     # warm the skeleton via a frame build, then the packed call declines
     dsl.get_frame(0, 1)
     assert dsl.get_frames_packed([0, 1]) is None
+
+
+def test_native_pack_block_matches_numpy(monkeypatch):
+    """meshops.cc pack_block (strided [B,N,w] → [N,B,F] column window)
+    == the numpy transposed assignment, incl. the threaded split."""
+    from graph_physics_tpu import native
+
+    if native.load() is None or not hasattr(native.load(), "pack_block"):
+        pytest.skip("native pack_block unavailable")
+    monkeypatch.setattr(native, "_PACK_THREADS", 4)
+    monkeypatch.setattr(native, "_PACK_MIN_BYTES", 0)
+    rng = np.random.default_rng(5)
+    cases = [
+        ((7, 40, 2), 48, 0, 4),
+        ((5, 33, 1), 33, 3, 4),   # no pad rows, last column
+        ((4, 100, 3), 128, 2, 9),
+        ((3, 5, 2), 8, 1, 5),     # tiny N < threads
+    ]
+    for (b, n, w), np_rows, col, f in cases:
+        src = rng.standard_normal((b, n, w)).astype(np.float32)
+        out = np.zeros((np_rows, b, f), np.float32)
+        ref = out.copy()
+        assert native.pack_block(src, out, col)
+        ref[:n, :, col : col + w] = src.transpose(1, 0, 2)
+        np.testing.assert_array_equal(out, ref)
+    # non-qualifying inputs decline cleanly
+    assert not native.pack_block(
+        np.zeros((2, 3, 1), np.float64), np.zeros((3, 2, 2), np.float32), 0
+    )

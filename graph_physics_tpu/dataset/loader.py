@@ -88,14 +88,15 @@ class BatchLoader:
         #: the balance). Dataset/tiling caches take internal locks.
         self.workers = workers
         #: compact shared leaves to [N, 1, F] views (the train step
-        #: re-expands on device — packed.expand_static_leaves). Only
-        #: valid on the plain path: dp/sp shardings and multi-host
-        #: assembly shard the batch axis, which a size-1 leaf can't carry.
+        #: re-expands on device — packed.expand_static_leaves). Works on
+        #: the plain path AND under dp shardings (the spec callables map
+        #: size-1 batch-axis leaves to replicated; each shard re-expands
+        #: to its local width — exact). Multi-host global assembly still
+        #: pays the host repeat: its replicated-leaf contract is
+        #: byte-identity across processes, which is guaranteed here, but
+        #: the per-process slice bookkeeping assumes full-width leaves.
         self.broadcast_static = bool(
-            broadcast_static
-            and packed
-            and sharding is None
-            and process_shard is None
+            broadcast_static and packed and process_shard is None
         )
         if process_shard is not None:
             pi, pc = process_shard

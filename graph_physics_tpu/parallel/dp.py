@@ -53,13 +53,21 @@ def dp_batch_specs(batch: MeshGraph, packed: bool, axis_name: str = "dp"):
             lambda leaf: P(axis_name) if np.ndim(leaf) >= 1 else P(), batch
         )
 
+    def compact(leaf):
+        # broadcast-static leaf ([E, 1, F] / [N, 1] view from the
+        # loader's compact mode): genuinely identical for every sample,
+        # so REPLICATE it — the step re-expands per shard
+        # (packed.expand_static_leaves), giving the exact full-width
+        # program on each shard's local batch
+        return np.ndim(leaf) >= 2 and np.shape(leaf)[1] == 1
+
     updates = {}
     for f in dataclasses.fields(batch):
         v = getattr(batch, f.name)
         if v is None:
             updates[f.name] = None
         elif f.name in _PACKED_2D_BATCHED:
-            updates[f.name] = P(None, axis_name)
+            updates[f.name] = P() if compact(v) else P(None, axis_name)
         elif f.name == "time":
             # pack() keeps per-frame times as a [B] array (packed.py):
             # batch axis 0, unlike every other packed leaf
@@ -68,7 +76,11 @@ def dp_batch_specs(batch: MeshGraph, packed: bool, axis_name: str = "dp"):
             updates[f.name] = jax.tree.map(lambda _: P(), v)
         else:
             updates[f.name] = jax.tree.map(
-                lambda leaf: P(None, axis_name) if np.ndim(leaf) >= 3 else P(),
+                lambda leaf: (
+                    P(None, axis_name)
+                    if np.ndim(leaf) >= 3 and not compact(leaf)
+                    else P()
+                ),
                 v,
             )
     return batch.replace(**updates)
@@ -148,10 +160,15 @@ def make_dp_train_step(
 
 
 def _layout_key(batch):
-    """Treedef + per-leaf rank: the inputs `dp_batch_specs` depends on."""
+    """Treedef + per-leaf (rank, compact-batch-axis): the inputs
+    `dp_batch_specs` depends on — a [E, 1, F] broadcast-static leaf
+    takes a replicated spec where the full [E, B, F] leaf shards."""
     return (
         jax.tree.structure(batch),
-        tuple(np.ndim(l) for l in jax.tree.leaves(batch)),
+        tuple(
+            (np.ndim(l), np.ndim(l) >= 2 and np.shape(l)[1] == 1)
+            for l in jax.tree.leaves(batch)
+        ),
     )
 
 

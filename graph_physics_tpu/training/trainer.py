@@ -266,7 +266,14 @@ class Trainer:
                     name = path[0].name
                 if packed:
                     ax = PACKED_BATCH_AXIS.get(name)
-                    if ax is None or np.ndim(leaf) <= ax:
+                    if (
+                        ax is None
+                        or np.ndim(leaf) <= ax
+                        # broadcast-static compact leaf ([E, 1, F] view):
+                        # identical for every sample — replicate; the
+                        # step re-expands it per shard
+                        or np.shape(leaf)[ax] == 1
+                    ):
                         return NamedSharding(mesh, P())
                     spec = [None] * np.ndim(leaf)
                     spec[ax] = "dp"

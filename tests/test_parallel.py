@@ -852,3 +852,54 @@ def test_dp_shardmap_mtp_smoke():
     assert np.isfinite(float(m1["loss"]))
     assert float(m1["sp_mtp/pairs"]) > 0
     assert int(s1.step) == 1
+
+
+def test_dp_shardmap_broadcast_static_exact():
+    """Compact broadcast-static leaves ([E, 1, F] edge features) ride the
+    dp shard_map path REPLICATED and re-expand per shard — identical
+    metrics and params to the full host-repeated layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state
+
+    _, sim_dp, opt, batch = _fused_dp_setup()
+    ea = np.asarray(batch.edge_attr)
+    assert (ea == ea[:, :1]).all()
+    compact = batch.replace(edge_attr=ea[:, :1])
+
+    mesh = make_mesh(dp=8, sp=1)
+    dp_step = dp_lib.make_dp_train_step(
+        sim_dp, opt, LossType.L2LOSS, mesh, packed=True, donate=False
+    )
+    repl = NamedSharding(mesh, P())
+
+    outs = []
+    for b in (batch, compact):
+        specs = dp_lib.dp_batch_specs(b, packed=True)
+        # the compact leaf must resolve to a replicated spec
+        if b is compact:
+            assert specs.edge_attr == P()
+        b_sh = jax.device_put(
+            b,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+        state = init_train_state(sim_dp, opt, jax.random.PRNGKey(0), batch)
+        state = jax.device_put(state, jax.tree.map(lambda _: repl, state))
+        outs.append(dp_step(state, b_sh, jax.random.PRNGKey(1)))
+
+    (st_full, m_full), (st_cmp, m_cmp) = outs
+    for k in m_full:
+        np.testing.assert_array_equal(
+            np.asarray(m_full[k]), np.asarray(m_cmp[k]), err_msg=k
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        st_full.params, st_cmp.params,
+    )

@@ -307,3 +307,56 @@ def test_native_pack_block_matches_numpy(monkeypatch):
     assert not native.pack_block(
         np.zeros((2, 3, 1), np.float64), np.zeros((3, 2, 2), np.float32), 0
     )
+
+
+def test_vectorized_lane_previous_data_and_xdmf(tmp_path):
+    """Vectorized build parity for the use_previous_data config (t−1
+    leaves, index starts at frame 1) and for the XDMF dataset flavour."""
+    import json
+
+    from graph_physics_tpu.dataset import synthetic
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+    from graph_physics_tpu.dataset.xdmf_dataset import XDMFDataset
+    from graph_physics_tpu.training.packed import finalize_packed
+    from graph_physics_tpu.utils.xdmf import XdmfTimeSeriesWriter
+
+    def check(dsl, idxs):
+        frames = [dsl[i] for i in idxs]  # warms the skeleton
+        ref = pack_frames(frames, broadcast_static=True)
+        g = dsl.get_frames_packed(idxs)
+        assert g is not None, "vectorized lane declined"
+        _assert_batches_equal(
+            ref, finalize_packed(g, len(idxs), True), "vec"
+        )
+
+    h5_path, meta_path = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=1, nx=8, ny=6,
+        num_steps=8, meta_path=str(tmp_path / "m.json"),
+    )
+    check(
+        H5Dataset(
+            h5_path, meta_path,
+            FrameConfig(targets=("velocity",), use_previous_data=True),
+        ),
+        [0, 1, 2],
+    )
+
+    xd = tmp_path / "xdmf"
+    xd.mkdir()
+    mp = str(xd / "meta.json")
+    json.dump({"dt": 0.01, "features": {}, "trajectory_length": 6},
+              open(mp, "w"))
+    traj = synthetic.make_trajectory(6, 5, 6)
+    w = XdmfTimeSeriesWriter(str(xd / "traj_0.xdmf"))
+    for i in range(6):
+        w.append(
+            traj["mesh_pos"][i], traj["cells"][i],
+            {"velocity": traj["velocity"][i],
+             "node_type": traj["node_type"][i].astype(np.float64)},
+            i * 0.01,
+        )
+    check(
+        XDMFDataset(str(xd), mp, FrameConfig(targets=("velocity",))),
+        [0, 1, 2],
+    )

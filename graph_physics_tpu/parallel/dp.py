@@ -160,15 +160,16 @@ def make_dp_train_step(
 
 
 def _layout_key(batch):
-    """Treedef + per-leaf (rank, compact-batch-axis): the inputs
-    `dp_batch_specs` depends on — a [E, 1, F] broadcast-static leaf
-    takes a replicated spec where the full [E, B, F] leaf shards."""
+    """Treedef + per-leaf shape. Ranks alone are NOT enough: a compact
+    broadcast-static leaf ([E, 1, F] — or [K, E, 1, F] under the
+    multi-step stacking) takes a replicated spec where the full-width
+    leaf shards, and a run mixes both (each trajectory's first batch
+    builds the skeleton through the per-frame full-width path). Shapes
+    over-segment the spec cache slightly; the jit cache inside each
+    entry dedups actual compilation."""
     return (
         jax.tree.structure(batch),
-        tuple(
-            (np.ndim(l), np.ndim(l) >= 2 and np.shape(l)[1] == 1)
-            for l in jax.tree.leaves(batch)
-        ),
+        tuple(np.shape(l) for l in jax.tree.leaves(batch)),
     )
 
 

@@ -903,3 +903,52 @@ def test_dp_shardmap_broadcast_static_exact():
         ),
         st_full.params, st_cmp.params,
     )
+
+
+def test_dp_shardmap_mixed_compact_and_full_batches():
+    """One dp step object serves full-width AND compact batches in the
+    same run (each trajectory's first batch goes through the per-frame
+    full-width path before the vectorized compact lane warms) — the
+    spec cache must key them apart."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_physics_tpu.parallel import dp as dp_lib
+    from graph_physics_tpu.training.loss import LossType
+    from graph_physics_tpu.training.step import init_train_state
+
+    _, sim_dp, opt, batch = _fused_dp_setup()
+    compact = batch.replace(edge_attr=np.asarray(batch.edge_attr)[:, :1])
+
+    mesh = make_mesh(dp=8, sp=1)
+    dp_step = dp_lib.make_dp_train_step(
+        sim_dp, opt, LossType.L2LOSS, mesh, packed=True, donate=False
+    )
+    repl = NamedSharding(mesh, P())
+    state = init_train_state(sim_dp, opt, jax.random.PRNGKey(0), batch)
+    state = jax.device_put(state, jax.tree.map(lambda _: repl, state))
+
+    def put(b):
+        return jax.device_put(
+            b,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                dp_lib.dp_batch_specs(b, packed=True),
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+
+    # full → compact → full through ONE step object; per-step losses on
+    # identical inputs must agree exactly regardless of dispatch order
+    st1, m1 = dp_step(state, put(batch), jax.random.PRNGKey(1))
+    st2, m2 = dp_step(st1, put(compact), jax.random.PRNGKey(2))
+    st3, m3 = dp_step(st2, put(batch), jax.random.PRNGKey(3))
+    assert np.isfinite(float(m3["loss"]))
+
+    # same sequence with full-width batches only
+    st1b, n1 = dp_step(state, put(batch), jax.random.PRNGKey(1))
+    st2b, n2 = dp_step(st1b, put(batch), jax.random.PRNGKey(2))
+    st3b, n3 = dp_step(st2b, put(batch), jax.random.PRNGKey(3))
+    for m, nn in ((m1, n1), (m2, n2), (m3, n3)):
+        np.testing.assert_array_equal(
+            np.asarray(m["loss"]), np.asarray(nn["loss"])
+        )

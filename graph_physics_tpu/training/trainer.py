@@ -514,10 +514,20 @@ class Trainer:
                         and self._fused_mgr.key_for(pending[0], self.sim)
                         != self._fused_mgr.key_for(batch, self.sim)
                     )
+                    def stack_sig(b):
+                        # x bounds the bucket; edge_attr additionally
+                        # distinguishes compact broadcast-static batches
+                        # ([E, 1, F]) from full-width ones — stacking a
+                        # mix would fail
+                        return (
+                            jnp.shape(b.x),
+                            None if b.edge_attr is None
+                            else jnp.shape(b.edge_attr),
+                        )
+
                     if pending and (
                         bucket_changed
-                        or jax.tree.map(jnp.shape, pending[0].x)
-                        != jax.tree.map(jnp.shape, batch.x)
+                        or stack_sig(pending[0]) != stack_sig(batch)
                     ):
                         flush(force=True)  # bucket/topology changed
                     pending.append(batch)

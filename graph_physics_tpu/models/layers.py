@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from graph_physics_tpu.ops import edge_attention as ea
@@ -32,8 +33,19 @@ Dtype = Any
 def gelu_exact(x):
     """Erf-form GELU. The reference's ``nn.GELU()`` defaults to the exact
     (erf) form; ``jax.nn.gelu``'s default is the tanh approximation, which
-    diverges by up to ~1e-3 — enough to fail cross-framework parity."""
-    return jax.nn.gelu(x, approximate=False)
+    diverges by up to ~1e-3 — enough to fail cross-framework parity.
+
+    Evaluated as ``x/2·(1+erf(x/√2))`` in fp32 rather than
+    ``jax.nn.gelu(approximate=False)``: upstream's ``erfc(-x/√2)`` form
+    lowers to TPU's tail-accurate (expensive) erfc — measured 26% of the
+    whole transolver TRAIN STEP (5,013 → 6,315 g/s, same window A/B;
+    even the tanh approximation was slower than fp32 erf). Same exact
+    GELU to fp32 rounding (erfc(-z) ≡ 1+erf(z)); the cross-framework
+    parity suite pins it against torch at 1e-5.
+    """
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jax.lax.erf(xf * np.float32(0.7071067811865476)))
+    return y.astype(jnp.result_type(x))
 
 
 ACTIVATIONS = {

@@ -602,8 +602,11 @@ class Trainer:
         # HOST-side (numpy) once — frames are ground truth, so they never
         # change across epochs — and streamed to the device per chunk so
         # peak device memory is bounded by cfg.val_device_batch, not the
-        # validation-set size.
-        if self._val_groups is None or self._val_groups[0] != n_traj:
+        # validation-set size. Key on the dataset IDENTITY too: swapping
+        # val datasets of equal trajectory count between fit()/validate()
+        # calls must not silently reuse the previous dataset's stacks.
+        cache_key = (id(self.val_ds), n_traj)
+        if self._val_groups is None or self._val_groups[0] != cache_key:
             groups: Dict[tuple, list] = {}
             for t in range(n_traj):
                 frames = jax.tree.map(
@@ -622,7 +625,7 @@ class Trainer:
             for entries in groups.values():
                 ts = [t for t, _ in entries]
                 prepared.append((ts, [f for _, f in entries]))
-            self._val_groups = (n_traj, prepared)
+            self._val_groups = (cache_key, prepared)
 
         params = model_params(self.state.params)
         if self._proc_shard is not None:

@@ -104,3 +104,34 @@ def test_validate_streams_bounded_chunks(data):
         np.testing.assert_allclose(
             m_chunked[k], m_whole[k], rtol=1e-6, atol=1e-7, err_msg=k
         )
+
+
+def test_val_cache_keys_on_dataset_identity(data, tmp_path):
+    """Swapping val datasets of EQUAL trajectory count between validate()
+    calls must rebuild the host stacks — a cache keyed on n_traj alone
+    would silently report the old dataset's metrics (VERDICT r4 weak #7).
+    """
+    import shutil
+
+    import h5py
+
+    d, train_h5, val_h5, meta = data
+    tr = _trainer(d, train_h5, val_h5, meta, val_device_batch=None,
+                  name="swap")
+    m_a = tr.validate(0)
+    assert tr._val_groups is not None
+
+    # different data, same trajectory count and shapes
+    val2_h5 = str(tmp_path / "val2.h5")
+    shutil.copy(val_h5, val2_h5)
+    with h5py.File(val2_h5, "r+") as f:
+        for key in f:
+            f[key]["velocity"][...] = 1.5 * f[key]["velocity"][...] + 0.3
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+
+    tr.val_ds = H5Dataset(val2_h5, meta, FrameConfig(targets=("velocity",)))
+    m_b = tr.validate(0)
+    assert m_a["val_all_rollout_rmse"] != pytest.approx(
+        m_b["val_all_rollout_rmse"]
+    ), "validate() reused stale stacks after a val-dataset swap"

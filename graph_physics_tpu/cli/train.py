@@ -179,6 +179,17 @@ def main(argv=None):
         use_previous_data=use_prev,
         extra_node_features=extra_node_features,
     )
+    if args.packed and frame_cfg.world is not None:
+        # trajectory-major packed batching needs a static shared topology;
+        # world edges switch to the per-sample SIDECAR layout (same
+        # per-frame edge set and feature math — MeshGraph.wedge_*), which
+        # also unlocks the fused kernels for world-edge workloads
+        import dataclasses
+
+        frame_cfg = dataclasses.replace(
+            frame_cfg,
+            world=dataclasses.replace(frame_cfg.world, sidecar=True),
+        )
     train_ds = config_lib.get_dataset(
         param,
         frame_cfg,
@@ -218,10 +229,6 @@ def main(argv=None):
             raise SystemExit(
                 "--fused --num_dp_devices runs inside shard_map: "
                 "batch_size must be divisible by num_dp_devices"
-            )
-        if world_host is not None:
-            raise SystemExit(
-                "--fused is incompatible with world edges (per-frame topology)"
             )
         if param["dataset"].get("new_edges_ratio", 0):
             raise SystemExit(

@@ -65,6 +65,27 @@ class MeshGraph:
     #: set by custom feature builders; None almost always
     phi: Optional[jnp.ndarray] = None  # [N] f32
 
+    # --- per-sample world edges (sidecar layout) ---
+    #: World edges change every FRAME (radius pairs between deformable and
+    #: obstacle nodes track the moving geometry), which would break both
+    #: trajectory-major packed batching (shared senders/receivers) and the
+    #: fused kernels' per-trajectory tilings if they lived in the shared
+    #: edge arrays. In the sidecar layout (WorldConfig.sidecar) the shared
+    #: arrays carry ONLY the static mesh edges, and world edges ride here
+    #: as per-sample arrays padded to the static ``edge_budget``:
+    #: [W] int32 (single graph), [W, B] (packed), [B, W] (stacked).
+    #: Inactive/padded slots: senders 0, receivers N-1, mask False.
+    #: Spec equivalence: reference add_world_edges concatenates them into
+    #: edge_index (preprocessing.py:92-140); consumers here (attention
+    #: adjacency, GraphNetBlock aggregation, edge-feature normalization)
+    #: fold the sidecar in so the math is identical per sample.
+    wedge_senders: Optional[jnp.ndarray] = None
+    wedge_receivers: Optional[jnp.ndarray] = None
+    wedge_mask: Optional[jnp.ndarray] = None
+    #: [W, Fe] / [W, B, Fe] / [B, W, Fe] world-edge features (models that
+    #: consume edge features, i.e. the EPD family; None for transformers)
+    wedge_attr: Optional[jnp.ndarray] = None
+
     # --- static mesh structure (host-side use: export, gradients) ---
     faces: Optional[jnp.ndarray] = None  # [C, 3] or [C, 4] int32 cells
     face_mask: Optional[jnp.ndarray] = None  # [C] bool

@@ -45,6 +45,18 @@ class WorldConfig:
     radius: float = 0.03
     #: static padding budget for per-frame world edges
     edge_budget: int = 1024
+    #: emit world edges as the per-sample SIDECAR (MeshGraph.wedge_*)
+    #: instead of concatenating them into the shared edge arrays. The
+    #: shared topology then stays static per trajectory, which unlocks
+    #: trajectory-major packed batching and the fused Pallas kernels for
+    #: world-edge workloads (the mesh tiling never sees world edges —
+    #: they join through node-aligned seams). Same per-frame edge set and
+    #: feature math as the concat mode; discovery stays host-side from
+    #: the un-noised positions (matching the concat mode and the parity
+    #: tests; the reference inserts its noise transform before discovery,
+    #: preprocessing.py:426-435 — a jitter-level difference that
+    #: vanishes at eval time, where both build from ground truth).
+    sidecar: bool = False
 
 
 @dataclass(frozen=True)
@@ -306,9 +318,17 @@ class FrameBuilder:
 
         # static-skeleton fast path: everything except the dynamic field
         # leaves is frame-invariant under these gates (topology hooks and
-        # frame-value-dependent edges disable it)
+        # frame-value-dependent edges disable it). World edges in the
+        # SIDECAR layout don't touch the shared topology, so the skeleton
+        # serves them too — only the per-frame wedge arrays are rebuilt.
+        world_sidecar = cfg.world is not None and cfg.world.sidecar
+        if world_sidecar and part_ids is not None:
+            raise ValueError(
+                "world sidecar mode is incompatible with sub-mesh "
+                "partitions (use the concat world layout)"
+            )
         skel_ok = (
-            cfg.world is None
+            (cfg.world is None or world_sidecar)
             and cfg.new_edges_ratio == 0
             and part_ids is None
             and cfg.extra_node_features is None
@@ -332,15 +352,29 @@ class FrameBuilder:
                 deselected = padding.pad_axis(
                     masked_node_selection(n, cfg.masking_ratio, rng),
                     np_, fill=False)
+            x = ctx.x
+            y = _stack_fields(ctx.target, n) if ctx.target else None
+            rep = {}
+            if world_sidecar:
+                if y is not None:
+                    x = insert_obstacle_displacement(
+                        x, y, ctx.node_type, cfg.world
+                    )
+                key = cache_key if cache_key is not None else traj_index
+                mesh_ei = self.mesh_edges(key, ctx.cells, n)
+                rep = self._world_sidecar_fields(
+                    x, ctx.node_type, ctx.pos, mesh_ei, np_
+                )
             return skel.replace(
-                x=pad(ctx.x),
-                y=pad(_stack_fields(ctx.target, n) if ctx.target else None),
+                x=pad(x),
+                y=pad(y),
                 prev=pad(_stack_fields(ctx.previous_data, n)
                          if ctx.previous_data else None),
                 next_data=pad(_stack_fields(ctx.next_data, n)
                               if ctx.next_data else None),
                 time=np.float32(ctx.time),
                 deselected=deselected,
+                **rep,
             )
 
         if cfg.extra_node_features is not None:
@@ -368,8 +402,9 @@ class FrameBuilder:
 
         key = cache_key if cache_key is not None else traj_index
         ei = self.mesh_edges(key, ctx.cells, n)
+        mesh_ei = ei
 
-        if cfg.world is not None:
+        if cfg.world is not None and not world_sidecar:
             ws, we = cfg.world.world_pos_index_start, cfg.world.world_pos_index_end
             wedges = mesh_lib.radius_world_edges(
                 x[:, ws:we], ctx.node_type, cfg.world.radius, exclude_edges=ei
@@ -422,6 +457,10 @@ class FrameBuilder:
             traj_index=traj_index,
             time=ctx.time,
         )
+        if world_sidecar:
+            g = g.replace(**self._world_sidecar_fields(
+                x, node_type, pos, mesh_ei, g.num_nodes
+            ))
         if cfg.extra_edge_features is not None:
             g = cfg.extra_edge_features(g)
         if deselected is not None:
@@ -438,6 +477,53 @@ class FrameBuilder:
             while len(self._skel_cache) > self._skel_cache_size:
                 self._skel_cache.popitem(last=False)
         return g
+
+    def _world_sidecar_fields(
+        self,
+        x: np.ndarray,
+        node_type: np.ndarray,
+        pos: np.ndarray,
+        mesh_ei: np.ndarray,
+        n_pad: int,
+    ) -> Dict[str, Optional[np.ndarray]]:
+        """Per-frame world edges as static-budget sidecar arrays.
+
+        Same discovery + rank-fair budgeting as the concat path; slots
+        beyond the discovered pairs follow the padding convention
+        (senders 0, receivers n_pad-1, mask False). ``wedge_attr`` is the
+        same [Δmesh_pos, ‖Δmesh_pos‖] feature math build_mesh_graph
+        applies to shared edges (models that consume edge features);
+        omitted when add_edge_features is off.
+        """
+        cfg = self.cfg
+        ws, we = cfg.world.world_pos_index_start, cfg.world.world_pos_index_end
+        wedges = mesh_lib.radius_world_edges(
+            x[:, ws:we], node_type, cfg.world.radius, exclude_edges=mesh_ei
+        )
+        wedges = mesh_lib.budget_world_pairs(
+            wedges, x[:, ws:we], cfg.world.edge_budget
+        )
+        w_budget = cfg.world.edge_budget
+        k = wedges.shape[1]
+        send = np.zeros(w_budget, np.int32)
+        recv = np.full(w_budget, n_pad - 1, np.int32)
+        mask = np.zeros(w_budget, bool)
+        send[:k] = wedges[0]
+        recv[:k] = wedges[1]
+        mask[:k] = True
+        out: Dict[str, Optional[np.ndarray]] = {
+            "wedge_senders": send,
+            "wedge_receivers": recv,
+            "wedge_mask": mask,
+        }
+        if cfg.add_edge_features:
+            attr = np.zeros((w_budget, pos.shape[-1] + 1), np.float32)
+            if k:
+                attr[:k] = mesh_lib.edge_features(
+                    np.asarray(pos), wedges[0], wedges[1]
+                )
+            out["wedge_attr"] = attr
+        return out
 
     def build_packed(
         self,
@@ -548,9 +634,10 @@ class FrameBuilder:
 
     def edge_budget_for(self, mesh_edge_count: int) -> int:
         """Static edge bucket: mesh edges (+k-hop growth already counted)
-        + world budget + random-edge headroom."""
+        + world budget + random-edge headroom. Sidecar world edges live
+        in their own arrays — they don't widen the shared edge bucket."""
         extra = 0
-        if self.cfg.world is not None:
+        if self.cfg.world is not None and not self.cfg.world.sidecar:
             extra += self.cfg.world.edge_budget
         if self.cfg.new_edges_ratio > 0:
             extra += int(mesh_edge_count * self.cfg.new_edges_ratio) + 1

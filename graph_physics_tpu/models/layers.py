@@ -323,6 +323,9 @@ class Attention(nn.Module):
         return_attention: bool = False,
         tiling_idx=None,  # runtime (win_start, sidx, ridx) of the graph
         tiling_idx_nk=None,  # runtime (win_start, sidx) of the NK layout
+        wedge_senders: Optional[jnp.ndarray] = None,  # world sidecar [W(,B)]
+        wedge_receivers: Optional[jnp.ndarray] = None,
+        wedge_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         if self.use_rope_embeddings and pos is None:
             raise ValueError("RoPE embeddings require positional information.")
@@ -349,10 +352,19 @@ class Attention(nn.Module):
             q = apply_spatial_rope(q, pos[:, : self.pos_dimension], inv)
             k = apply_spatial_rope(k, pos[:, : self.pos_dimension], inv)
 
+        has_world = wedge_senders is not None
         attn_weights = None
         if senders is not None and self._fused_attn_ok(
             x, senders, kv, return_attention
         ):
+            world_parts = None
+            if has_world:
+                # per-sample world-edge softmax pieces (W ≤ edge_budget
+                # rows — tiny XLA work); the kernels fold them into the
+                # joint mesh+world softmax through node-aligned tiles
+                world_parts = ea.world_attention_parts(
+                    q, k, v, wedge_senders, wedge_receivers, wedge_mask
+                )
             use_nk = (
                 self.nk_tiling is not None
                 and self.nk_tiling.num_nodes == self.tiling.num_nodes
@@ -369,6 +381,7 @@ class Attention(nn.Module):
                     q, k, v, self.nk_tiling,
                     interpret=jax.default_backend() != "tpu",
                     tiling_idx=tiling_idx_nk,
+                    world_parts=world_parts,
                 ).astype(self.dtype)
             else:
                 from graph_physics_tpu.ops.fused_edge_attention import (
@@ -379,6 +392,7 @@ class Attention(nn.Module):
                     q, k, v, self.tiling,
                     interpret=jax.default_backend() != "tpu",
                     tiling_idx=tiling_idx,
+                    world_parts=world_parts,
                 ).astype(self.dtype)
         elif senders is not None:
             y = ea.edge_attention(
@@ -386,6 +400,9 @@ class Attention(nn.Module):
                 return_weights=return_attention,
                 sp_axis_name=self.sp_axis_name,
                 sp_halo_size=self.sp_halo_size,
+                wedge_senders=wedge_senders,
+                wedge_receivers=wedge_receivers,
+                wedge_mask=wedge_mask,
             )
             if return_attention:
                 y, attn_weights = y
@@ -454,6 +471,9 @@ class TransformerBlock(nn.Module):
         pos: Optional[jnp.ndarray] = None,
         tiling_idx=None,
         tiling_idx_nk=None,
+        wedge_senders: Optional[jnp.ndarray] = None,
+        wedge_receivers: Optional[jnp.ndarray] = None,
+        wedge_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         attn_out = Attention(
             hidden_size=self.hidden_size,
@@ -479,6 +499,9 @@ class TransformerBlock(nn.Module):
             pos,
             tiling_idx=tiling_idx,
             tiling_idx_nk=tiling_idx_nk,
+            wedge_senders=wedge_senders,
+            wedge_receivers=wedge_receivers,
+            wedge_mask=wedge_mask,
         )
         x = x + attn_out
         ff = GatedMLPBlock(
@@ -537,6 +560,9 @@ class TemporalAttention(nn.Module):
         receivers: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         node_mask: Optional[jnp.ndarray] = None,
+        wedge_senders: Optional[jnp.ndarray] = None,
+        wedge_receivers: Optional[jnp.ndarray] = None,
+        wedge_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         lead = h_prev.shape[:-1]
         h, dh = self.num_heads, self.hidden_size // self.num_heads
@@ -545,7 +571,10 @@ class TemporalAttention(nn.Module):
         v = nn.Dense(self.hidden_size, dtype=self.dtype, name="v_proj")(h_pred).reshape(lead + (h, dh))
 
         if senders is not None:
-            y = ea.edge_attention(q, k, v, senders, receivers, edge_mask)
+            y = ea.edge_attention(q, k, v, senders, receivers, edge_mask,
+                                  wedge_senders=wedge_senders,
+                                  wedge_receivers=wedge_receivers,
+                                  wedge_mask=wedge_mask)
         else:
             # adj=None fallback, matching the reference EXACTLY: its q/k/v
             # are reshaped (N, d, H) — heads LAST — so the dense
@@ -574,6 +603,30 @@ class TemporalAttention(nn.Module):
         mix = nn.Dense(self.hidden_size, dtype=self.dtype, name="mixer_0")(mix_in)
         mix = nn.Dense(self.hidden_size, dtype=self.dtype, name="mixer_1")(nn.silu(mix))
         return h_corr + mix
+
+
+def _wtake_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """World-sidecar node gather: x [N, F] with idx [W], or packed
+    x [N, B, F] with per-sample idx [W, B] (idx[w, b] reads sample b)."""
+    if idx.ndim == 1:
+        return jnp.take(x, idx, axis=0)
+    w, b = idx.shape
+    return jnp.take_along_axis(
+        x, idx.reshape((w, b) + (1,) * (x.ndim - 2)), axis=0
+    )
+
+
+def _wscatter_nodes(vals: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """World-sidecar scatter-add over (node, sample) segments — inverse
+    layout of :func:`_wtake_nodes` (values pre-masked by the caller)."""
+    if idx.ndim == 1:
+        return segment.segment_sum(vals, idx, n)
+    w, b = idx.shape
+    flat_ids = (idx * b + jnp.arange(b, dtype=idx.dtype)[None, :]).reshape(-1)
+    out = segment.segment_sum(
+        vals.reshape((w * b,) + vals.shape[2:]), flat_ids, n * b
+    )
+    return out.reshape((n, b) + vals.shape[2:])
 
 
 def fused_path_ok(
@@ -738,8 +791,22 @@ class GraphNetBlock(nn.Module):
         edge_encoder_params=None,  # folded edge encoder (fused path only)
         tiling_idx=None,  # runtime (win_start, sidx, ridx) of the graph
         tiling_idx_nk=None,  # runtime (win_start, sidx) of the NK layout
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        wedge_attr: Optional[jnp.ndarray] = None,  # world sidecar stream
+        wedge_senders: Optional[jnp.ndarray] = None,
+        wedge_receivers: Optional[jnp.ndarray] = None,
+        wedge_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Returns ``(x', edge_attr')`` — plus the updated world-edge
+        stream ``wedge_attr'`` as a third element when the per-sample
+        world sidecar is passed (its messages run through the SAME edge
+        MLP and join the aggregation per sample)."""
         n = x.shape[0]
+        has_world = wedge_attr is not None
+        if has_world and self.use_rope:
+            raise NotImplementedError(
+                "relative RoPE with the world-edge sidecar is not "
+                "supported (use the concat world layout)"
+            )
         if self.use_gated_mlp:
             edge_block = GatedMLPBlock(
                 in_size=3 * self.hidden_size,
@@ -776,10 +843,36 @@ class GraphNetBlock(nn.Module):
             )
 
         fold = edge_encoder_params is not None
+
+        # per-sample world-edge stream: messages through the SAME edge
+        # MLP, scattered per sample (W ≤ edge_budget rows — tiny XLA
+        # work). The aggregate joins the fused kernels through their
+        # node-aligned extra_agg seam; the XLA path adds it to its own
+        # segment sum.
+        world_agg = None
+        w_upd = None
+        if has_world:
+            xw_send = _wtake_nodes(x, wedge_senders)
+            xw_recv = _wtake_nodes(x, wedge_receivers)
+            edge_in_w = jnp.concatenate(
+                [wedge_attr.astype(self.dtype), xw_recv, xw_send], axis=-1
+            )
+            w_upd = edge_block(edge_in_w)
+            wm = wedge_mask
+            while wm.ndim < w_upd.ndim:
+                wm = wm[..., None]
+            w_upd = jnp.where(wm, w_upd, jnp.zeros((), w_upd.dtype))
+            world_agg = _wscatter_nodes(w_upd, wedge_receivers, n)
+
         # NK dispatch requires the graph's edges to BE in the NK slot
         # order; runtime CSR indices (tiling_idx) mark a CSR-ordered graph
         # — never NK-dispatch those even when the shapes coincide (uniform
         # meshes: slots == Emax exactly)
+        def _world_out(x_new, e_new):
+            if not has_world:
+                return x_new, e_new
+            return x_new, e_new, wedge_attr + w_upd.astype(wedge_attr.dtype)
+
         if tiling_idx is None and self._fused_ok_nk(x, edge_attr,
                                                     raw_edge=fold):
             _ = edge_block(jnp.zeros((0, 3 * self.hidden_size), self.dtype))
@@ -800,8 +893,10 @@ class GraphNetBlock(nn.Module):
                 edge_encoder_params=edge_encoder_params,
                 last_block=self.is_last_block,
                 tiling_idx=tiling_idx_nk,
+                extra_agg=world_agg,
             )
-            return x_new.astype(x.dtype), e_new.astype(edge_attr.dtype)
+            return _world_out(x_new.astype(x.dtype),
+                              e_new.astype(edge_attr.dtype))
         if self._fused_ok(x, edge_attr, raw_edge=fold):
             # materialize the MLP params (zero-row dummy: no compute), then
             # run the fused Pallas kernel on the same parameters
@@ -821,8 +916,10 @@ class GraphNetBlock(nn.Module):
                 edge_encoder_params=edge_encoder_params,
                 last_block=self.is_last_block,
                 tiling_idx=tiling_idx,
+                extra_agg=world_agg,
             )
-            return x_new.astype(x.dtype), e_new.astype(edge_attr.dtype)
+            return _world_out(x_new.astype(x.dtype),
+                              e_new.astype(edge_attr.dtype))
         if fold:
             raise ValueError(
                 "edge_encoder_params given but the fused path does not "
@@ -851,6 +948,8 @@ class GraphNetBlock(nn.Module):
         edge_upd = edge_block(edge_in)
 
         agg = segment.segment_sum(edge_upd, receivers, n, mask=edge_mask)
+        if world_agg is not None:
+            agg = agg + world_agg.astype(agg.dtype)
 
         if self.use_gate:
             gate_logits = nn.Dense(self.hidden_size, dtype=self.dtype, name="gate_proj")(x)
@@ -863,4 +962,4 @@ class GraphNetBlock(nn.Module):
 
         node_in = jnp.concatenate([x, agg], axis=-1)
         node_upd = node_block(node_in)
-        return x + node_upd, edge_attr + edge_upd
+        return _world_out(x + node_upd, edge_attr + edge_upd)

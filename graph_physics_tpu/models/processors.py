@@ -118,6 +118,15 @@ class EncodeProcessDecode(nn.Module):
             else:
                 edge_attr = edges_encoder(edge_attr)
 
+        # per-sample world-edge sidecar: its (tiny) stream always encodes
+        # and updates in XLA — even when the mesh-edge encoder is folded
+        # into the fused kernels — and joins each block's aggregation
+        wedge_attr = graph.wedge_attr
+        if wedge_attr is not None:
+            wedge_attr = wedge_attr.astype(self.dtype)
+            if not self.only_processor:
+                wedge_attr = edges_encoder(wedge_attr)
+
         pos = graph.pos if self.use_rope_embeddings else None
         # φ-conditioned aggregation gating (reference processors.py:193 —
         # phi is read off the graph only when the gate is active)
@@ -130,7 +139,7 @@ class EncodeProcessDecode(nn.Module):
         prev_x = x
         for i in range(self.message_passing_num):
             prev_x = x
-            x, edge_attr = block_cls(
+            out = block_cls(
                 hidden_size=self.hidden_size,
                 use_gated_mlp=self.use_gated_mlp,
                 use_rope=self.use_rope_embeddings,
@@ -157,12 +166,23 @@ class EncodeProcessDecode(nn.Module):
                 edge_encoder_params=enc_params if i == 0 else None,
                 tiling_idx=graph.tiling_idx,
                 tiling_idx_nk=graph.tiling_idx_nk,
+                wedge_attr=wedge_attr,
+                wedge_senders=graph.wedge_senders,
+                wedge_receivers=graph.wedge_receivers,
+                wedge_mask=graph.wedge_mask,
             )
+            if wedge_attr is not None:
+                x, edge_attr, wedge_attr = out
+            else:
+                x, edge_attr = out
 
         if self.use_temporal_block:
             x = TemporalAttention(
                 hidden_size=self.hidden_size, dtype=self.dtype, name="temporal_block"
-            )(prev_x, x, graph.senders, graph.receivers, graph.edge_mask)
+            )(prev_x, x, graph.senders, graph.receivers, graph.edge_mask,
+              wedge_senders=graph.wedge_senders,
+              wedge_receivers=graph.wedge_receivers,
+              wedge_mask=graph.wedge_mask)
 
         if self.only_processor:
             return x
@@ -232,6 +252,11 @@ class EncodeTransformDecode(nn.Module):
         x_fine = x
         coarse = None
         if self.use_multigrid:
+            if graph.wedge_senders is not None:
+                raise NotImplementedError(
+                    "use_multigrid with the world-edge sidecar is not "
+                    "supported (use the concat world layout)"
+                )
             if x.ndim != 2:
                 raise ValueError(
                     "use_multigrid supports the stacked/single-sample "
@@ -283,6 +308,9 @@ class EncodeTransformDecode(nn.Module):
                 pos,
                 tiling_idx=tiling_idx,
                 tiling_idx_nk=tiling_idx_nk,
+                wedge_senders=graph.wedge_senders,
+                wedge_receivers=graph.wedge_receivers,
+                wedge_mask=graph.wedge_mask,
             )
 
         if coarse is not None:
@@ -306,7 +334,12 @@ class EncodeTransformDecode(nn.Module):
                 num_heads=self.num_heads,
                 dtype=self.dtype,
                 name="temporal_block",
-            )(prev_x, x, senders, receivers, edge_mask)
+            )(prev_x, x, senders, receivers, edge_mask,
+              wedge_senders=None if coarse is not None
+              else graph.wedge_senders,
+              wedge_receivers=None if coarse is not None
+              else graph.wedge_receivers,
+              wedge_mask=None if coarse is not None else graph.wedge_mask)
 
         if self.only_processor:
             return x

@@ -171,17 +171,45 @@ class Simulator:
         )
 
         edge_attr = graph.edge_attr
+        wedge_attr = graph.wedge_attr
         edge_state = state.edge_norm
         if self.edge_input_size is not None and edge_attr is not None:
-            edge_attr, edge_state = normalize(
-                state.edge_norm,
-                edge_attr[..., : self.edge_input_size],
-                mask=edge_mask,
-                accumulate=is_training,
-                axis_name=self.axis_name if is_training else None,
-            )
+            if wedge_attr is not None:
+                # world-edge sidecar: ONE normalizer over mesh + world
+                # edge features, exactly like the reference's single
+                # concatenated edge array (simulator.py:94-116). Concat
+                # along the edge axis (0 for single/packed, 1 stacked),
+                # normalize+accumulate once, split back.
+                wedge_mask = graph.wedge_mask
+                axis = 0 if self.is_packed(graph) or graph.x.ndim == 2 else 1
+                e_all = jnp.concatenate(
+                    [edge_attr[..., : self.edge_input_size],
+                     wedge_attr[..., : self.edge_input_size]], axis=axis
+                )
+                m_all = jnp.concatenate(
+                    [edge_mask, wedge_mask.astype(edge_mask.dtype)],
+                    axis=axis,
+                )
+                e_all, edge_state = normalize(
+                    state.edge_norm,
+                    e_all,
+                    mask=m_all,
+                    accumulate=is_training,
+                    axis_name=self.axis_name if is_training else None,
+                )
+                e_split = graph.edge_attr.shape[axis]
+                edge_attr, wedge_attr = jnp.split(e_all, [e_split], axis=axis)
+            else:
+                edge_attr, edge_state = normalize(
+                    state.edge_norm,
+                    edge_attr[..., : self.edge_input_size],
+                    mask=edge_mask,
+                    accumulate=is_training,
+                    axis_name=self.axis_name if is_training else None,
+                )
 
-        g_in = graph.replace(x=feats_n, edge_attr=edge_attr, y=target_norm)
+        g_in = graph.replace(x=feats_n, edge_attr=edge_attr, y=target_norm,
+                             wedge_attr=wedge_attr)
         new_state = SimulatorState(
             output_norm=out_state, node_norm=node_state, edge_norm=edge_state
         )

@@ -61,7 +61,7 @@ def _grouped_dot(a_bf, b_bf, ones_dh, emax, lanes):
 
 
 def _attn_common(cfg_dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref,
-                 qj_ref, kw_refs, vw_refs):
+                 qj_ref, kw_refs, vw_refs, world_refs=None):
     k = lanes // LANES
     w_rows = wb * wu
     sid = sidx_ref[0]
@@ -90,40 +90,71 @@ def _attn_common(cfg_dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref,
     # (~8-30), far from the cliff; if unnormalized inputs are ever fed
     # here, switch to a per-receiver shift via an oh_rN max-reduction.
     shift = jnp.max(logits)
+    wnum = wden = wscale = None
+    if world_refs is not None:
+        # per-sample world-edge softmax pieces (num_w, den_w, s_w — XLA-
+        # computed, ops/edge_attention.world_attention_parts), node tiles
+        # [nb, lanes] fp32; den_w/s_w repeat their (b, h) value over dh.
+        # The joint softmax re-bases them from their own shift s_w to
+        # this tile's shift, so mesh and world populations combine
+        # EXACTLY as one concatenated softmax.
+        nw_ref, dw_ref, sw_ref = world_refs
+        sw = sw_ref[:]
+        shift = jnp.maximum(shift, jnp.max(sw))
+        wscale = jnp.exp(sw - shift)  # fp32 [nb, lanes]
+        wnum = nw_ref[:] * wscale
+        wden = dw_ref[:] * wscale
     # padded slots (sentinel sid -> all-zero one-hot column) produce
     # logits 0; they must contribute nothing to denominators: their oh_rN
     # column is zero too, so the oh_rN contraction drops them already.
     p = jnp.exp(logits - shift).astype(jnp.bfloat16)  # [rows, 128]
     p2 = p.reshape(emax, lanes)
     denom = _dot(oh_rN, p2)  # fp32 [nb, lanes] per-receiver Σp
-    return k, oh_sT, oh_rN, qj, qe, ke, ve, p2, denom
+    if wden is not None:
+        denom = denom + wden
+    return k, oh_sT, oh_rN, qj, qe, ke, ve, p2, denom, wnum, wscale
 
 
-def _fwd_kernel(dh, wb, wu, nb, emax, lanes,
+def _parse_world_refs(rest, has_world):
+    if not has_world:
+        return None, rest
+    return tuple(rest[:3]), rest[3:]
+
+
+def _fwd_kernel(dh, wb, wu, nb, emax, lanes, has_world,
                 win_start_ref, sidx_ref, ridx_ref, qj_ref, *rest):
     kw_refs = rest[:wb]
     vw_refs = rest[wb : 2 * wb]
-    out_ref = rest[2 * wb]
+    rest = rest[2 * wb :]
+    world_refs, rest = _parse_world_refs(rest, has_world)
+    out_ref = rest[0]
 
-    _k, _oh_sT, oh_rN, _qj, _qe, _ke, ve, p2, denom = _attn_common(
+    _k, _oh_sT, oh_rN, _qj, _qe, _ke, ve, p2, denom, wnum, _ws = _attn_common(
         dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs,
-        vw_refs)
+        vw_refs, world_refs)
 
     num = _dot(oh_rN, (p2 * ve).astype(jnp.bfloat16))  # fp32 [nb, lanes]
+    if wnum is not None:
+        num = num + wnum
     out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
     out_ref[:] = out.astype(jnp.bfloat16)
 
 
-def _bwd_kernel(dh, wb, wu, nb, emax, lanes,
+def _bwd_kernel(dh, wb, wu, nb, emax, lanes, has_world,
                 win_start_ref, sidx_ref, ridx_ref, qj_ref, *rest):
     kw_refs = rest[:wb]
     vw_refs = rest[wb : 2 * wb]
-    g_out_ref = rest[2 * wb]
-    dq_ref, dkw_ref, dvw_ref = rest[2 * wb + 1 :]
+    rest = rest[2 * wb :]
+    world_refs, rest = _parse_world_refs(rest, has_world)
+    g_out_ref = rest[0]
+    if has_world:
+        dq_ref, dkw_ref, dvw_ref, dnw_ref, ddw_ref = rest[1:]
+    else:
+        dq_ref, dkw_ref, dvw_ref = rest[1:]
 
-    k, oh_sT, oh_rN, _qj, qe, ke, ve, p2, denom = _attn_common(
+    k, oh_sT, oh_rN, _qj, qe, ke, ve, p2, denom, wnum, wscale = _attn_common(
         dh, wb, wu, nb, emax, lanes, sidx_ref, ridx_ref, qj_ref, kw_refs,
-        vw_refs)
+        vw_refs, world_refs)
 
     inv_denom = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
 
@@ -146,6 +177,12 @@ def _bwd_kernel(dh, wb, wu, nb, emax, lanes,
     abar = _grouped_dot(ve, gpe, ones_dh, emax, lanes)  # fp32 rows = Ā'
     abar2 = abar.reshape(emax, lanes).astype(jnp.bfloat16)
     s_r = _dot(oh_rN, (p2 * abar2).astype(jnp.bfloat16)) * inv_denom
+    if wnum is not None:
+        # S'_r must see the TOTAL output: add the world numerator's share
+        # Σ_dh (num_w·scale)·g' per (b, h) — one grouped dot on node rows
+        w_sr = _grouped_dot(wnum.astype(jnp.bfloat16), gp, ones_dh,
+                            nb, lanes).reshape(nb, lanes)
+        s_r = s_r + w_sr * inv_denom
     s_e = _dot_t(oh_rN, s_r.astype(jnp.bfloat16)).astype(jnp.bfloat16)
     g_logit = (p2 * (abar2 - s_e)).astype(jnp.bfloat16)
     g_logit = (g_logit / math.sqrt(dh)).astype(jnp.bfloat16)
@@ -156,6 +193,14 @@ def _bwd_kernel(dh, wb, wu, nb, emax, lanes,
     dkw_ref[:] = _dot(oh_sT, (g_logit * qe).astype(jnp.bfloat16)).astype(
         jnp.bfloat16)
     dvw_ref[:] = _dot(oh_sT, g_ve).astype(jnp.bfloat16)
+    if wnum is not None:
+        # world cotangents (elementwise, node-aligned): num_w sees g'·scale;
+        # den_w (its dh-broadcast VJP sums lanes outside) sees −out·g'·scale
+        gp32 = g_out_ref[:].astype(jnp.float32) * inv_denom
+        dnw_ref[:] = gp32 * wscale
+        num = _dot(oh_rN, (p2 * ve).astype(jnp.bfloat16)) + wnum
+        out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
+        ddw_ref[:] = -out * gp32 * wscale
 
 
 def fused_edge_attention(
@@ -167,12 +212,19 @@ def fused_edge_attention(
     lanes: int = 1024,
     lanes_bwd: int = 512,
     tiling_idx=None,  # runtime (win_start, sidx, ridx) — see fused_gn_block
+    world_parts=None,  # (num_w [N,B,h,dh], den_w [N,B,h], s_w [N,B,h]) fp32
 ) -> jnp.ndarray:
     """Edge-masked multi-head attention on the blocked layout.
 
     Node arrays must be padded/ordered per ``tiling`` (apply_to_graph);
     the edge set is taken from the tiling's local indices (padded slots
     have sentinel indices and contribute nothing). Returns [N, B, h, dh].
+
+    ``world_parts``: per-sample world-edge softmax pieces from
+    ops/edge_attention.world_attention_parts — the kernels fold them into
+    the joint mesh+world softmax through node-aligned tiles (den_w/s_w
+    broadcast over dh here so their VJPs reduce automatically; s_w is a
+    stability shift and carries no gradient).
     """
     n, b, h, dh = q.shape
     hid = h * dh
@@ -209,6 +261,22 @@ def fused_edge_attention(
     q2 = q.reshape(n, total_lanes).astype(dtype)
     k2 = k.reshape(n, total_lanes).astype(dtype)
     v2 = v.reshape(n, total_lanes).astype(dtype)
+    has_world = world_parts is not None
+    world_ops = ()
+    if has_world:
+        num_w, den_w, s_w = world_parts
+        # expand per-(b, h) pieces over dh in XLA: the broadcast's VJP
+        # reduces the kernel's per-lane cotangents back to [N, B, h]
+        nw2 = num_w.astype(jnp.float32).reshape(n, total_lanes)
+        dw2 = jnp.broadcast_to(
+            den_w.astype(jnp.float32)[..., None], (n, b, h, dh)
+        ).reshape(n, total_lanes)
+        sw2 = jax.lax.stop_gradient(
+            jnp.broadcast_to(
+                s_w.astype(jnp.float32)[..., None], (n, b, h, dh)
+            ).reshape(n, total_lanes)
+        )
+        world_ops = (nw2, dw2, sw2)
 
     if tiling_idx is not None:
         win_in, sidx_in, ridx_in = tiling_idx
@@ -235,16 +303,17 @@ def fused_edge_attention(
         dw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
         return grid, group_spec, node_spec, win_specs, dw_spec
 
-    def _fwd(q2, k2, v2):
+    def _fwd(q2, k2, v2, world):
         grid, group_spec, node_spec, win_specs, _ = _specs(lanes)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[group_spec, group_spec, node_spec]
-            + win_specs + win_specs,
+            + win_specs + win_specs + [node_spec] * len(world),
             out_specs=[node_spec],
         )
-        kernel = partial(_fwd_kernel, dh, wb, wu, nb, emax, lanes)
+        kernel = partial(_fwd_kernel, dh, wb, wu, nb, emax, lanes,
+                         has_world)
         (out,) = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -253,38 +322,49 @@ def fused_edge_attention(
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
-        )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb))
+        )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb), *world)
         return out
 
     @jax.custom_vjp
-    def run(q2, k2, v2):
-        return _fwd(q2, k2, v2)
+    def run(q2, k2, v2, *world):
+        return _fwd(q2, k2, v2, world)
 
-    def run_fwd(q2, k2, v2):
-        return run(q2, k2, v2), (q2, k2, v2)
+    def run_fwd(q2, k2, v2, *world):
+        return run(q2, k2, v2, *world), (q2, k2, v2, world)
 
     def run_bwd(res, g_out):
-        q2, k2, v2 = res
+        q2, k2, v2, world = res
         grid, group_spec, node_spec, win_specs, dw_spec = _specs(lanes_bwd)
+        out_specs = [node_spec, dw_spec, dw_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+        ]
+        if has_world:  # dnum_w, dden_w (fp32 node tiles)
+            out_specs += [node_spec, node_spec]
+            out_shape += [
+                jax.ShapeDtypeStruct((n, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((n, total_lanes), jnp.float32),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[group_spec, group_spec, node_spec]
-            + win_specs + win_specs + [node_spec],  # g_out
-            out_specs=[node_spec, dw_spec, dw_spec],
+            + win_specs + win_specs + [node_spec] * len(world)
+            + [node_spec],  # g_out
+            out_specs=out_specs,
         )
-        kernel = partial(_bwd_kernel, dh, wb, wu, nb, emax, lanes_bwd)
-        dq, dkw, dvw = pl.pallas_call(
+        kernel = partial(_bwd_kernel, dh, wb, wu, nb, emax, lanes_bwd,
+                         has_world)
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
-        )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb),
+        )(win_start, sidx, ridx, q2, *([k2] * wb), *([v2] * wb), *world,
           g_out.astype(dtype))
+        dq, dkw, dvw = outs[:3]
 
         def reduce_windows(dw):
             blocks = dw.reshape(g_blocks * wb, wu, total_lanes)
@@ -292,8 +372,12 @@ def fused_edge_attention(
                 blocks, blk_node, num_segments=n // wu
             ).reshape(n, total_lanes).astype(dtype)
 
-        return dq, reduce_windows(dkw), reduce_windows(dvw)
+        grads = (dq, reduce_windows(dkw), reduce_windows(dvw))
+        if has_world:
+            dnw, ddw = outs[3], outs[4]
+            grads = grads + (dnw, ddw, jnp.zeros_like(world[2]))
+        return grads
 
     run.defvjp(run_fwd, run_bwd)
-    out2 = run(q2, k2, v2)
+    out2 = run(q2, k2, v2, *world_ops)
     return out2.reshape(n, b, h, dh)

@@ -434,7 +434,8 @@ def _ktile(x, k_slots):
     return jnp.concatenate([x] * k_slots, axis=0)
 
 
-def _nk_common(dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs):
+def _nk_common(dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs,
+               world_refs=None):
     slots = kk * nb
     w_rows = wb * wu
     sid = sidx_ref[0]
@@ -452,35 +453,62 @@ def _nk_common(dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs):
     # global-shift softmax: any per-receiver-constant shift cancels in
     # num/den (see fused_edge_attention for the underflow caveat)
     shift = jnp.max(logits)
+    wnum = wden = wscale = None
+    if world_refs is not None:
+        # world-edge sidecar pieces, re-based from their shift s_w to the
+        # tile shift — exact joint softmax (see fused_edge_attention)
+        nw_ref, dw_ref, sw_ref = world_refs
+        sw = sw_ref[:]
+        shift = jnp.maximum(shift, jnp.max(sw))
+        wscale = jnp.exp(sw - shift)
+        wnum = nw_ref[:] * wscale
+        wden = dw_ref[:] * wscale
     valid = sid.reshape(slots, 1) < w_rows
     p = jnp.where(
         valid, jnp.exp(logits.reshape(slots, lanes) - shift), 0.0
     ).astype(jnp.bfloat16)
     denom = _ksum(p.astype(jnp.float32), kk, nb)  # fp32 [nb, lanes]
-    return oh_sT, qe, ke, ve, p, denom
+    if wden is not None:
+        denom = denom + wden
+    return oh_sT, qe, ke, ve, p, denom, wnum, wscale
 
 
-def _nk_fwd_kernel(dh, wb, wu, nb, kk, lanes,
+def _nk_fwd_kernel(dh, wb, wu, nb, kk, lanes, has_world,
                    win_start_ref, sidx_ref, qj_ref, *rest):
+    from graph_physics_tpu.ops.fused_edge_attention import _parse_world_refs
+
     kw_refs = rest[:wb]
     vw_refs = rest[wb : 2 * wb]
-    out_ref = rest[2 * wb]
-    _oh, _qe, _ke, ve, p, denom = _nk_common(
-        dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs)
+    rest = rest[2 * wb :]
+    world_refs, rest = _parse_world_refs(rest, has_world)
+    out_ref = rest[0]
+    _oh, _qe, _ke, ve, p, denom, wnum, _ws = _nk_common(
+        dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs,
+        world_refs)
     num = _ksum((p * ve).astype(jnp.float32), kk, nb)
+    if wnum is not None:
+        num = num + wnum
     out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
     out_ref[:] = out.astype(jnp.bfloat16)
 
 
-def _nk_bwd_kernel(dh, wb, wu, nb, kk, lanes,
+def _nk_bwd_kernel(dh, wb, wu, nb, kk, lanes, has_world,
                    win_start_ref, sidx_ref, qj_ref, *rest):
+    from graph_physics_tpu.ops.fused_edge_attention import _parse_world_refs
+
     kw_refs = rest[:wb]
     vw_refs = rest[wb : 2 * wb]
-    g_out_ref = rest[2 * wb]
-    dq_ref, dkw_ref, dvw_ref = rest[2 * wb + 1 :]
+    rest = rest[2 * wb :]
+    world_refs, rest = _parse_world_refs(rest, has_world)
+    g_out_ref = rest[0]
+    if has_world:
+        dq_ref, dkw_ref, dvw_ref, dnw_ref, ddw_ref = rest[1:]
+    else:
+        dq_ref, dkw_ref, dvw_ref = rest[1:]
 
-    oh_sT, qe, ke, ve, p, denom = _nk_common(
-        dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs)
+    oh_sT, qe, ke, ve, p, denom, wnum, wscale = _nk_common(
+        dh, wb, wu, nb, kk, lanes, sidx_ref, qj_ref, kw_refs, vw_refs,
+        world_refs)
 
     inv = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     # identical softmax backward algebra to fused_edge_attention._bwd_kernel
@@ -493,6 +521,10 @@ def _nk_bwd_kernel(dh, wb, wu, nb, kk, lanes,
     abar = _grouped_dot(ve, gpe, ones_dh, kk * nb, lanes)    # fp32 rows
     abar2 = abar.reshape(kk * nb, lanes).astype(jnp.bfloat16)
     s_r = _ksum((p * abar2).astype(jnp.float32), kk, nb) * inv
+    if wnum is not None:
+        w_sr = _grouped_dot(wnum.astype(jnp.bfloat16), gp, ones_dh,
+                            nb, lanes).reshape(nb, lanes)
+        s_r = s_r + w_sr * inv
     s_e = _ktile(s_r.astype(jnp.bfloat16), kk)
     g_logit = (p * (abar2 - s_e)).astype(jnp.bfloat16)
     g_logit = (g_logit / math.sqrt(dh)).astype(jnp.bfloat16)
@@ -502,6 +534,12 @@ def _nk_bwd_kernel(dh, wb, wu, nb, kk, lanes,
     dkw_ref[:] = _dot(oh_sT, (g_logit * qe).astype(jnp.bfloat16)).astype(
         jnp.bfloat16)
     dvw_ref[:] = _dot(oh_sT, g_ve).astype(jnp.bfloat16)
+    if wnum is not None:
+        gp32 = g_out_ref[:].astype(jnp.float32) * inv
+        dnw_ref[:] = gp32 * wscale
+        num = _ksum((p * ve).astype(jnp.float32), kk, nb) + wnum
+        out = jnp.where(denom > 0.0, num / jnp.maximum(denom, 1e-30), 0.0)
+        ddw_ref[:] = -out * gp32 * wscale
 
 
 def fused_edge_attention_nk(
@@ -513,11 +551,13 @@ def fused_edge_attention_nk(
     lanes: int = 1024,
     lanes_bwd: int = 512,
     tiling_idx=None,  # runtime (win_start, sidx) — compile-once buckets
+    world_parts=None,  # (num_w, den_w, s_w) — see fused_edge_attention
 ) -> jnp.ndarray:
     """Edge-masked multi-head attention on the uniform-degree layout.
 
-    Same contract as ops/fused_edge_attention.fused_edge_attention; node
-    arrays must be padded to ``tiling.num_nodes``.
+    Same contract as ops/fused_edge_attention.fused_edge_attention
+    (including the world-edge sidecar ``world_parts`` seam); node arrays
+    must be padded to ``tiling.num_nodes``.
     """
     n, b, h, dh = q.shape
     total_lanes = b * h * dh
@@ -551,6 +591,20 @@ def fused_edge_attention_nk(
     q2 = q.reshape(n, total_lanes).astype(dtype)
     k2 = k.reshape(n, total_lanes).astype(dtype)
     v2 = v.reshape(n, total_lanes).astype(dtype)
+    has_world = world_parts is not None
+    world_ops = ()
+    if has_world:
+        num_w, den_w, s_w = world_parts
+        nw2 = num_w.astype(jnp.float32).reshape(n, total_lanes)
+        dw2 = jnp.broadcast_to(
+            den_w.astype(jnp.float32)[..., None], (n, b, h, dh)
+        ).reshape(n, total_lanes)
+        sw2 = jax.lax.stop_gradient(
+            jnp.broadcast_to(
+                s_w.astype(jnp.float32)[..., None], (n, b, h, dh)
+            ).reshape(n, total_lanes)
+        )
+        world_ops = (nw2, dw2, sw2)
 
     if tiling_idx is not None:
         win_in, sidx_in = tiling_idx
@@ -575,15 +629,17 @@ def fused_edge_attention_nk(
         dw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
         return grid, group_spec, node_spec, win_specs, dw_spec
 
-    def _fwd(q2, k2, v2):
+    def _fwd(q2, k2, v2, world):
         grid, group_spec, node_spec, win_specs, _ = _specs(lanes)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[group_spec, node_spec] + win_specs + win_specs,
+            in_specs=[group_spec, node_spec] + win_specs + win_specs
+            + [node_spec] * len(world),
             out_specs=[node_spec],
         )
-        kernel = partial(_nk_fwd_kernel, dh, wb, wu, nb, kk, lanes)
+        kernel = partial(_nk_fwd_kernel, dh, wb, wu, nb, kk, lanes,
+                         has_world)
         (out,) = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -592,38 +648,48 @@ def fused_edge_attention_nk(
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
-        )(win_start, sidx, q2, *([k2] * wb), *([v2] * wb))
+        )(win_start, sidx, q2, *([k2] * wb), *([v2] * wb), *world)
         return out
 
     @jax.custom_vjp
-    def run(q2, k2, v2):
-        return _fwd(q2, k2, v2)
+    def run(q2, k2, v2, *world):
+        return _fwd(q2, k2, v2, world)
 
-    def run_fwd(q2, k2, v2):
-        return run(q2, k2, v2), (q2, k2, v2)
+    def run_fwd(q2, k2, v2, *world):
+        return run(q2, k2, v2, *world), (q2, k2, v2, world)
 
     def run_bwd(res, g_out):
-        q2, k2, v2 = res
+        q2, k2, v2, world = res
         grid, group_spec, node_spec, win_specs, dw_spec = _specs(lanes_bwd)
+        out_specs = [node_spec, dw_spec, dw_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+            jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
+        ]
+        if has_world:
+            out_specs += [node_spec, node_spec]
+            out_shape += [
+                jax.ShapeDtypeStruct((n, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((n, total_lanes), jnp.float32),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[group_spec, node_spec] + win_specs + win_specs
-            + [node_spec],  # g_out
-            out_specs=[node_spec, dw_spec, dw_spec],
+            + [node_spec] * len(world) + [node_spec],  # g_out
+            out_specs=out_specs,
         )
-        kernel = partial(_nk_bwd_kernel, dh, wb, wu, nb, kk, lanes_bwd)
-        dq, dkw, dvw = pl.pallas_call(
+        kernel = partial(_nk_bwd_kernel, dh, wb, wu, nb, kk, lanes_bwd,
+                         has_world)
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
-                jax.ShapeDtypeStruct((g_blocks * wb * wu, total_lanes), dtype),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
-        )(win_start, sidx, q2, *([k2] * wb), *([v2] * wb),
+        )(win_start, sidx, q2, *([k2] * wb), *([v2] * wb), *world,
           g_out.astype(dtype))
+        dq, dkw, dvw = outs[:3]
 
         def reduce_windows(dw):
             blocks = dw.reshape(g_blocks * wb, wu, total_lanes)
@@ -631,8 +697,11 @@ def fused_edge_attention_nk(
                 blocks, blk_node, num_segments=n // wu
             ).reshape(n, total_lanes).astype(dtype)
 
-        return dq, reduce_windows(dkw), reduce_windows(dvw)
+        grads = (dq, reduce_windows(dkw), reduce_windows(dvw))
+        if has_world:
+            grads = grads + (outs[3], outs[4], jnp.zeros_like(world[2]))
+        return grads
 
     run.defvjp(run_fwd, run_bwd)
-    out2 = run(q2, k2, v2)
+    out2 = run(q2, k2, v2, *world_ops)
     return out2.reshape(n, b, h, dh)

@@ -87,6 +87,12 @@ class FusedBlockConfig:
     #: last block of the processor: its edge output is dead (only x feeds
     #: the decoder) — skip the eout write (fwd) and the g_eout read (bwd)
     last_block: bool = False
+    #: an extra NODE-aligned aggregate input joins the message sum before
+    #: the node MLP (the world-edge sidecar's per-sample scatter, computed
+    #: in XLA — models/layers.GraphNetBlock). Node-sized seam: no new
+    #: edge-row HBM streams; the backward exports its cotangent (= the
+    #: aggregation gradient, which it computes anyway)
+    has_extra_agg: bool = False
 
 
 # ----------------------------------------------------------------------
@@ -389,6 +395,10 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
     rest = rest[wb:]
     e_ref = rest[0]
     rest = rest[1:]
+    ea_ref = None
+    if cfg.has_extra_agg:
+        ea_ref = rest[0]
+        rest = rest[1:]
     enc_refs = None
     if cfg.n_enc_layers:
         enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
@@ -431,6 +441,8 @@ def _fwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
         eout_ref[:] = e + eh
 
     agg = _dot(oh_rN, eh).astype(jnp.bfloat16)  # [NB, lanes] masked scatter
+    if ea_ref is not None:
+        agg = agg + ea_ref[:]
     aggr = agg.reshape(nb * k, LANES)
 
     hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
@@ -444,6 +456,10 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
     rest = rest[wb:]
     e_ref = rest[0]
     rest = rest[1:]
+    ea_ref = None
+    if cfg.has_extra_agg:
+        ea_ref = rest[0]
+        rest = rest[1:]
     enc_refs = None
     if cfg.n_enc_layers:
         enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
@@ -462,6 +478,10 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
         rest = rest[2:]
     dx_ref, dxw_ref = rest[:2]
     rest = rest[2:]
+    dea_ref = None
+    if cfg.has_extra_agg:
+        dea_ref = rest[0]
+        rest = rest[1:]
     if cfg.n_enc_layers:
         de_ref = None  # raw edge features carry no gradient
         dw_all = rest
@@ -493,6 +513,8 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
     edge_upd, (e_pres, e_rms) = _mlp_fwd(h0, ew_mid, ew_b, ew_scale, ones_k, cfg)
     eh = edge_upd.reshape(emax, lanes)
     agg = _dot(oh_rN, eh).astype(jnp.bfloat16)
+    if ea_ref is not None:
+        agg = agg + ea_ref[:]
     aggr = agg.reshape(nb * k, LANES)
     hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
     _node_upd, (n_pres, n_rms) = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale, ones_k, cfg)
@@ -508,6 +530,10 @@ def _bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, emax: int,
 
     # eh receives gradient from both the agg scatter and the edge residual
     g_agg = g_agg_r.reshape(nb, lanes)
+    if dea_ref is not None:
+        # the extra aggregate joins agg by identity add — its cotangent
+        # IS the aggregation gradient
+        dea_ref[:] = g_agg
     g_eh = _dot_t(oh_rN, g_agg).astype(jnp.bfloat16)
     if g_eout is not None:
         g_eh = g_eout + g_eh
@@ -673,8 +699,15 @@ def fused_gn_block(
     edge_encoder_params: Optional[dict] = None,
     last_block: bool = False,
     tiling_idx: Optional[Tuple] = None,
+    extra_agg: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply one fused GraphNetBlock; returns (x', edge_attr').
+
+    ``extra_agg``: optional [N, B, F] node-aligned aggregate added to the
+    in-kernel message sum before the node MLP (the world-edge sidecar's
+    per-sample scatter). Differentiable: the backward kernel exports its
+    cotangent (the aggregation gradient it computes anyway) — a node-sized
+    seam with no new edge-row HBM traffic.
 
     ``tiling_idx``: optional runtime ``(win_start, sidx, ridx)`` arrays
     (graph.tiling_idx). When given they are used as TRACED inputs instead
@@ -778,6 +811,7 @@ def fused_gn_block(
         n_enc_layers = len(
             [k for k in edge_encoder_params if k.startswith("Dense_")]
         )
+    has_extra = extra_agg is not None
     cfg = FusedBlockConfig(
         feature_size=f,
         n_edge_layers=n_edge_layers,
@@ -788,10 +822,13 @@ def fused_gn_block(
         n_enc_layers=n_enc_layers,
         enc_ratio=r,
         last_block=last_block,
+        has_extra_agg=has_extra,
     )
 
     dtype = jnp.bfloat16
     x2 = x.reshape(n, total_lanes).astype(dtype)
+    ea2 = (extra_agg.reshape(n, total_lanes).astype(dtype)
+           if has_extra else None)
     enc_flat: list = []
     if edge_encoder_params is not None:
         fe = edge_attr.shape[-1]
@@ -866,8 +903,9 @@ def fused_gn_block(
             for k in range(wb_b)
         ]
         weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
+        extra_specs = [node_spec] if has_extra else []
         in_specs = ([group_spec, group_spec, node_spec] + win_specs
-                    + [edge_in_spec] + weight_specs)
+                    + [edge_in_spec] + extra_specs + weight_specs)
         dxw_spec = _vspec((wb_b * wu, l), lambda c, g, ws: (g, c))
         return grid, in_specs, node_spec, edge_spec, dxw_spec
 
@@ -878,13 +916,14 @@ def fused_gn_block(
     prev_node_spec = _vspec((nb, LANES), lambda c, g, ws: (0, 0))
     prev_edge_spec = _vspec((emax, LANES), lambda c, g, ws: (0, 0))
 
-    def _fwd(x2, e2, weights):
+    def _fwd(x2, e2, ea2, weights):
         xout = eout = None
         for bi, (lo, hi, wb_b) in enumerate(buckets):
             l, _lb = lane_plan[bi]
             ng = hi - lo
             win_b, sidx_b, ridx_b = b_idx[bi]
             grid, in_specs, node_spec, edge_spec, _ = _specs(l, lo, ng, wb_b)
+            extra_ops = [ea2] if has_extra else []
             out_specs = [node_spec]
             out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
             if not last_block:
@@ -892,7 +931,7 @@ def fused_gn_block(
                 out_shape.append(
                     jax.ShapeDtypeStruct((g_blocks * emax, total_lanes), dtype)
                 )
-            n_reg = 4 + wb_b + 1 + len(weights)
+            n_reg = 4 + wb_b + 1 + len(extra_ops) + len(weights)
             prev_ops, prev_specs, aliases = [], [], {}
             if bi > 0:
                 # later buckets write their group ranges into the previous
@@ -926,8 +965,8 @@ def fused_gn_block(
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
-            )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *weights,
-              *prev_ops)
+            )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *extra_ops,
+              *weights, *prev_ops)
             xout = outs[0]
             if not last_block:
                 eout = outs[1]
@@ -936,21 +975,23 @@ def fused_gn_block(
         return xout, eout
 
     @jax.custom_vjp
-    def run(x2, e2, *weights):
-        return _fwd(x2, e2, weights)
+    def run(x2, e2, *rest):
+        ea2_, weights = (rest[0], rest[1:]) if has_extra else (None, rest)
+        return _fwd(x2, e2, ea2_, weights)
 
-    def run_fwd(x2, e2, *weights):
-        out = run(x2, e2, *weights)
-        return out, (x2, e2, weights)
+    def run_fwd(x2, e2, *rest):
+        out = run(x2, e2, *rest)
+        return out, (x2, e2, rest)
 
     def run_bwd(res, g):
-        x2, e2, weights = res
+        x2, e2, rest = res
+        ea2_, weights = (rest[0], rest[1:]) if has_extra else (None, rest)
         g_xout, g_eout = g
         g_xout = g_xout.astype(dtype)
 
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                      for w in weights]
-        dx_main = de = dx_extra = None
+        dx_main = de = dx_extra = dea = None
         dws_acc = None
         for bi, (lo, hi, wb_b) in enumerate(buckets):
             _l, lb = lane_plan[bi]
@@ -958,6 +999,7 @@ def fused_gn_block(
             win_b, sidx_b, ridx_b = b_idx[bi]
             grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(
                 lb, lo, ng, wb_b)
+            extra_ops = [ea2_] if has_extra else []
             cot_specs = [node_spec]  # g_xout
             cots = [g_xout]
             if not last_block:
@@ -968,22 +1010,35 @@ def fused_gn_block(
                 jax.ShapeDtypeStruct((n, total_lanes), dtype),
                 jax.ShapeDtypeStruct((ng * wb_b * wu, total_lanes), dtype),
             ]
+            if has_extra:  # dea — node-aligned extra-aggregate cotangent
+                out_specs.append(node_spec)
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n, total_lanes), dtype))
+            de_pos = len(out_specs)
             if n_enc == 0:
                 out_specs.append(edge_spec)  # de
                 out_shape.append(
                     jax.ShapeDtypeStruct((g_blocks * emax, total_lanes),
                                          dtype)
                 )
-            n_reg = 4 + wb_b + 1 + len(weights) + len(cots)
+            n_reg = (4 + wb_b + 1 + len(extra_ops) + len(weights)
+                     + len(cots))
             prev_ops, prev_specs, aliases = [], [], {}
             if bi > 0:
+                # later buckets write their group rows into the previous
+                # call's full-size output buffers (node-spec'd outputs
+                # cover only [lo, hi) rows per bucket)
                 prev_ops.append(dx_main)
                 prev_specs.append(prev_node_spec)
                 aliases[n_reg] = 0
+                if has_extra:
+                    prev_ops.append(dea)
+                    prev_specs.append(prev_node_spec)
+                    aliases[n_reg + len(prev_ops) - 1] = 2
                 if n_enc == 0:
                     prev_ops.append(de)
                     prev_specs.append(prev_edge_spec)
-                    aliases[n_reg + 1] = 2
+                    aliases[n_reg + len(prev_ops) - 1] = de_pos
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
@@ -1004,14 +1059,18 @@ def fused_gn_block(
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
-            )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *weights,
-              *cots, *prev_ops)
+            )(win_b, sidx_b, ridx_b, x2, *([x2] * wb_b), e2, *extra_ops,
+              *weights, *cots, *prev_ops)
             dx_main, dxw = outs[0], outs[1]
+            outs = outs[2:]
+            if has_extra:
+                dea = outs[0]
+                outs = outs[1:]
             if n_enc == 0:
-                de = outs[2]
-                dws = outs[3:]
+                de = outs[0]
+                dws = outs[1:]
             else:
-                dws = outs[2:]
+                dws = outs
             # per-bucket weight grads sum (tiny arrays)
             dws_acc = (list(dws) if dws_acc is None
                        else [a + d for a, d in zip(dws_acc, dws)])
@@ -1029,11 +1088,14 @@ def fused_gn_block(
         dws = [dw.astype(w.dtype) for dw, w in zip(dws_acc, weights)]
         dx = (dx_main.astype(jnp.float32)
               + dx_extra.reshape(n, total_lanes).astype(jnp.float32))
+        if has_extra:
+            return (dx.astype(dtype), de, dea, *dws)
         return (dx.astype(dtype), de, *dws)
 
     run.defvjp(run_fwd, run_bwd)
 
-    xout2, eout2 = run(x2, e2, *enc_flat, *ew_flat, *nw_flat)
+    extra_in = (ea2,) if has_extra else ()
+    xout2, eout2 = run(x2, e2, *extra_in, *enc_flat, *ew_flat, *nw_flat)
     xout = xout2.reshape(n, b, f)
     if last_block:
         return xout, edge_attr  # dead edge stream, unchanged
@@ -1046,7 +1108,7 @@ def fused_gn_block(
 
 def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
                       activation="relu", layer_norm=True,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32, extra_agg=None):
     """XLA implementation of exactly the fused math, for parity tests.
 
     With ``compute_dtype=jnp.bfloat16`` the dtype flow mirrors the kernel
@@ -1123,5 +1185,7 @@ def blocked_reference(x, edge_attr, edge_params, node_params, tiling,
     agg = jax.ops.segment_sum(
         jnp.where(r_valid[:, None, None], eh.astype(jnp.float32), 0.0),
         jnp.clip(glob_r, 0, n - 1), num_segments=n).astype(cd)
+    if extra_agg is not None:
+        agg = agg + extra_agg.astype(cd)
     nh = mlp([xc, agg], node_params)
     return (xc + nh).astype(x.dtype), (ec + eh).astype(edge_attr.dtype)

@@ -150,6 +150,10 @@ def _nk_fwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
     rest = rest[wb:]
     e_ref = rest[0]
     rest = rest[1:]
+    ea_ref = None
+    if cfg.has_extra_agg:
+        ea_ref = rest[0]
+        rest = rest[1:]
     enc_refs = None
     if cfg.n_enc_layers:
         enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
@@ -174,6 +178,8 @@ def _nk_fwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
     if eout_ref is not None:
         eout_ref[:] = e + ehm
 
+    if ea_ref is not None:
+        agg = agg + ea_ref[:]
     aggr = agg.reshape(nb * k, LANES)
     hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
     node_upd, _ = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale, ones_k, cfg)
@@ -186,6 +192,10 @@ def _nk_bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
     rest = rest[wb:]
     e_ref = rest[0]
     rest = rest[1:]
+    ea_ref = None
+    if cfg.has_extra_agg:
+        ea_ref = rest[0]
+        rest = rest[1:]
     enc_refs = None
     if cfg.n_enc_layers:
         enc_first, enc_mid, enc_b, enc_scale, rest = _parse_weight_refs(
@@ -204,6 +214,10 @@ def _nk_bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
         rest = rest[2:]
     dx_ref, dxw_ref = rest[:2]
     rest = rest[2:]
+    dea_ref = None
+    if cfg.has_extra_agg:
+        dea_ref = rest[0]
+        rest = rest[1:]
     if cfg.n_enc_layers:
         de_ref = None  # raw edge features carry no gradient
         dw_all = rest
@@ -221,6 +235,8 @@ def _nk_bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
      e_pres, e_rms, ehm, agg) = _edge_fwd(
         cfg, wb, wu, nb, kk, lanes, sidx_ref, xj_ref, xw_refs, e_ref,
         enc_refs, (ew_first, ew_mid, ew_b, ew_scale), ones_k)
+    if ea_ref is not None:
+        agg = agg + ea_ref[:]
     aggr = agg.reshape(nb * k, LANES)
     hn0 = _dot(xjr, nw_first[0][:]) + _dot(aggr, nw_first[1][:])
     _node_upd, (n_pres, n_rms) = _mlp_fwd(hn0, nw_mid, nw_b, nw_scale,
@@ -237,6 +253,9 @@ def _nk_bwd_kernel(cfg: FusedBlockConfig, wb: int, wu: int, nb: int, kk: int,
 
     # d(ehm) = g_eout + ktile(g_agg); the output mask's VJP zeroes padding
     g_agg = g_agg_r.reshape(nb, lanes)
+    if dea_ref is not None:
+        # identity-add seam: the extra aggregate's cotangent IS g_agg
+        dea_ref[:] = g_agg
     g_ehm = _ktile(g_agg, kk)
     if g_eout is not None:
         g_ehm = g_eout + g_ehm
@@ -326,6 +345,7 @@ def fused_gn_block_nk(
     last_block: bool = False,
     tiling_idx: Optional[Tuple] = None,
     clean_edge_grads: bool = False,
+    extra_agg: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply one fused GraphNetBlock on the uniform-degree layout.
 
@@ -429,6 +449,7 @@ def fused_gn_block_nk(
     if edge_encoder_params is not None:
         n_enc_layers = len(
             [k for k in edge_encoder_params if k.startswith("Dense_")])
+    has_extra = extra_agg is not None
     cfg = FusedBlockConfig(
         feature_size=f,
         n_edge_layers=n_edge_layers,
@@ -439,10 +460,13 @@ def fused_gn_block_nk(
         n_enc_layers=n_enc_layers,
         enc_ratio=r,
         last_block=last_block,
+        has_extra_agg=has_extra,
     )
 
     dtype = jnp.bfloat16
     x2 = x.reshape(n, total_lanes).astype(dtype)
+    ea2 = (extra_agg.reshape(n, total_lanes).astype(dtype)
+           if has_extra else None)
     enc_flat: list = []
     if folded:
         fe = edge_attr.shape[-1]
@@ -508,8 +532,10 @@ def fused_gn_block_nk(
             for k_ in range(wb)
         ]
         weight_specs = [_const_spec(w) for w in enc_flat + ew_flat + nw_flat]
+        extra_specs = [node_spec] if has_extra else []
         in_specs = ([group_spec, node_spec] + win_specs
-                    + [edge_in_spec if folded else edge_spec] + weight_specs)
+                    + [edge_in_spec if folded else edge_spec] + extra_specs
+                    + weight_specs)
         dxw_spec = _vspec((wb * wu, l), lambda c, g, ws: (g, c))
         return grid, in_specs, node_spec, edge_spec, dxw_spec
 
@@ -520,20 +546,21 @@ def fused_gn_block_nk(
     prev_node_spec = _vspec((nb, LANES), lambda c, g, ws: (0, 0))
     prev_edge_spec = _vspec((nb, LANES), lambda c, g, ws: (0, 0))
 
-    def _fwd(x2, e2, weights):
+    def _fwd(x2, e2, ea2, weights):
         xout = eout = None
         for bi, (lo, hi, k_b) in enumerate(buckets):
             l, _lb = lane_plan[bi]
             ng = hi - lo
             grid, in_specs, node_spec, edge_spec, _ = _specs(
                 l, lo, ng, k_b, bases[bi])
+            extra_ops = [ea2] if has_extra else []
             out_specs = [node_spec]
             out_shape = [jax.ShapeDtypeStruct((n, total_lanes), dtype)]
             if not last_block:
                 out_specs.append(edge_spec)
                 out_shape.append(
                     jax.ShapeDtypeStruct((total_rows, total_lanes), dtype))
-            n_reg = 3 + wb + 1 + len(weights)
+            n_reg = 3 + wb + 1 + len(extra_ops) + len(weights)
             prev_ops, prev_specs, aliases = [], [], {}
             if bi > 0:
                 prev_ops.append(xout)
@@ -562,8 +589,8 @@ def fused_gn_block_nk(
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
-            )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *weights,
-              *prev_ops)
+            )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *extra_ops,
+              *weights, *prev_ops)
             xout = outs[0]
             if not last_block:
                 eout = outs[1]
@@ -572,27 +599,30 @@ def fused_gn_block_nk(
         return xout, eout
 
     @jax.custom_vjp
-    def run(x2, e2, *weights):
-        return _fwd(x2, e2, weights)
+    def run(x2, e2, *rest):
+        ea2_, weights = (rest[0], rest[1:]) if has_extra else (None, rest)
+        return _fwd(x2, e2, ea2_, weights)
 
-    def run_fwd(x2, e2, *weights):
-        out = run(x2, e2, *weights)
-        return out, (x2, e2, weights)
+    def run_fwd(x2, e2, *rest):
+        out = run(x2, e2, *rest)
+        return out, (x2, e2, rest)
 
     def run_bwd(res, g):
-        x2, e2, weights = res
+        x2, e2, rest = res
+        ea2_, weights = (rest[0], rest[1:]) if has_extra else (None, rest)
         g_xout, g_eout = g
         g_xout = g_xout.astype(dtype)
 
         dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                      for w in weights]
-        dx_main = de = dx_extra = None
+        dx_main = de = dx_extra = dea = None
         dws_acc = None
         for bi, (lo, hi, k_b) in enumerate(buckets):
             _l, lb = lane_plan[bi]
             ng = hi - lo
             grid, in_specs, node_spec, edge_spec, dxw_spec = _specs(
                 lb, lo, ng, k_b, bases[bi])
+            extra_ops = [ea2_] if has_extra else []
             cot_specs = [node_spec]
             cots = [g_xout]
             if not last_block:
@@ -603,20 +633,30 @@ def fused_gn_block_nk(
                 jax.ShapeDtypeStruct((n, total_lanes), dtype),
                 jax.ShapeDtypeStruct((ng * wb * wu, total_lanes), dtype),
             ]
+            if has_extra:  # dea — node-aligned extra-aggregate cotangent
+                out_specs.append(node_spec)
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n, total_lanes), dtype))
+            de_pos = len(out_specs)
             if n_enc == 0:
                 out_specs.append(edge_spec)  # de
                 out_shape.append(
                     jax.ShapeDtypeStruct((total_rows, total_lanes), dtype))
-            n_reg = 3 + wb + 1 + len(weights) + len(cots)
+            n_reg = (3 + wb + 1 + len(extra_ops) + len(weights)
+                     + len(cots))
             prev_ops, prev_specs, aliases = [], [], {}
             if bi > 0:
                 prev_ops.append(dx_main)
                 prev_specs.append(prev_node_spec)
                 aliases[n_reg] = 0
+                if has_extra:
+                    prev_ops.append(dea)
+                    prev_specs.append(prev_node_spec)
+                    aliases[n_reg + len(prev_ops) - 1] = 2
                 if n_enc == 0:
                     prev_ops.append(de)
                     prev_specs.append(prev_edge_spec)
-                    aliases[n_reg + 1] = 2
+                    aliases[n_reg + len(prev_ops) - 1] = de_pos
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
@@ -637,14 +677,18 @@ def fused_gn_block_nk(
                 ),
                 interpret=interpret,
                 input_output_aliases=aliases,
-            )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *weights,
-              *cots, *prev_ops)
+            )(win_list[bi], sidx_list[bi], x2, *([x2] * wb), e2, *extra_ops,
+              *weights, *cots, *prev_ops)
             dx_main, dxw = outs[0], outs[1]
+            outs = outs[2:]
+            if has_extra:
+                dea = outs[0]
+                outs = outs[1:]
             if n_enc == 0:
-                de = outs[2]
-                dws = outs[3:]
+                de = outs[0]
+                dws = outs[1:]
             else:
-                dws = outs[2:]
+                dws = outs
             dws_acc = (list(dws) if dws_acc is None
                        else [a + d for a, d in zip(dws_acc, dws)])
             dxw_blocks = dxw.reshape(ng * wb, wu, total_lanes)
@@ -666,11 +710,14 @@ def fused_gn_block_nk(
         dws = [dw.astype(w.dtype) for dw, w in zip(dws_acc, weights)]
         dx = (dx_main.astype(jnp.float32)
               + dx_extra.reshape(n, total_lanes).astype(jnp.float32))
+        if has_extra:
+            return (dx.astype(dtype), de, dea, *dws)
         return (dx.astype(dtype), de, *dws)
 
     run.defvjp(run_fwd, run_bwd)
 
-    xout2, eout2 = run(x2, e2, *enc_flat, *ew_flat, *nw_flat)
+    extra_in = (ea2,) if has_extra else ()
+    xout2, eout2 = run(x2, e2, *extra_in, *enc_flat, *ew_flat, *nw_flat)
     xout = xout2.reshape(n, b, f)
     if last_block:
         return xout, edge_attr  # dead edge stream, unchanged
@@ -683,7 +730,8 @@ def fused_gn_block_nk(
 
 def blocked_reference_nk(x, edge_attr, edge_params, node_params,
                          tiling: NKTiling, activation="relu",
-                         layer_norm=True, compute_dtype=jnp.float32):
+                         layer_norm=True, compute_dtype=jnp.float32,
+                         extra_agg=None):
     """XLA implementation of exactly the NK-fused math, for parity tests
     (mirrors :func:`ops.fused_gnblock.blocked_reference`)."""
     import math
@@ -756,5 +804,7 @@ def blocked_reference_nk(x, edge_attr, edge_params, node_params,
     ehm = jnp.where(valid[:, None, None], eh, jnp.zeros((), eh.dtype))
     agg = jax.ops.segment_sum(
         ehm.astype(jnp.float32), glob_r, num_segments=n).astype(cd)
+    if extra_agg is not None:
+        agg = agg + extra_agg.astype(cd)
     nh = mlp([xc, agg], node_params)
     return (xc + nh).astype(x.dtype), (ec + ehm).astype(edge_attr.dtype)

@@ -330,6 +330,12 @@ class FusedTopologyManager:
             next_data=pad_nodes(g.next_data),
             deselected=pad_nodes(g.deselected, False),
             time=g.time,
+            # per-frame world-edge sidecar: fixed [W] budget, node ids
+            # unchanged by node padding (inactive slots are masked)
+            wedge_senders=g.wedge_senders,
+            wedge_receivers=g.wedge_receivers,
+            wedge_mask=g.wedge_mask,
+            wedge_attr=g.wedge_attr,
         )
 
     def transform_packed(self, g: MeshGraph) -> Optional[MeshGraph]:
@@ -461,18 +467,23 @@ def _permute_nodes(g: MeshGraph, perm: np.ndarray) -> MeshGraph:
     def nodes(a):
         return None if a is None else np.asarray(a)[full]
 
+    def remap(a):
+        return None if a is None else inv[np.asarray(a)].astype(np.int32)
+
     return g.replace(
         x=nodes(g.x),
         pos=nodes(g.pos),
         node_type=nodes(g.node_type),
         node_mask=nodes(g.node_mask),
-        senders=inv[np.asarray(g.senders)].astype(np.int32),
-        receivers=inv[np.asarray(g.receivers)].astype(np.int32),
+        senders=remap(g.senders),
+        receivers=remap(g.receivers),
         y=nodes(g.y),
         prev=nodes(g.prev),
         next_data=nodes(g.next_data),
         deselected=nodes(g.deselected),
         phi=nodes(g.phi),
+        wedge_senders=remap(g.wedge_senders),
+        wedge_receivers=remap(g.wedge_receivers),
         faces=(
             None
             if g.faces is None

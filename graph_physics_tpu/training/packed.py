@@ -65,6 +65,11 @@ def pack(stacked: MeshGraph) -> MeshGraph:
             if stacked.phi is None
             else np.moveaxis(np.asarray(stacked.phi), 0, 1)
         ),
+        # per-sample world-edge sidecar: [B, W(...)] -> [W, B(...)]
+        wedge_senders=node_field(stacked.wedge_senders),
+        wedge_receivers=node_field(stacked.wedge_receivers),
+        wedge_mask=node_field(stacked.wedge_mask),
+        wedge_attr=node_field(stacked.wedge_attr),
         faces=_shared(stacked.faces, "faces") if stacked.faces is not None else None,
         face_mask=(
             _shared(stacked.face_mask, "face_mask")
@@ -173,6 +178,10 @@ def pack_frames(frames, broadcast_static: bool = False) -> MeshGraph:
         next_data=dyn(lambda f: f.next_data),
         deselected=dyn(lambda f: f.deselected),
         phi=dyn(lambda f: f.phi),
+        wedge_senders=dyn(lambda f: f.wedge_senders),
+        wedge_receivers=dyn(lambda f: f.wedge_receivers),
+        wedge_mask=dyn(lambda f: f.wedge_mask),
+        wedge_attr=dyn(lambda f: f.wedge_attr),
         time=(
             None
             if f0.time is None
@@ -259,6 +268,10 @@ def single_of(packed: MeshGraph, b: int = 0) -> MeshGraph:
         next_data=node_field(packed.next_data),
         deselected=node_field(packed.deselected),
         phi=node_field(packed.phi),
+        wedge_senders=node_field(packed.wedge_senders),
+        wedge_receivers=node_field(packed.wedge_receivers),
+        wedge_mask=node_field(packed.wedge_mask),
+        wedge_attr=node_field(packed.wedge_attr),
         time=packed.time[b] if getattr(packed.time, "ndim", 0) else packed.time,
     )
 

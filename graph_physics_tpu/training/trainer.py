@@ -258,6 +258,8 @@ class Trainer:
             PACKED_BATCH_AXIS = {
                 "x": 1, "edge_attr": 1, "y": 1, "prev": 1,
                 "next_data": 1, "phi": 1, "deselected": 1, "time": 0,
+                "wedge_senders": 1, "wedge_receivers": 1,
+                "wedge_mask": 1, "wedge_attr": 1,
             }
 
             def spec_for(path, leaf):

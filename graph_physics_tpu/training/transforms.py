@@ -36,7 +36,12 @@ class WorldPosConfig:
 
 
 def append_world_pos_features(graph: MeshGraph, cfg: WorldPosConfig) -> MeshGraph:
-    """edge_attr ⧺= [world_pos[send] − world_pos[recv], its norm]."""
+    """edge_attr ⧺= [world_pos[send] − world_pos[recv], its norm].
+
+    With the per-sample world-edge sidecar (MeshGraph.wedge_*), the same
+    columns are appended to ``wedge_attr`` using per-sample gathers — the
+    world edges see the exact same feature math as in the concat layout.
+    """
     wp = graph.x[..., cfg.start : cfg.end]
     if graph.senders.ndim == 1:
         # single graph [N, D] or packed [N, B, D]: node axis is 0
@@ -50,7 +55,24 @@ def append_world_pos_features(graph: MeshGraph, cfg: WorldPosConfig) -> MeshGrap
         ) - jnp.take_along_axis(wp, graph.receivers[..., None], axis=-2)
     norm = jnp.linalg.norm(rel, axis=-1, keepdims=True)
     ea = jnp.concatenate([graph.edge_attr, rel, norm], axis=-1)
-    return graph.replace(edge_attr=ea)
+    wea = graph.wedge_attr
+    if wea is not None:
+        from graph_physics_tpu.models.layers import _wtake_nodes
+
+        if graph.wedge_senders.ndim == 1 or graph.node_type.ndim == 1:
+            # single [W] / packed [W, B] sidecar
+            wrel = (_wtake_nodes(wp, graph.wedge_senders)
+                    - _wtake_nodes(wp, graph.wedge_receivers))
+        else:
+            # stacked [B, W] sidecar
+            wrel = jnp.take_along_axis(
+                wp, graph.wedge_senders[..., None], axis=-2
+            ) - jnp.take_along_axis(
+                wp, graph.wedge_receivers[..., None], axis=-2
+            )
+        wnorm = jnp.linalg.norm(wrel, axis=-1, keepdims=True)
+        wea = jnp.concatenate([wea, wrel, wnorm], axis=-1)
+    return graph.replace(edge_attr=ea, wedge_attr=wea)
 
 
 def make_device_preprocess(

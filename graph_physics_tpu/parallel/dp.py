@@ -33,10 +33,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from graph_physics_tpu.core.graph import MeshGraph
 
-#: packed-layout MeshGraph fields laid out [N, B] (batch axis 1, ndim 2);
-#: every >=3-D leaf is [N|E, B, F]. Everything else is topology/metadata
-#: shared across the batch.
-_PACKED_2D_BATCHED = ("deselected", "phi")
+#: packed-layout MeshGraph fields laid out [N|W, B] (batch axis 1,
+#: ndim 2); every >=3-D leaf is [N|E|W, B, F]. The world-edge sidecar's
+#: index/mask arrays are PER-SAMPLE data (world edges change every
+#: frame) and must shard with the batch, not replicate like the shared
+#: mesh topology. Everything else is topology/metadata shared across
+#: the batch.
+_PACKED_2D_BATCHED = (
+    "deselected", "phi", "wedge_senders", "wedge_receivers", "wedge_mask",
+)
 
 
 def dp_batch_specs(batch: MeshGraph, packed: bool, axis_name: str = "dp"):

@@ -162,7 +162,7 @@ def main(argv=None):
     model = config_lib.get_model(param, dtype=dtype)
     # fused multi-chip dp runs inside shard_map (parallel/dp.py): the
     # normalizer needs the mesh axis name to psum its statistics globally
-    dp_fused = bool(args.num_dp_devices) and args.fused
+    dp_fused = (bool(args.num_dp_devices) or args.multihost) and args.fused
     simulator = config_lib.get_simulator(
         param, model, axis_name="dp" if dp_fused else None
     )

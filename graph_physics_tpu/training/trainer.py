@@ -306,22 +306,16 @@ class Trainer:
                 "multi-process training requires a device mesh (pass "
                 "mesh=... spanning jax.devices())"
             )
-        if self._proc_shard is not None and cfg.fused:
-            # the fused dp path runs inside shard_map with eager
-            # per-topology step selection — single-process for now
-            # (docs/PARALLELISM.md); multi-host uses the GSPMD step
-            raise ValueError(
-                "fused kernels are not supported with multi-process "
-                "training yet (use the XLA path)"
-            )
-        if self._proc_shard is not None and cfg.steps_per_dispatch > 1:
-            # the multi-step path stacks pending batches EAGERLY
-            # (jnp.stack), which is not allowed on non-fully-addressable
-            # global arrays
-            raise ValueError(
-                "steps_per_dispatch > 1 is not supported with "
-                "multi-process training yet"
-            )
+        # multi-host × fused works as-is: the shard_map fused-dp step is
+        # per-shard-local (parallel/dp.py), the per-topology step key is
+        # derived host-side from REPLICATED leaves (tiling_idx — identical
+        # bytes on every process under the identical global schedule), and
+        # batches arrive as global arrays from the process-sharded loader.
+        # steps_per_dispatch > 1 stacks pending batches through a jitted
+        # stacker (_stack_pending): eager jnp.stack is rejected on
+        # non-fully-addressable global arrays, an explicitly-jitted SPMD
+        # stack is not.
+        self._stack_fn_cache = {}
 
         self.ckpt_dir = os.path.join(cfg.out_dir, cfg.run_name, "checkpoints")
         self.manager = ckpt_lib.make_manager(
@@ -410,6 +404,22 @@ class Trainer:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def _stack_pending(self, pending):
+        """Stack K same-layout batches along a new leading axis.
+
+        Explicitly jitted: multi-host global batches are not fully
+        addressable, so eager ``jnp.stack`` raises under the default
+        spmd mode; a jitted SPMD stack runs in lockstep on every process
+        and keeps the dp axis sharded (no cross-host traffic). One jit
+        per K; new leaf shapes re-trace inside it."""
+        fn = self._stack_fn_cache.get(len(pending))
+        if fn is None:
+            fn = jax.jit(
+                lambda *xs: jax.tree.map(lambda *ys: jnp.stack(ys), *xs)
+            )
+            self._stack_fn_cache[len(pending)] = fn
+        return fn(*pending)
+
     # ------------------------------------------------------------------
     def fit(self, resume: bool = False) -> TrainState:
         cfg = self.cfg
@@ -479,9 +489,7 @@ class Trainer:
                             )
                             multi_fn = self._build_multi(sim_t, k)
                             self._fused_multi[key] = multi_fn
-                    super_batch = jax.tree.map(
-                        lambda *xs: jnp.stack(xs), *pending
-                    )
+                    super_batch = self._stack_pending(pending)
                     self.state, ms = multi_fn(
                         self.state, super_batch, self._next_rng()
                     )

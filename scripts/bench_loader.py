@@ -24,6 +24,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: the committed headline step demand (BENCH round 4; frames == graphs)
 STEP_DEMAND_FRAMES_PER_S = 4982.0
@@ -128,6 +129,37 @@ def main():
         raise SystemExit(
             f"loader starves the airfoil-scale fused step: "
             f"{best:.1f} < 160.8 frames/s"
+        )
+
+    # plate leg (world-edge sidecar, VERDICT r4 item 1): per-frame world
+    # edges gate off every loader fast path EXCEPT the skeleton (the
+    # sidecar keeps mesh arrays static — only the radius search + wedge
+    # arrays rebuild per frame). Demand = the measured plate_fused step
+    # rate (scripts/bench_plate.py round 5).
+    import dataclasses
+
+    from bench_plate import plate_param
+    from graph_physics_tpu.training import config as config_lib
+
+    pdir = os.path.join(d, "plate")
+    os.makedirs(pdir, exist_ok=True)
+    pparam = plate_param(pdir, nx=44, ny=30, num_steps=64)
+    pfc = config_lib.get_frame_config(pparam)
+    pfc = dataclasses.replace(
+        pfc, world=dataclasses.replace(pfc.world, sidecar=True)
+    )
+    pds = config_lib.get_dataset(pparam, pfc)
+    PLATE_DEMAND = 251.65
+    pmgr = FusedTopologyManager(build_nk=True)
+    pbest = 0.0
+    for w in worker_list:
+        pbest = max(pbest, bench_loader(
+            "plate_sidecar", pds, 64, min(args.batches, 8), w,
+            pmgr.transform_frame, PLATE_DEMAND))
+    if os.environ.get("BL_ASSERT") and pbest < PLATE_DEMAND:
+        raise SystemExit(
+            f"loader starves the plate fused step: "
+            f"{pbest:.1f} < {PLATE_DEMAND} frames/s"
         )
 
 

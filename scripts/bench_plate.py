@@ -39,8 +39,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
 
-#: committed regression floors (BASELINE.md round 5)
-FLOORS = {"plate_xla": None, "plate_fused": None}
+#: committed regression floors (BASELINE.md round 5). Measured 2026-08-20:
+#: plate_fused 251.65 g/s (B=64), plate_xla 32.55 g/s (B=16 — B>=32 OOMs
+#: the chip on padded attention-gather temps) -> 7.7x. Floor at ~85% of
+#: the fused measurement; the xla leg is a comparison, not a guard.
+FLOORS = {"plate_xla": None, "plate_fused": 210.0}
 
 
 def plate_param(d, nx=44, ny=30, num_steps=80, edge_budget=1024):

@@ -90,6 +90,27 @@ rc = train_main([
 ])
 assert rc == 0
 
+# fused shard_map dp + multi-step dispatch under multi-host (VERDICT r4
+# item 4): the per-topology fused step keys off REPLICATED tiling_idx
+# leaves (identical on every process), batches ride in as global arrays,
+# and steps_per_dispatch=2 exercises the jitted SPMD stack of pending
+# global batches (eager jnp.stack would raise on non-addressable arrays)
+rc = train_main([
+    "--training_parameters_path", f"{work}/config.json",
+    "--multihost",
+    "--coordinator_address", f"localhost:{port}",
+    "--num_processes", "2",
+    "--process_id", str(pid),
+    "--epochs", "1",
+    "--batch_size", "4",
+    "--warmup", "2",
+    "--packed", "--fused", "--bf16",
+    "--steps_per_dispatch", "2",
+    "--out_dir", f"{work}/runs",
+    "--run_name", "mh_fused",
+])
+assert rc == 0
+
 # data-correctness: the process-sharded loader's assembled GLOBAL batch
 # must equal the unsharded host loader's batch — compare this process's
 # addressable shards against the expected global slices
@@ -203,3 +224,13 @@ def test_two_process_cli_lockstep(workspace, tmp_path):
     ]
     pv = [m for m in packed_metrics if "val_all_rollout_rmse" in m]
     assert pv and np.isfinite(pv[-1]["val_all_rollout_rmse"])
+
+    # fused shard_map dp × multi-host × steps_per_dispatch leg: trained,
+    # validated, finite
+    fused_metrics = [
+        json.loads(l)
+        for l in open(d / "runs" / "mh_fused" / "mh_fused.metrics.jsonl")
+    ]
+    fv = [m for m in fused_metrics if "val_all_rollout_rmse" in m]
+    assert fv and np.isfinite(fv[-1]["val_all_rollout_rmse"])
+    assert np.isfinite(fv[-1]["train_loss_epoch"])

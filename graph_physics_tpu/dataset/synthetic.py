@@ -371,6 +371,7 @@ def write_workload_fixture(
     out_dir: str,
     num_trajectories: int = 1,
     num_steps: int = 6,
+    size: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[str, str, str]:
     """Fabricate a dataset matching one canonical workload's meta schema.
 
@@ -378,18 +379,22 @@ def write_workload_fixture(
     (train_path, test_path, meta_path) ready to drop into the
     corresponding training_config JSON. h5 workloads write one file with
     all trajectories; xdmf workloads write one series per trajectory in
-    train/ and test/ subdirectories.
+    train/ and test/ subdirectories. ``size`` overrides the default tiny
+    grid dimensions — (nx, ny) for the grid workloads, (nx, ny, nz) for
+    the tet plate — e.g. for throughput benches at representative mesh
+    sizes (scripts/bench_canonical.py).
     """
     os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "meta.json")
 
     if workload == "cylinder":
+        cnx, cny = size or (7, 5)
         train, _ = write_h5_dataset(
-            os.path.join(out_dir, "train.h5"), num_trajectories, nx=7, ny=5,
-            num_steps=num_steps, meta_path=meta_path,
+            os.path.join(out_dir, "train.h5"), num_trajectories, nx=cnx,
+            ny=cny, num_steps=num_steps, meta_path=meta_path,
         )
         test, _ = write_h5_dataset(
-            os.path.join(out_dir, "test.h5"), 1, nx=7, ny=5,
+            os.path.join(out_dir, "test.h5"), 1, nx=cnx, ny=cny,
             num_steps=num_steps, meta_path=os.path.join(out_dir, "_m.json"),
         )
         return train, test, meta_path
@@ -417,7 +422,10 @@ def write_workload_fixture(
         for split, n in (("train.h5", num_trajectories), ("test.h5", 1)):
             with h5py.File(os.path.join(out_dir, split), "w") as f:
                 for i in range(n):
-                    traj = make_plate_tet_trajectory(4 + i, 3, 2, num_steps)
+                    pnx, pny, pnz = size or (4, 3, 2)
+                    traj = make_plate_tet_trajectory(
+                        pnx + i, pny, pnz, num_steps
+                    )
                     g = f.create_group(str(i))
                     for k, v in traj.items():
                         g.create_dataset(k, data=v)
@@ -446,7 +454,8 @@ def write_workload_fixture(
         d = os.path.join(out_dir, split)
         os.makedirs(d, exist_ok=True)
         for i in range(n):
-            traj = make(7 + i, 6, num_steps, dt)
+            gnx, gny = size or (7, 6)
+            traj = make(gnx + i, gny, num_steps, dt)
             w = XdmfTimeSeriesWriter(os.path.join(d, f"traj_{i}.xdmf"))
             point_fields = [
                 k for k in traj.keys() if k not in ("cells", "mesh_pos")

@@ -376,6 +376,9 @@ class TransolverProcessor(nn.Module):
     rope_base: float = 10000.0
     use_temporal_block: bool = False
     dp_axis_name: Optional[str] = None
+    #: training-time slice noise drawn by the on-chip Pallas PRNG
+    #: (ops/gumbel.py) instead of an XLA uniform + double-log pass
+    fused_gumbel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -394,6 +397,7 @@ class TransolverProcessor(nn.Module):
             unified_pos=self.unified_pos,
             use_temporal_block=self.use_temporal_block,
             dp_axis_name=self.dp_axis_name,
+            fused_gumbel=self.fused_gumbel,
             dtype=self.dtype,
             name="model",
         )(

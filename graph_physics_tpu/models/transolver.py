@@ -33,21 +33,30 @@ import numpy as np
 from flax import linen as nn
 
 from graph_physics_tpu.models.layers import MLP, TemporalAttention, gelu_exact
+from graph_physics_tpu.ops import gumbel as gumbel_ops
 
 Dtype = Any
 
 
 def gumbel_softmax(
-    logits: jnp.ndarray, tau: jnp.ndarray, rng: Optional[jax.Array], hard: bool = False
+    logits: jnp.ndarray, tau: jnp.ndarray, rng: Optional[jax.Array], hard: bool = False,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Tempered (optionally gumbel-perturbed / straight-through) softmax.
 
     Spec: transolver.py:19-33. ``tau`` broadcasts against ``logits``.
+    ``fused=True`` draws the gumbel noise inside a Pallas kernel
+    (ops/gumbel.py — on-chip PRNG, no HBM noise tensor; same
+    distribution, different generator) when the [H, G] tail tiles onto
+    the 128-lane layout; other shapes keep the XLA draw.
     """
-    y = logits.astype(jnp.float32)
-    if rng is not None:
-        u = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
-        y = y + (-jnp.log(-jnp.log(u + 1e-8) + 1e-8))
+    if rng is not None and fused and gumbel_ops.supported(logits.shape):
+        y = gumbel_ops.gumbel_perturb(logits, rng)
+    else:
+        y = logits.astype(jnp.float32)
+        if rng is not None:
+            u = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
+            y = y + (-jnp.log(-jnp.log(u + 1e-8) + 1e-8))
     y = jax.nn.softmax(y / tau.astype(jnp.float32), axis=-1)
     if hard:
         idx = jnp.argmax(y, axis=-1)
@@ -69,6 +78,9 @@ class PhysicsAttention(nn.Module):
     rope_base: float = 10000.0
     use_gated_attention: bool = False
     dp_axis_name: Optional[str] = None
+    #: draw training-time slice noise with the on-chip Pallas PRNG
+    #: (ops/gumbel.py) instead of an XLA uniform + double-log pass
+    fused_gumbel: bool = False
     dtype: Dtype = jnp.float32
 
     def _rope_features(self, pos: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +131,9 @@ class PhysicsAttention(nn.Module):
         rng = None
         if self.has_rng("gumbel"):
             rng = self.make_rng("gumbel")
-        slice_weights = gumbel_softmax(slice_logits, temperature, rng)  # [N,H,G] f32
+        slice_weights = gumbel_softmax(
+            slice_logits, temperature, rng, fused=self.fused_gumbel
+        )  # [N,H,G] f32
 
         if node_mask is not None:
             slice_weights = slice_weights * node_mask.astype(jnp.float32)[:, None, None]
@@ -177,6 +191,7 @@ class TransolverBlock(nn.Module):
     rope_base: float = 10000.0
     use_gated_attention: bool = False
     dp_axis_name: Optional[str] = None
+    fused_gumbel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -192,6 +207,7 @@ class TransolverBlock(nn.Module):
             rope_base=self.rope_base,
             use_gated_attention=self.use_gated_attention,
             dp_axis_name=self.dp_axis_name,
+            fused_gumbel=self.fused_gumbel,
             dtype=self.dtype,
             name="Attn",
         )
@@ -239,6 +255,7 @@ class TransolverModel(nn.Module):
     use_gated_attention: bool = False
     use_temporal_block: bool = False
     dp_axis_name: Optional[str] = None
+    fused_gumbel: bool = False
     dtype: Dtype = jnp.float32
 
     def _ref_grid(self) -> np.ndarray:
@@ -306,6 +323,7 @@ class TransolverModel(nn.Module):
             rope_base=self.rope_base,
             use_gated_attention=self.use_gated_attention,
             dp_axis_name=self.dp_axis_name,
+            fused_gumbel=self.fused_gumbel,
             dtype=self.dtype,
         )
         prev_fx = fx

@@ -190,10 +190,20 @@ def main():
 
     # Transolver consumes [B, N, F] stacked batches (its physics attention
     # adds its own batch dim; the packed [N, B, F] layout doesn't apply)
-    if want("transolver"):
+    if want("transolver") and "transolver_" not in (only or ""):
         bench("transolver", TransolverProcessor(
             message_passing_num=4, node_input_size=2 + 9, output_size=2,
             hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
+        ), batch=16, packed=False)
+
+    # gumbel clawback A/B (VERDICT r4 item 5): the training-time slice
+    # noise drawn by the on-chip Pallas PRNG (ops/gumbel.py) instead of
+    # the XLA rbg uniform + double-log pass
+    if want("transolver_fgum"):
+        bench("transolver_fgum", TransolverProcessor(
+            message_passing_num=4, node_input_size=2 + 9, output_size=2,
+            hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
+            fused_gumbel=True,
         ), batch=16, packed=False)
 
     if os.environ.get("BM_ASSERT"):

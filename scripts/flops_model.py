@@ -22,7 +22,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":  # importable from TPU processes without
+    jax.config.update("jax_platforms", "cpu")  # hijacking their platform
 
 MEASURED_TF_S = 90e12  # issued ceiling, scripts/mxu_handicap.py
 BATCH = 128

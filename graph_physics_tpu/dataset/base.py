@@ -97,9 +97,14 @@ class BaseDataset:
         part = rem % parts
         return t, frame, part
 
-    def bucket_of(self, idx: int) -> Tuple[int, int]:
+    def bucket_of(self, idx: int) -> Tuple[int, int, Optional[int]]:
+        """Static-shape bucket of a sample — the loader batches ONLY
+        within one bucket. Includes the cells bucket: the face padding
+        moves independently of (n_pad, e_pad) (e.g. 126 vs 140 cells on
+        meshes that share node/edge buckets), and a mixed-face batch
+        cannot stack."""
         t, _, _ = self.indices_for(idx)
-        return self._n_pad[t], self._e_pad[t]
+        return self._n_pad[t], self._e_pad[t], self._c_pad[t]
 
     def __getitem__(self, idx: int) -> MeshGraph:
         t, frame, part = self.indices_for(idx)

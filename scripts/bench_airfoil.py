@@ -3,9 +3,16 @@
 Usage: python scripts/bench_airfoil.py [wb_buckets] [batch] [inner] [budget_s]
 
 Measures graph-steps/s/chip for the fused Pallas path on the reference's
-airfoil fixture (graded mesh, wb=18 single-dispatch), comparing the
-window-count bucketed dispatch (--fused_wb_buckets) against the single
-dispatch. Round-3 baseline: 160.8 g/s (wb_buckets=1, B=16).
+airfoil fixture (graded mesh), under TODAY'S DEFAULT dispatch: the
+FusedTopologyManager in nk_layout mode, exactly as the trainer
+configures it for epd models — the NK builder decides per topology
+whether the slot layout serves this mesh or degree skew falls it back
+to the blocked-CSR kernel (the planner/fallback path bench.py's uniform
+cylinder never exercises). AIRFOIL_NK=0 forces the CSR layout (the
+round-3 protocol: 160.8 g/s, wb_buckets=1, B=16).
+
+Prints one JSON line; BM_ASSERT=1 enforces the committed floor
+(BASELINE.md round 5).
 """
 import os
 import sys
@@ -16,11 +23,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
 
+import json
+
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+#: committed floor, graph-steps/s (BASELINE.md round 5; default dispatch)
+FLOOR = None
 
 AIRFOIL = "/root/reference/tests/mock_airfoil/sample_000000005.h5"
 
@@ -62,13 +74,18 @@ def main():
     )
 
     g = airfoil_graph().replace(traj_index=np.asarray(0, np.int32))
-    mgr = FusedTopologyManager(wb_buckets=wb_buckets)
+    # today's trainer default for epd: NK slot layout with CSR fallback
+    use_nk = os.environ.get("AIRFOIL_NK", "1") != "0"
+    mgr = FusedTopologyManager(wb_buckets=wb_buckets, nk_layout=use_nk,
+                               build_nk=use_nk)
     t0 = time.time()
     conv = mgr.transform_frame(g)
     t, _perm = mgr.tiling_of(0)
     assert t is not None, "airfoil must tile"
+    kernel = ("nk" if use_nk and conv.tiling_idx_nk is not None
+              and conv.tiling_idx is None else "csr")
     print(f"tiling: groups={t.num_groups} wb={t.window_blocks} "
-          f"epb={t.edges_per_block} buckets={t.buckets} "
+          f"epb={t.edges_per_block} buckets={t.buckets} kernel={kernel} "
           f"({time.time()-t0:.1f}s host)", flush=True)
 
     stacked = jax.tree.map(lambda a: np.stack([np.asarray(a)] * batch), conv)
@@ -113,6 +130,14 @@ def main():
     gs = inner * batch / best
     print(f"wb_buckets={wb_buckets} B={batch}: {gs:.1f} graph-steps/s "
           f"({best*1e3/inner:.2f} ms/step, {len(times)} trials)", flush=True)
+    print(json.dumps({
+        "metric": "airfoil_fused_graph_steps_per_sec_per_chip",
+        "value": round(gs, 1), "unit": "graphs/s", "kernel": kernel,
+        "wb_buckets": wb_buckets, "batch": batch, "floor": FLOOR,
+        "above_floor": None if FLOOR is None else bool(gs >= FLOOR),
+    }), flush=True)
+    if os.environ.get("BM_ASSERT") and FLOOR is not None and gs < FLOOR:
+        raise SystemExit(f"airfoil floor missed: {gs:.1f} < {FLOOR}")
 
 
 if __name__ == "__main__":

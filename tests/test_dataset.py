@@ -52,7 +52,7 @@ class TestH5Dataset:
         )
 
     def test_buckets_aligned(self, dataset):
-        n_pad, e_pad = dataset.bucket_of(0)
+        n_pad, e_pad, _c_pad = dataset.bucket_of(0)
         assert n_pad % 128 == 0 and e_pad % 128 == 0
 
     def test_trajectory_frames(self, dataset):
@@ -116,3 +116,24 @@ class TestLoader:
         b1 = next(iter(l1))
         b2 = next(iter(l2))
         np.testing.assert_array_equal(b1.x, b2.x)
+
+
+def test_loader_buckets_split_on_face_padding(tmp_path):
+    """Meshes sharing (n_pad, e_pad) but not the cells bucket must not
+    land in one batch: 10x8 (126 cells -> 128) and 11x8 (140 -> 256)
+    grids share the 128-node / 512-edge buckets, and a mixed-face batch
+    cannot stack (round-5 regression, found by the runbook smoke)."""
+    from graph_physics_tpu.dataset.h5_dataset import H5Dataset
+    from graph_physics_tpu.dataset.loader import BatchLoader
+    from graph_physics_tpu.dataset.preprocessing import FrameConfig
+    from graph_physics_tpu.dataset import synthetic
+
+    h5, meta = synthetic.write_h5_dataset(
+        str(tmp_path / "t.h5"), num_trajectories=2, nx=10, ny=8,
+        num_steps=6, meta_path=str(tmp_path / "m.json"),
+    )
+    ds = H5Dataset(h5, meta, FrameConfig(targets=("velocity",)))
+    buckets = {ds.bucket_of(i) for i in range(len(ds))}
+    assert len(buckets) == 2, buckets  # face padding differs
+    for batch in BatchLoader(ds, 4, shuffle=True, seed=0, device_put=False):
+        assert batch.x.ndim == 3  # every batch stacked fine

@@ -66,13 +66,14 @@ WORKLOADS = {
     "pinn-aneurysm": ("aneurysm", "aneurysm", (60, 50), 64, 66),
 }
 
-#: committed regression floors, graph-steps/s (BASELINE.md round 5)
+#: committed regression floors, graph-steps/s (~88% of the round-5
+#: measured p25s: 5,002 / 252 / 486 / 938 / 868 — BASELINE.md matrix)
 FLOORS = {
     "cylinder": 4500.0,
     "plate": 210.0,
-    "panels": None,
-    "coarse-aneurysm": None,
-    "pinn-aneurysm": None,
+    "panels": 430.0,
+    "coarse-aneurysm": 830.0,
+    "pinn-aneurysm": 760.0,
 }
 
 

@@ -32,8 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
 
-#: committed floors, rollout steps/s (BASELINE.md round 5)
-FLOORS = {"rollout_cylinder": None, "rollout_plate_dwe": None}
+#: committed floors, rollout steps/s (round-5 measured: cylinder
+#: 1,043.1 — matching round 1's 1,021 despite batched vmap + dynamic
+#: world edges + chunked streaming landing since; plate+dwe 76.9)
+FLOORS = {"rollout_cylinder": 900.0, "rollout_plate_dwe": 65.0}
 
 
 def bench(name, rollout_fn, params, sim_state, frames, steps, window=120.0):

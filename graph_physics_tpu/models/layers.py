@@ -607,26 +607,30 @@ class TemporalAttention(nn.Module):
 
 def _wtake_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """World-sidecar node gather: x [N, F] with idx [W], or packed
-    x [N, B, F] with per-sample idx [W, B] (idx[w, b] reads sample b)."""
+    x [N, B, F] with per-sample idx [W, B] (idx[w, b] reads sample b).
+
+    Packed form: scatter-free custom-vjp gather (ops/world_gather.wtake
+    — fwd is a flat row take, bwd a one-hot MXU dot; the take's default
+    VJP is a serialized TPU scatter-add, ~3-4 ms per instance in the
+    round-5 plate profile)."""
     if idx.ndim == 1:
         return jnp.take(x, idx, axis=0)
-    w, b = idx.shape
-    return jnp.take_along_axis(
-        x, idx.reshape((w, b) + (1,) * (x.ndim - 2)), axis=0
-    )
+    from graph_physics_tpu.ops.world_gather import wtake
+
+    return wtake(x, idx)
 
 
 def _wscatter_nodes(vals: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
     """World-sidecar scatter-add over (node, sample) segments — inverse
-    layout of :func:`_wtake_nodes` (values pre-masked by the caller)."""
+    layout of :func:`_wtake_nodes` (values pre-masked by the caller).
+
+    Packed form: one-hot MXU contraction instead of a TPU scatter-add
+    (ops/world_gather.wscatter_sum; round-5 plate profile)."""
     if idx.ndim == 1:
         return segment.segment_sum(vals, idx, n)
-    w, b = idx.shape
-    flat_ids = (idx * b + jnp.arange(b, dtype=idx.dtype)[None, :]).reshape(-1)
-    out = segment.segment_sum(
-        vals.reshape((w * b,) + vals.shape[2:]), flat_ids, n * b
-    )
-    return out.reshape((n, b) + vals.shape[2:])
+    from graph_physics_tpu.ops.world_gather import wscatter_sum
+
+    return wscatter_sum(vals, idx, n)
 
 
 def fused_path_ok(

@@ -29,13 +29,28 @@ def _wtake(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     ``arr`` [N, H, D] with ``idx`` [W] (single graph), or [N, B, H, D]
     with ``idx`` [W, B] (packed; idx[w, b] selects a row of sample b).
+
+    Packed form flattens to (node, sample)-major ROW gathers — the same
+    trick _wsegment uses — instead of ``take_along_axis`` with broadcast
+    indices: the latter lowers to per-ELEMENT gathers on TPU (every
+    (w, b, h, d) indexed independently), which left the plate fused step
+    at 7.9 TF/s issued / ~90% MXU idle (round-5 canonical matrix).
+    Row gathers of the [N·B, H·D] view move whole 256-byte lines.
     """
     if idx.ndim == 1:
         return jnp.take(arr, idx, axis=0)
     w, b = idx.shape
-    return jnp.take_along_axis(
-        arr, idx.reshape((w, b) + (1,) * (arr.ndim - 2)), axis=0
-    )
+    n = arr.shape[0]
+    flat = arr.reshape((n * b,) + arr.shape[2:])
+    flat_ids = (idx * b + jnp.arange(b, dtype=idx.dtype)[None, :]).reshape(-1)
+    return jnp.take(flat, flat_ids, axis=0).reshape((w, b) + arr.shape[2:])
+
+
+def _bcast_like(mask: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    m = mask
+    while m.ndim < like.ndim:
+        m = m[..., None]
+    return m
 
 
 def _wsegment(
@@ -76,11 +91,53 @@ def world_attention_parts(
     n = q.shape[0]
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=jnp.float32))
-    q_w = _wtake(q, wedge_receivers)
-    k_w = _wtake(k, wedge_senders)
+    packed = wedge_senders.ndim == 2
+    if packed:
+        # scatter-free formulation (ops/world_gather.py): gathers are
+        # row takes whose VJP is a one-hot MXU dot; scatters are one-hot
+        # MXU dots whose VJP is a row take — TPU scatter-add fusions were
+        # ~200 of the plate step's 265 ms (round-5 profile).
+        from graph_physics_tpu.ops.world_gather import wscatter_sum, wtake
+
+        q_w = wtake(q, wedge_receivers)
+        k_w = wtake(k, wedge_senders)
+    else:
+        q_w = _wtake(q, wedge_receivers)
+        k_w = _wtake(k, wedge_senders)
     logits = jnp.einsum(
         "...d,...d->...", q_w, k_w, preferred_element_type=jnp.float32
     ) * scale
+    if packed:
+        # per-(sample, head) GLOBAL shift instead of per-receiver max:
+        # any shift >= the receiver max keeps exp <= 1, and the kernels
+        # re-base exactly between shifts (fused_edge_attention_nk.py:
+        # 455-466 wscale) — same convention as their own global tile
+        # shift. Removes the segment_max scatter entirely.
+        m = wedge_mask
+        masked_logits = logits if m is None else jnp.where(
+            _bcast_like(m, logits), logits, -jnp.inf
+        )
+        s_val = jnp.max(masked_logits, axis=0)  # [B, ...H]
+        s_val = jnp.where(jnp.isfinite(s_val), s_val, 0.0)
+        s_val = jax.lax.stop_gradient(s_val)
+        s_w = jnp.broadcast_to(s_val[None], (n,) + s_val.shape)
+        shifted = jnp.exp(logits - s_val[None])
+        if m is not None:
+            shifted = jnp.where(_bcast_like(m, shifted), shifted, 0.0)
+        v_w = wtake(v, wedge_senders)
+        payload = jnp.concatenate(
+            [
+                shifted[..., None].astype(jnp.float32),
+                (v_w * shifted[..., None].astype(v.dtype)).astype(
+                    jnp.float32
+                ),
+            ],
+            axis=-1,
+        )  # [W, B, H, 1 + D]: den and num share ONE one-hot contraction
+        out = wscatter_sum(payload, wedge_receivers, n, wedge_mask)
+        den_w = out[..., 0]
+        num_w = out[..., 1:]
+        return num_w, den_w, s_w
     s_w = _wsegment(segment.segment_max, logits, wedge_receivers, n,
                     wedge_mask)
     s_w = jnp.where(jnp.isfinite(s_w), s_w, 0.0)

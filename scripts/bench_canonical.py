@@ -66,11 +66,12 @@ WORKLOADS = {
     "pinn-aneurysm": ("aneurysm", "aneurysm", (60, 50), 64, 66),
 }
 
-#: committed regression floors, graph-steps/s (~88% of the round-5
-#: measured p25s: 5,002 / 252 / 486 / 938 / 868 — BASELINE.md matrix)
+#: committed regression floors, graph-steps/s (~86-88% of the round-5
+#: measured p25s: 5,002 / 1,222 / 486 / 938 / 868 — BASELINE.md matrix;
+#: plate re-based after the scatter-free + 2-D-flat world seams)
 FLOORS = {
     "cylinder": 4500.0,
-    "plate": 210.0,
+    "plate": 1050.0,
     "panels": 430.0,
     "coarse-aneurysm": 830.0,
     "pinn-aneurysm": 760.0,

@@ -40,10 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
 
 #: committed regression floors (BASELINE.md round 5). Measured 2026-08-20:
-#: plate_fused 251.65 g/s (B=64), plate_xla 32.55 g/s (B=16 — B>=32 OOMs
-#: the chip on padded attention-gather temps) -> 7.7x. Floor at ~85% of
-#: the fused measurement; the xla leg is a comparison, not a guard.
-FLOORS = {"plate_xla": None, "plate_fused": 210.0}
+#: plate_fused 1,222.2 g/s (B=64; 251.7 before the scatter-free world
+#: seams, 450.3 before the 2-D-flat row gathers), plate_xla 32.55 g/s
+#: (B=16 — B>=32 OOMs the chip on padded attention-gather temps)
+#: -> 37.5x. Floor at ~86% of the fused measurement; the xla leg is a
+#: comparison, not a guard.
+FLOORS = {"plate_xla": None, "plate_fused": 1050.0}
 
 
 def plate_param(d, nx=44, ny=30, num_steps=80, edge_budget=1024):

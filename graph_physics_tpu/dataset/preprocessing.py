@@ -281,6 +281,10 @@ class FrameBuilder:
 
         self._skel_cache: "OrderedDict[Any, Any]" = OrderedDict()
         self._skel_cache_size = 64
+        #: per-trajectory sorted s*n+r mesh-edge keys for the sidecar's
+        #: per-frame world-edge exclusion (the np.unique over the static
+        #: edge set was ~30% of the per-frame rebuild)
+        self._wedge_exclude_cache: Dict[Any, np.ndarray] = {}
 
     def mesh_edges(self, cache_key, cells: np.ndarray, num_nodes: int) -> np.ndarray:
         """faces→edges (+k-hop), cached per trajectory (dataset.py:217-241)."""
@@ -363,7 +367,7 @@ class FrameBuilder:
                 key = cache_key if cache_key is not None else traj_index
                 mesh_ei = self.mesh_edges(key, ctx.cells, n)
                 rep = self._world_sidecar_fields(
-                    x, ctx.node_type, ctx.pos, mesh_ei, np_
+                    x, ctx.node_type, ctx.pos, mesh_ei, np_, cache_key=key
                 )
             return skel.replace(
                 x=pad(x),
@@ -459,7 +463,9 @@ class FrameBuilder:
         )
         if world_sidecar:
             g = g.replace(**self._world_sidecar_fields(
-                x, node_type, pos, mesh_ei, g.num_nodes
+                x, node_type, pos, mesh_ei, g.num_nodes,
+                cache_key=(cache_key if cache_key is not None
+                           else traj_index),
             ))
         if cfg.extra_edge_features is not None:
             g = cfg.extra_edge_features(g)
@@ -485,6 +491,7 @@ class FrameBuilder:
         pos: np.ndarray,
         mesh_ei: np.ndarray,
         n_pad: int,
+        cache_key: Optional[Any] = None,
     ) -> Dict[str, Optional[np.ndarray]]:
         """Per-frame world edges as static-budget sidecar arrays.
 
@@ -497,8 +504,18 @@ class FrameBuilder:
         """
         cfg = self.cfg
         ws, we = cfg.world.world_pos_index_start, cfg.world.world_pos_index_end
+        ex_keys = None
+        if cache_key is not None:
+            ck = (cache_key, int(mesh_ei.shape[1]))
+            ex_keys = self._wedge_exclude_cache.get(ck)
+            if ex_keys is None:
+                ex_keys = mesh_lib.world_edge_exclude_keys(mesh_ei, len(x))
+                if len(self._wedge_exclude_cache) > 256:
+                    self._wedge_exclude_cache.clear()
+                self._wedge_exclude_cache[ck] = ex_keys
         wedges = mesh_lib.radius_world_edges(
-            x[:, ws:we], node_type, cfg.world.radius, exclude_edges=mesh_ei
+            x[:, ws:we], node_type, cfg.world.radius,
+            exclude_edges=mesh_ei, exclude_keys=ex_keys,
         )
         wedges = mesh_lib.budget_world_pairs(
             wedges, x[:, ws:we], cfg.world.edge_budget

@@ -65,6 +65,14 @@ def load() -> Optional[ctypes.CDLL]:
     lib.rcb_partition.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p,
     ]
+    try:  # added round 5 — tolerate stale libs
+        lib.radius_cross_pairs.restype = ctypes.c_int64
+        lib.radius_cross_pairs.argtypes = [
+            f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_float, i32p, i32p, ctypes.c_int64,
+        ]
+    except AttributeError:
+        pass
     try:  # added after the first release of the .so — tolerate stale libs
         lib.pack_rows.restype = None
         lib.pack_rows.argtypes = [
@@ -140,6 +148,30 @@ def radius_pairs(pos: np.ndarray, radius: float) -> Optional[np.ndarray]:
         a = np.empty(budget, np.int32)
         b = np.empty(budget, np.int32)
         c = lib.radius_pairs(pos, n, dim, radius, a, b, budget)
+        if c >= 0:
+            return np.stack([a[:c], b[:c]], axis=1)
+        budget = -c
+    return None
+
+
+def radius_cross_pairs(
+    pos_a: np.ndarray, pos_b: np.ndarray, radius: float
+) -> Optional[np.ndarray]:
+    """All (i, j) with |pos_a[i] - pos_b[j]| <= radius, as an [M, 2]
+    array of (A-local, B-local) indices. None when the native lib is
+    unavailable (callers fall back to the full-mesh search)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "radius_cross_pairs"):
+        return None
+    pos_a = np.ascontiguousarray(pos_a, np.float32)
+    pos_b = np.ascontiguousarray(pos_b, np.float32)
+    na, dim = pos_a.shape
+    nb = pos_b.shape[0]
+    budget = max((na + nb) * 16, 1024)
+    for _ in range(4):
+        a = np.empty(budget, np.int32)
+        b = np.empty(budget, np.int32)
+        c = lib.radius_cross_pairs(pos_a, na, pos_b, nb, dim, radius, a, b, budget)
         if c >= 0:
             return np.stack([a[:c], b[:c]], axis=1)
         budget = -c

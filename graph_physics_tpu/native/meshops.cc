@@ -179,6 +179,161 @@ int64_t radius_pairs(const float* pos, int64_t n, int32_t dim, float r,
 }
 
 // ---------------------------------------------------------------------
+// radius_cross_pairs: all pairs (i in A, j in B) with |a_i - b_j| <= r.
+// The world-edge sidecar only keeps {OBSTACLE, HANDLE} x NORMAL pairs
+// (reference preprocessing.py:114-124); searching the two groups
+// cross-wise skips the dominant same-group candidate volume of the
+// full-mesh grid pass. Grid is a dense CSR over A's bounding box
+// (callers pass the smaller group as A) and every B point first takes
+// a bbox +r reject — on the plate workload most NORMAL nodes are far
+// from the obstacle, so the common probe is a handful of compares.
+// Falls back to a sorted-key grid when A's bbox would need too many
+// cells (sparse A at tiny r). Returns pair count (negative requirement
+// if budget too small).
+static int64_t cross_pairs_sorted(const float* pa, int64_t na,
+                                  const float* pb, int64_t nb, int32_t dim,
+                                  float r, const float* lo, float cell,
+                                  int32_t* out_a, int32_t* out_b,
+                                  int64_t budget) {
+  auto cell_of = [&](const float* p, int64_t i, int32_t d) {
+    return (int64_t)std::floor((p[i * dim + d] - lo[d]) / cell);
+  };
+  auto key_of = [&](int64_t cx, int64_t cy, int64_t cz) {
+    return ((uint64_t)(cx & 0x1FFFFF) << 42) | ((uint64_t)(cy & 0x1FFFFF) << 21) |
+           (uint64_t)(cz & 0x1FFFFF);
+  };
+  std::vector<std::pair<uint64_t, int32_t>> keyed(na);
+  for (int64_t i = 0; i < na; ++i) {
+    int64_t cx = cell_of(pa, i, 0), cy = cell_of(pa, i, 1),
+            cz = dim > 2 ? cell_of(pa, i, 2) : 0;
+    keyed[i] = {key_of(cx, cy, cz), (int32_t)i};
+  }
+  std::sort(keyed.begin(), keyed.end());
+  const float r2 = r * r;
+  int64_t count = 0;
+  for (int64_t j = 0; j < nb; ++j) {
+    int64_t bx = cell_of(pb, j, 0), by = cell_of(pb, j, 1),
+            bz = dim > 2 ? cell_of(pb, j, 2) : 0;
+    for (int64_t dx = -1; dx <= 1; ++dx)
+      for (int64_t dy = -1; dy <= 1; ++dy) {
+        // z keys for fixed (x, y) are consecutive integers: one
+        // lower_bound covers the whole 3-cell (or 1-cell in 2-D) run
+        int64_t z0 = dim > 2 ? bz - 1 : 0, z1 = dim > 2 ? bz + 1 : 0;
+        uint64_t k0 = key_of(bx + dx, by + dy, z0);
+        uint64_t k1 = key_of(bx + dx, by + dy, z1);
+        auto it = std::lower_bound(
+            keyed.begin(), keyed.end(), std::make_pair(k0, (int32_t)-1));
+        for (; it != keyed.end() && it->first <= k1; ++it) {
+          int32_t a = it->second;
+          float d2 = 0;
+          for (int32_t d = 0; d < dim; ++d) {
+            float diff = pa[a * dim + d] - pb[j * dim + d];
+            d2 += diff * diff;
+          }
+          if (d2 <= r2) {
+            if (count < budget) {
+              out_a[count] = a;
+              out_b[count] = (int32_t)j;
+            }
+            ++count;
+          }
+        }
+      }
+  }
+  if (count > budget) return -count;
+  return count;
+}
+
+int64_t radius_cross_pairs(const float* pa, int64_t na, const float* pb,
+                           int64_t nb, int32_t dim, float r,
+                           int32_t* out_a, int32_t* out_b, int64_t budget) {
+  if (na == 0 || nb == 0) return 0;
+  float lo[3] = {1e30f, 1e30f, 1e30f};
+  float hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < na; ++i)
+    for (int32_t d = 0; d < dim; ++d) {
+      lo[d] = std::min(lo[d], pa[i * dim + d]);
+      hi[d] = std::max(hi[d], pa[i * dim + d]);
+    }
+  const float cell = std::max(r, 1e-12f);
+  int64_t dims[3] = {1, 1, 1};
+  int64_t ncells = 1;
+  bool dense_ok = true;
+  for (int32_t d = 0; d < dim; ++d) {
+    double span = ((double)hi[d] - lo[d]) / cell;
+    if (!(span < 2e6)) { dense_ok = false; break; }
+    dims[d] = (int64_t)span + 1;
+    ncells *= dims[d];
+    if (ncells > std::max<int64_t>(int64_t(1) << 20, na * 64)) {
+      dense_ok = false;
+      break;
+    }
+  }
+  if (!dense_ok)
+    return cross_pairs_sorted(pa, na, pb, nb, dim, r, lo, cell,
+                              out_a, out_b, budget);
+
+  const int64_t sz = dim > 2 ? dims[2] : 1;  // z stride (innermost)
+  auto cell_id = [&](int64_t cx, int64_t cy, int64_t cz) {
+    return (cx * dims[1] + cy) * sz + cz;
+  };
+  // dense CSR: counts -> prefix -> fill
+  std::vector<int32_t> start(ncells + 1, 0);
+  std::vector<int32_t> acell(na), item(na);
+  for (int64_t i = 0; i < na; ++i) {
+    int64_t cx = (int64_t)((pa[i * dim + 0] - lo[0]) / cell);
+    int64_t cy = (int64_t)((pa[i * dim + 1] - lo[1]) / cell);
+    int64_t cz = dim > 2 ? (int64_t)((pa[i * dim + 2] - lo[2]) / cell) : 0;
+    acell[i] = (int32_t)cell_id(std::min(cx, dims[0] - 1),
+                                std::min(cy, dims[1] - 1),
+                                std::min(cz, sz - 1));
+    ++start[acell[i] + 1];
+  }
+  for (int64_t c = 0; c < ncells; ++c) start[c + 1] += start[c];
+  {
+    std::vector<int32_t> cur(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < na; ++i) item[cur[acell[i]]++] = (int32_t)i;
+  }
+  const float r2 = r * r;
+  int64_t count = 0;
+  for (int64_t j = 0; j < nb; ++j) {
+    const float* p = pb + j * dim;
+    bool out = false;  // bbox + r reject: kills far-field probes cheaply
+    for (int32_t d = 0; d < dim; ++d)
+      if (p[d] < lo[d] - r || p[d] > hi[d] + r) { out = true; break; }
+    if (out) continue;
+    int64_t bx = (int64_t)std::floor((p[0] - lo[0]) / cell);
+    int64_t by = (int64_t)std::floor((p[1] - lo[1]) / cell);
+    int64_t bz = dim > 2 ? (int64_t)std::floor((p[2] - lo[2]) / cell) : 0;
+    int64_t x0 = std::max<int64_t>(bx - 1, 0), x1 = std::min(bx + 1, dims[0] - 1);
+    int64_t y0 = std::max<int64_t>(by - 1, 0), y1 = std::min(by + 1, dims[1] - 1);
+    int64_t z0 = std::max<int64_t>(bz - 1, 0), z1 = std::min(bz + 1, sz - 1);
+    for (int64_t cx = x0; cx <= x1; ++cx)
+      for (int64_t cy = y0; cy <= y1; ++cy) {
+        // z cells are contiguous in the CSR: one range per (x, y)
+        int64_t c0 = cell_id(cx, cy, z0), c1 = cell_id(cx, cy, z1);
+        for (int32_t k = start[c0]; k < start[c1 + 1]; ++k) {
+          int32_t a = item[k];
+          float d2 = 0;
+          for (int32_t d = 0; d < dim; ++d) {
+            float diff = pa[a * dim + d] - p[d];
+            d2 += diff * diff;
+          }
+          if (d2 <= r2) {
+            if (count < budget) {
+              out_a[count] = a;
+              out_b[count] = (int32_t)j;
+            }
+            ++count;
+          }
+        }
+      }
+  }
+  if (count > budget) return -count;
+  return count;
+}
+
+// ---------------------------------------------------------------------
 // rcb_partition: recursive coordinate bisection; writes part label per
 // node. Deterministic, balanced within one node per split.
 void rcb_partition(const float* pos, int64_t n, int32_t dim,

@@ -149,7 +149,7 @@ def main():
         pfc, world=dataclasses.replace(pfc.world, sidecar=True)
     )
     pds = config_lib.get_dataset(pparam, pfc)
-    PLATE_DEMAND = 251.65
+    PLATE_DEMAND = 1222.2
     pmgr = FusedTopologyManager(build_nk=True)
     pbest = 0.0
     for w in worker_list:

@@ -84,6 +84,49 @@ class TestMesh:
         nt2 = np.array([int(NodeType.NORMAL)] * 3)
         assert mesh.radius_world_edges(pos, nt2, radius=0.1).shape[1] == 0
 
+    def test_radius_world_edges_cross_search_brute_parity(self):
+        """The cross-group grid search (round 5: grid over the smaller
+        type group, probe the larger) returns the exact brute-force
+        {OBSTACLE, HANDLE} x NORMAL directed edge set, with and without
+        mesh-edge exclusion, incl. the precomputed exclude_keys lane."""
+        rng = np.random.default_rng(7)
+        for trial, (n, dim, radius) in enumerate(
+            [(160, 2, 0.13), (220, 3, 0.2), (64, 3, 0.55)]
+        ):
+            pos = rng.random((n, dim)).astype(np.float32)
+            nt = rng.choice(
+                [int(NodeType.NORMAL), int(NodeType.OBSTACLE),
+                 int(NodeType.HANDLE), int(NodeType.OUTFLOW)],
+                size=n, p=[0.6, 0.2, 0.1, 0.1],
+            ).astype(np.int32)
+            d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+            within = d2 <= radius * radius
+            obs = (nt == NodeType.OBSTACLE) | (nt == NodeType.HANDLE)
+            nrm = nt == NodeType.NORMAL
+            want = {
+                (i, j)
+                for i in range(n) for j in range(n)
+                if i != j and within[i, j]
+                and ((obs[i] and nrm[j]) or (nrm[i] and obs[j]))
+            }
+            we = mesh.radius_world_edges(pos, nt, radius)
+            got = set(zip(we[0].tolist(), we[1].tolist()))
+            assert got == want, f"trial {trial}: cross search != brute"
+            # exclusion: knock out a sample of the true pairs (both
+            # directions, as mesh edges are)
+            if want:
+                sample = sorted(want)[:: max(1, len(want) // 7)]
+                ex = np.array(sample + [(b, a) for a, b in sample]).T
+                we2 = mesh.radius_world_edges(pos, nt, radius,
+                                              exclude_edges=ex)
+                got2 = set(zip(we2[0].tolist(), we2[1].tolist()))
+                dropped = set(map(tuple, ex.T.tolist()))
+                assert got2 == want - dropped
+                keys = mesh.world_edge_exclude_keys(ex, n)
+                we3 = mesh.radius_world_edges(pos, nt, radius,
+                                              exclude_keys=keys)
+                assert set(zip(we3[0].tolist(), we3[1].tolist())) == got2
+
     def test_build_mesh_graph_padding(self):
         pos, cells = __import__(
             "graph_physics_tpu.dataset.synthetic", fromlist=["grid_mesh"]

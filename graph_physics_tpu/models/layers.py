@@ -693,7 +693,11 @@ def fused_path_ok_nk(
 
     Mirror of :func:`fused_path_ok` for graphs converted with
     :func:`ops.tiling.apply_to_graph_nk` — the edge arrays must BE the NK
-    slot layout (``num_groups * slots`` rows)."""
+    slot layout (``nk_total_rows`` rows; per-block-K bucket layouts
+    included)."""
+    from graph_physics_tpu.ops.fused_edge_attention_nk import (
+        nk_total_rows as _nk_total_rows,
+    )
     from graph_physics_tpu.ops.fused_gnblock import LANES
 
     t = nk_tiling
@@ -710,7 +714,7 @@ def fused_path_ok_nk(
         and LANES % hidden_size == 0
         and (x.shape[1] * hidden_size) % LANES == 0
         and x.shape[0] == t.num_nodes
-        and edge_attr.shape[0] == t.num_groups * t.slots
+        and edge_attr.shape[0] == _nk_total_rows(t)
         and (
             edge_attr.shape[-1] <= hidden_size // 2
             if raw_edge

@@ -43,6 +43,7 @@ class FusedTopologyManager:
                  edge_pad_multiple: int = 64, window_blocks_multiple: int = 2,
                  window_unit: int = 64, wb_buckets: int = 1,
                  build_nk: bool = False, nk_layout: bool = False,
+                 nk_k_buckets: int = 3,
                  max_cached_tilings: int = 512):
         self.node_block = node_block
         self.max_window_blocks = max_window_blocks
@@ -60,6 +61,23 @@ class FusedTopologyManager:
         #: ops/fused_gnblock_nk). Topologies whose NK build fails
         #: (degree skew) fall back to the CSR layout per trajectory.
         self.nk_layout = nk_layout
+        #: >1 (nk_layout mode only): on graded meshes, also price the
+        #: per-block-K bucketed NK layout (ops/fused_edge_attention_nk.
+        #: build_nk_bucket_tiling — node blocks sorted by local max
+        #: in-degree, ≤ this many contiguous K_b segments) and use it
+        #: when it cuts slot rows ≥10% vs the global-K layout. The
+        #: airfoil: global K=10 inflates rows 2.13x over the edge count
+        #: while 3 K-buckets reach ~1.4x. Uniform meshes (cylinder) keep
+        #: the single-K layout. Transformer attention (build_nk without
+        #: nk_layout) always uses the single-K layout — the NK attention
+        #: kernel consumes uniform K only.
+        self.nk_k_buckets = nk_k_buckets
+        #: NK acceptance: max slot-rows / CSR-rows ratio under which the
+        #: NK layout still wins (its kernel-constant advantage at equal
+        #: rows, measured on the cylinder: epd +4%, attention +20% —
+        #: BASELINE.md). Above it the CSR kernel serves the topology.
+        self.nk_accept_ratio = 1.10
+        self.nk_attn_accept_ratio = 1.20
         #: >1: sort node blocks by touched-window-unit count and dispatch
         #: the fused kernels as up to this many window-width buckets, so
         #: graded meshes (airfoil: wb 3..18, median 12) don't pay the max
@@ -122,20 +140,52 @@ class FusedTopologyManager:
         )
 
     def _batch_nk_tiling(self, batch: MeshGraph):
-        """Geometry-only NKTiling from a converted batch's runtime NK
-        indices (mirrors _batch_tiling)."""
+        """Geometry-only NK tiling from a converted batch's runtime NK
+        indices (mirrors _batch_tiling). ``tiling_idx_nk`` carries one
+        sidx array per K-bucket ((win_start, sidx...), apply_to_graph_nk)
+        — more than one reconstructs the per-block-K NKBucketTiling; the
+        group ranges, bases and total rows re-derive deterministically
+        from the per-bucket sidx shapes (the builder's alignment rule)."""
         ti = batch.tiling_idx_nk
         if ti is None:
             return None
-        from graph_physics_tpu.ops.fused_edge_attention_nk import NKTiling
+        from graph_physics_tpu.ops.fused_edge_attention_nk import (
+            NKBucketTiling, NKTiling,
+        )
 
-        win, sidx = (np.asarray(a) for a in ti)
-        return NKTiling(
+        win = np.asarray(ti[0])
+        sxs = [np.asarray(s) for s in ti[1:]]
+        if len(sxs) == 1:
+            sidx = sxs[0]
+            return NKTiling(
+                perm=np.empty(0, np.int32),
+                sidx=sidx,
+                win_start=win,
+                k_slots=int(sidx.shape[1]) // self.node_block,
+                node_block=self.node_block,
+                window_blocks=int(win.shape[1]),
+                num_nodes=int(batch.x.shape[0]),
+                window_unit=self.window_unit,
+            )
+        from graph_physics_tpu.ops.tiling import _round_up
+
+        nb = self.node_block
+        buckets, bases, lo, end = [], [], 0, 0
+        for sx in sxs:
+            g_b, slots_b = int(sx.shape[0]), int(sx.shape[1])
+            base = _round_up(end, slots_b)
+            bases.append(base)
+            end = base + g_b * slots_b
+            buckets.append((lo, lo + g_b, slots_b // nb))
+            lo += g_b
+        return NKBucketTiling(
             perm=np.empty(0, np.int32),
-            sidx=sidx,
+            sidx=tuple(sxs),
             win_start=win,
-            k_slots=int(sidx.shape[1]) // self.node_block,
-            node_block=self.node_block,
+            buckets=tuple(buckets),
+            bases=tuple(bases),
+            total_rows=end,
+            node_block=nb,
             window_blocks=int(win.shape[1]),
             num_nodes=int(batch.x.shape[0]),
             window_unit=self.window_unit,
@@ -145,6 +195,13 @@ class FusedTopologyManager:
     def nk_bucket_key(nk) -> Optional[Tuple]:
         if nk is None:
             return None
+        from graph_physics_tpu.ops.fused_edge_attention_nk import (
+            NKBucketTiling,
+        )
+
+        if isinstance(nk, NKBucketTiling):
+            return (nk.buckets, nk.total_rows, nk.node_block,
+                    nk.window_blocks, nk.window_unit, nk.num_nodes)
         return (nk.k_slots, nk.node_block, nk.window_blocks,
                 nk.window_unit, nk.num_nodes)
 
@@ -247,23 +304,77 @@ class FusedTopologyManager:
                 s_f, r_f = inv[send], inv[recv]
             else:
                 s_f, r_f = send, recv
-            nk = build_nk_tiling(
-                s_f, r_f, n_valid,
+            nk_kw = dict(
                 node_block=self.node_block,
                 max_window_blocks=self.max_window_blocks,
                 window_unit=self.window_unit,
                 window_blocks_multiple=self.window_blocks_multiple,
                 k_multiple=2,
             )
+            from graph_physics_tpu.ops.fused_edge_attention_nk import (
+                nk_total_rows,
+            )
+
+            nk = build_nk_tiling(s_f, r_f, n_valid, **nk_kw)
+            nk_perm = None
+            if self.nk_layout and self.nk_k_buckets > 1:
+                # graded meshes: price the per-block-K layout against the
+                # global-K one and take it when it cuts slot rows >=10%
+                # (the fused NK GraphNetBlock dispatches per K-bucket;
+                # the NK ATTENTION kernel cannot, hence nk_layout-only)
+                from graph_physics_tpu.ops.fused_edge_attention_nk import (
+                    build_nk_bucket_tiling,
+                )
+
+                res = build_nk_bucket_tiling(
+                    s_f, r_f, n_valid, k_buckets=self.nk_k_buckets, **nk_kw)
+                if res is not None:
+                    bt, bperm = res
+                    plain_rows = (nk.num_groups * nk.slots
+                                  if nk is not None else None)
+                    if (bt.num_nodes == t.num_nodes
+                            and (plain_rows is None
+                                 or bt.total_rows < 0.9 * plain_rows)):
+                        nk, nk_perm = bt, bperm
             if nk is not None and nk.num_nodes != t.num_nodes:
                 nk = None  # node-padding mismatch: CSR kernel only
+            if nk is not None:
+                # NK-vs-CSR row pricing (airfoil A/B, BASELINE.md round
+                # 5): per-slot-row work is comparable across the kernels,
+                # so NK's kernel-constant win (fewer one-hot MXU
+                # contractions; +4% epd / +20% attention at EQUAL rows on
+                # the cylinder) only survives while its slot padding
+                # stays within that margin of the CSR row count. The
+                # graded airfoil: global-K 1.54x CSR rows measured 0.74x
+                # CSR speed; K-bucketed 1.26x still trails. Uniform
+                # meshes sit at 1.0x and keep NK.
+                # only priced at >=8 node blocks: below that the slot
+                # quantization (K and epb both round per 128-node block)
+                # dominates both layouts and the builder's own absolute
+                # inflation guard is the meaningful gate
+                csr_rows = t.num_groups * t.edges_per_block
+                ratio = (self.nk_accept_ratio if self.nk_layout
+                         else self.nk_attn_accept_ratio)
+                if t.num_groups >= 8 and nk_total_rows(nk) > ratio * csr_rows:
+                    nk = None
             if nk is None:
                 print(
-                    "[fused] NK attention layout rejected for trajectory "
-                    f"{int(np.asarray(g.traj_index))} (degree skew or "
-                    "padding inflation); the blocked-CSR kernel serves it",
+                    "[fused] NK layout rejected for trajectory "
+                    f"{int(np.asarray(g.traj_index))} (degree skew: slot "
+                    "rows would exceed the blocked-CSR row count beyond "
+                    "the kernel-constant margin); the CSR kernel serves "
+                    "it",
                     flush=True,
                 )
+            elif nk_perm is not None:
+                # compose the bucket sort with the RCM/wb-sort node
+                # order — only once the bucket layout is FINAL (the CSR
+                # tiling `t` stays in the pre-bucket order; in nk_layout
+                # mode it only gates tileability and prices rows: frames
+                # convert via apply_to_graph_nk and tiling_idx does not
+                # ride)
+                perm = (nk_perm if perm is None
+                        else np.asarray(perm)[nk_perm])
         with self._tilings_lock:
             self._tilings[key] = (t, perm, nk)
             while len(self._tilings) > self.max_cached_tilings:

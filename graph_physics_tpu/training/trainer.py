@@ -121,6 +121,12 @@ class TrainerConfig:
     #: 4,778 g/s on the cylinder bench, device-resident batch). Degree-
     #: skewed topologies fall back to the CSR kernel per trajectory.
     fused_gn_nk: bool = True
+    #: with fused_gn_nk, graded meshes (airfoil-class degree skew) also
+    #: price the per-block-K bucketed NK layout (≤ this many K_b
+    #: segments, node blocks sorted by local max in-degree) and take it
+    #: when it cuts slot rows ≥10% vs the global K; uniform meshes keep
+    #: the single-K layout automatically. 1 = always global-K.
+    fused_nk_k_buckets: int = 3
 
 
 class Trainer:
@@ -224,7 +230,8 @@ class Trainer:
                 build_nk=cfg.fused_attn_nk,
                 nk_layout=(cfg.fused_gn_nk
                            and isinstance(simulator.model,
-                                          EncodeProcessDecode)))
+                                          EncodeProcessDecode)),
+                nk_k_buckets=cfg.fused_nk_k_buckets)
         self.rollout_fn = make_rollout_fn(
             simulator,
             previous_data_slice=cfg.previous_data_slice,

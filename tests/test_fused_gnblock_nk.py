@@ -582,3 +582,116 @@ def test_k_bucketed_folded_and_last_block():
             scale = max(np.abs(a).max(), 1e-3)
             np.testing.assert_allclose(c / scale, a / scale, atol=0.05,
                                        err_msg=name)
+
+
+def test_manager_bucket_nk_graded_mesh():
+    """FusedTopologyManager(nk_layout, nk_k_buckets>1) on a graded mesh:
+    the per-block-K bucket layout is priced against the global-K one and
+    chosen when it cuts slot rows; the runtime ``tiling_idx_nk`` tuple
+    reconstructs the exact bucket structure (group ranges, aligned
+    bases, total rows); and the full EPD model through the bucketed NK
+    kernel matches the XLA path on the same (degree-sorted) graph."""
+    from graph_physics_tpu.models.processors import EncodeProcessDecode
+    from graph_physics_tpu.ops.fused_edge_attention_nk import NKBucketTiling
+    from graph_physics_tpu.training.fused import (
+        FusedTopologyManager, _permute_nodes,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 2600
+    s_list, r_list = [], []
+    for i in range(n - 1):
+        s_list += [i, i + 1]
+        r_list += [i + 1, i]
+    # hub cluster: the first ~600 nodes (≈5 blocks) take extra in-edges,
+    # so the per-block max in-degree profile is strongly graded
+    for i in range(0, n, 5):
+        for _ in range(int(rng.integers(0, 9))):
+            t_ = int(rng.integers(0, 600))
+            u = min(n - 1, t_ + int(rng.integers(1, 60)))
+            s_list.append(u)
+            r_list.append(t_)
+    ei = np.stack([np.asarray(s_list, np.int64),
+                   np.asarray(r_list, np.int64)])
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    pos = rng.normal(size=(n, 2)).astype(np.float32)
+    nt = np.zeros(n, np.int32)
+    g = mesh_lib.build_mesh_graph(x, pos, nt, ei)
+
+    mgr = FusedTopologyManager(build_nk=True, nk_layout=True)
+    out = mgr.transform_frame(g)
+    _key, (t, perm, nk) = mgr._tiling_for(g)  # cache hit
+    assert t is not None
+    assert isinstance(nk, NKBucketTiling), type(nk)
+    assert len(nk.buckets) > 1, nk.buckets
+    assert len(out.tiling_idx_nk) == 1 + len(nk.buckets)
+
+    # runtime reconstruction: exact bucket structure from sidx shapes
+    rt = mgr._batch_nk_tiling(out)
+    assert isinstance(rt, NKBucketTiling)
+    assert rt.buckets == nk.buckets
+    assert rt.bases == nk.bases
+    assert rt.total_rows == nk.total_rows
+    assert rt.num_nodes == out.x.shape[0] == nk.num_nodes
+    k = mgr.key_for(out)
+    assert k[0] == "nk" and k[1] == mgr.nk_bucket_key(nk)
+
+    # EPD parity vs XLA on the SAME node order (manager-permuted graph).
+    # b*f must reach the kernel's LANES so the fused gate actually opens
+    # (b=2 would silently fall back to XLA and void the parity check).
+    f, b = 32, 4
+    gq = _permute_nodes(g, perm) if perm is not None else g
+    key = jax.random.PRNGKey(7)
+    gp = jax.tree.map(jnp.asarray, gq)
+    n_g = gp.x.shape[0]
+    e_cnt = gp.senders.shape[0]
+    gp = gp.replace(
+        x=jax.random.normal(key, (n_g, b, 4), jnp.float32) * 0.5,
+        edge_attr=jax.random.normal(jax.random.fold_in(key, 1),
+                                    (e_cnt, b, 3)) * 0.5,
+    )
+    n_real = min(n_g, nk.num_nodes)
+    x_pad = jnp.zeros((nk.num_nodes, b, 4)).at[:n_real].set(
+        gp.x[:n_real])
+    ea_slots = jnp.asarray(nk.expand_edges(np.asarray(gp.edge_attr)))
+    gt = jax.tree.map(jnp.asarray, out)
+    gt = gt.replace(x=x_pad, edge_attr=ea_slots)
+
+    kwargs = dict(
+        message_passing_num=2, node_input_size=4, edge_input_size=3,
+        output_size=2, hidden_size=f, dtype=jnp.bfloat16,
+    )
+    from graph_physics_tpu.models import layers as layers_lib
+
+    # the gate sees the ENCODED node stream ([N, b, hidden]) and the raw
+    # slot edge stream; probe it with those shapes
+    assert layers_lib.fused_path_ok_nk(
+        rt, jnp.zeros((nk.num_nodes, b, f), jnp.bfloat16), gt.edge_attr,
+        f, jnp.bfloat16, False, False, False,
+        None, raw_edge=True), "fused NK gate must open for this shape"
+    m_xla = EncodeProcessDecode(**kwargs)
+    m_nk = EncodeProcessDecode(edge_tiling_nk=rt, **kwargs)
+    params = m_xla.init(jax.random.fold_in(key, 2), gp)
+    out_xla = m_xla.apply(params, gp)
+    out_nk = m_nk.apply(params, gt)
+    np.testing.assert_allclose(
+        np.asarray(out_nk, np.float32)[:n],
+        np.asarray(out_xla, np.float32)[:n],
+        rtol=0.15, atol=0.15)
+
+
+def test_manager_bucket_nk_uniform_mesh_stays_single_k():
+    """Near-uniform meshes (the cylinder family) must NOT move to the
+    bucketed layout: the DP can only shave <10% of slot rows there, so
+    the pricing rule keeps the single-K NKTiling (and the headline
+    cylinder step/caches stay byte-identical)."""
+    from graph_physics_tpu.ops.fused_edge_attention_nk import NKTiling
+    from graph_physics_tpu.training.fused import FusedTopologyManager
+    from tests.helpers import tiny_graph
+
+    g = tiny_graph(nx=20, ny=16)
+    mgr = FusedTopologyManager(build_nk=True, nk_layout=True)
+    out = mgr.transform_frame(g)
+    _key, (_t, _perm, nk) = mgr._tiling_for(g)
+    assert isinstance(nk, NKTiling), type(nk)
+    assert len(out.tiling_idx_nk) == 2

@@ -60,6 +60,10 @@ def main():
     results = {}
 
     def bench(name, model, batch=64, inner=100, packed=True, graph=None):
+        # BM_INNER: dispatch-length override (the multigrid leg's
+        # 100-step scan body is large enough to fault the tunneled
+        # worker; 20 keeps the per-dispatch overhead share <2%)
+        inner = int(os.environ.get("BM_INNER", inner))
         sim = Simulator(
             node_input_size=2 + 9, edge_input_size=0, output_size=2,
             feature_index_start=0, feature_index_end=2,
@@ -194,6 +198,17 @@ def main():
         bench("transolver", TransolverProcessor(
             message_passing_num=4, node_input_size=2 + 9, output_size=2,
             hidden_size=64, num_heads=4, slice_num=32, dtype=jnp.bfloat16,
+        ), batch=16, packed=False)
+
+    # multigrid ETD (model.use_multigrid, reference README.md:430-462):
+    # coarsen to ratio*N nodes after the encoder, run every transformer
+    # block on the kNN remesh, knn-interpolate back. Per-sample top-k
+    # selection => stacked [B, N, F] layout only (no packed/fused path).
+    if want("transformer_mg"):
+        bench("transformer_mg", EncodeTransformDecode(
+            message_passing_num=10, node_input_size=2 + 9, output_size=2,
+            hidden_size=64, num_heads=4, dtype=jnp.bfloat16,
+            use_multigrid=True,
         ), batch=16, packed=False)
 
     # gumbel clawback A/B (VERDICT r4 item 5): the training-time slice
